@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry: each module under `graft.ops` contributes a map of
+  * `name -> (SparkSession, sfDir) => DataFrame` plus (where SQL-expressible)
+  * a DuckDB oracle with IDENTICAL output column names and a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY.md §7.1): the reference's defining computation
+    * — "latest value per series per day" (O-03 + O-24 + O-26, ref
+    * rg.py:106-117, rg.py:130-131) — over the events table at sf0.001.
+    * Scan -> window (one shuffle on the series key) -> filter -> sort.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = ops.Tables.events(spark, "/root/testdata/sf0.001")
+    val day = date_trunc("DAY", col("ts"))
+    val w = Window.partitionBy(day, col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("day", day)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("day"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracles
 }
