@@ -32,11 +32,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
-      ops.Scalars.queries
+      ops.Scalars.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
-      ops.Scalars.oracles
+      ops.Scalars.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.TextAnalysis.oracles
 }

@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family (SURVEY.md §2.11 O-58/O-59; driver
+  * north-star: exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design:
+  *  - q35 shuffles on a content hash, not the raw text — at 100 TB the
+  *    shuffle key is 32 bytes instead of document bodies.
+  *  - q36 (exact Jaccard) self-joins on shingles: correct but O(pairs
+  *    sharing a shingle); it is the ORACLE for the approximate paths.
+  *  - q36b (MinHash+LSH) is the scale path: fixed-width signatures (16
+  *    mins), banded join => candidates only; cost is linear in corpus
+  *    size + near-dup pair count, independent of document length.
+  *  - q36c (SimHash) compresses a document to 64 bits; banded 16-bit
+  *    chunk join finds low-hamming pairs without an O(n^2) scan.
+  */
+object Dedup {
+  import Tables._
+
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
+    * Documents with fewer than 3 tokens produce no rows. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
+          .as("shingle"))
+      .distinct()
+
+  /** Shared oracle CTE producing the same distinct shingles in DuckDB. */
+  private val shinglesSql =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+      |  FROM toks, UNNEST(generate_series(0, len(w)-3)) AS t(i))""".stripMargin
+
+  // O-58: exact dedup — keep-first by content, grouped on a 256-bit
+  // content hash (ref InfluxDB point-identity overwrite, rg.py:43-50).
+  def q35DedupExact(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d)
+      .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        Window.partitionBy(col("content_hash"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("content_hash"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
+  // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
+  def q36NearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("n_a")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val NHashes = 16
+  private val NBands = 8 // 2 rows per band
+
+  // O-59 scale path: MinHash (16 salted-md5 min-hashes) + LSH (8 bands of
+  // 2). Fully deterministic (md5), so even this approximate operator has
+  // a DuckDB oracle. est_jaccard = matching-signature fraction.
+  def q36bMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("s0:"), col("shingle")))).as("m0"),
+      (1 until NHashes).map(j =>
+        min(md5(concat(lit(s"s$j:"), col("shingle")))).as(s"m$j")): _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NBands).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val nMatch = (0 until NHashes).map(j =>
+      when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") * 2 >= NHashes)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match") / lit(NHashes.toDouble), 4).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // O-59 SimHash variant: 64-bit signature from token hashes; candidate
+  // pairs share a 16-bit chunk (banded), reported with hamming distance
+  // <= 12. xxhash64-based => Spark-only (no oracle; rows-only check).
+  def q36cSimhash(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_toks"),
+      (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"bit$b")): _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))
+          .as("ckey"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"),
+        col("cc.ckey").as("ckey"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_dedup_exact" -> (q35DedupExact _),
+    "q36_near_dup" -> (q36NearDup _),
+    "q36b_minhash_lsh" -> (q36bMinhashLsh _),
+    "q36c_simhash" -> (q36cSimhash _),
+  )
+
+  private def minExprs(prefix: String): String =
+    (0 until NHashes).map(j =>
+      s"min(md5('s$j:' || shingle)) AS $prefix$j").mkString(",\n      |    ")
+
+  val oracles: Map[String, String] = Map(
+    "q35_dedup_exact" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_dups
+        |  FROM keyed)
+        |SELECT doc_id, lang, source, n_chars, content_hash, n_dups
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q36_near_dup" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, ca.c AS n_a, cb.c AS n_b,
+         |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 4) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36b_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${minExprs("m")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b} || m${2 * b + 1}").mkString(" ")}
+         |    END AS bkey
+         |  FROM sig, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+         |  WHERE x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    ${(0 until NHashes).map(j =>
+              s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |  FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id
+         |  JOIN sig sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, CAST(n_match AS INT) AS n_match,
+         |  round(CAST(n_match AS DOUBLE) / $NHashes, 4) AS est_jaccard
+         |FROM scored WHERE n_match * 2 >= $NHashes
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.11 O-60;
+  * driver north-star "similarity search").
+  *
+  * Scale design: q37 is the exact baseline — a broadcast of ONE query
+  * vector against a full scan, embarrassingly parallel, no shuffle until
+  * the final top-k (TakeOrderedAndProject). q37b is the scale path:
+  * random-hyperplane LSH buckets the corpus once (shuffle on bucket id),
+  * then each probe touches only its bucket — at 100 TB that's the
+  * difference between scanning 2e9 vectors and ~2e6 per query.
+  */
+object Similarity {
+  import Tables._
+
+  // O-60: brute-force exact top-k by quantized cosine vs a fixed query
+  // vector (vec_id 0). Integer dot product => engine-exact ordering.
+  def q37SimilarityTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        dotQuantized(col("embedding"), col("qv")).as("dot_e12"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val NPlanes = 8
+
+  /** Deterministic +-1 hyperplane components: MurmurHash3 of (plane, dim).
+    * No RNG state — identical planes on every executor of any cluster. */
+  private def planes: Seq[Seq[Double]] =
+    (0 until NPlanes).map { p =>
+      (0 until 64).map { i =>
+        if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0)
+          1.0 else -1.0
+      }
+    }
+
+  // O-60 scale variant: sign-LSH (random hyperplanes with +-1 components)
+  // -> 8-bit bucket signature -> multi-probe: candidates are rows whose
+  // bucket is within hamming distance 3 of the query's signature, then
+  // exact re-rank inside. Approximate => no oracle (rows-only check).
+  def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    // signature bit p = sign of dot(plane[p], v); plane literals are
+    // embedded in the codegen'd expression — nothing broadcast at runtime.
+    def signature(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (pl, p) =>
+        val planeLit = array(pl.map(lit): _*)
+        val proj = aggregate(
+          zip_with(v, planeLit, (x, w) => x.cast("double") * w),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val bucketed = emb.withColumn("bucket", signature(col("embedding")))
+    val qv = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(qv),
+        expr("bit_count(bucket ^ qbucket) <= 3"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        dotQuantized(col("embedding"), col("qv")).as("dot_e12"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // Embedding-cosine near-duplicate pairs (north-star dedup family):
+  // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
+  def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val a = embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        dotQuantized(col("ea"), col("eb")).as("dot_e12"))
+      .filter(col("dot_e12") >= 400000000000L)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_similarity_topk" -> (q37SimilarityTopk _),
+    "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
+    "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
+  )
+
+  private val dotSql =
+    """CAST(list_sum([CAST(round(CAST(%s[i] AS DOUBLE)*1000000, 0) AS BIGINT)
+      | * CAST(round(CAST(%s[i] AS DOUBLE)*1000000, 0) AS BIGINT)
+      | FOR i IN generate_series(1, len(%s))]) AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q37_similarity_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
+         |FROM embeddings, q WHERE vec_id != 0
+         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q36d_embedding_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${dotSql.format("a.embedding", "b.embedding", "a.embedding")} AS dot_e12
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql.format("a.embedding", "b.embedding", "a.embedding")} >= 400000000000
+         |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

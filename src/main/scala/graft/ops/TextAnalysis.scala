@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2.11
+  * O-61; driver north-star: language-ID, quality scoring, token counting,
+  * fingerprinting). All row-level work is higher-order array functions —
+  * no explode/shuffle except where a join is semantically required, so
+  * each query is a single parallel scan at any corpus size.
+  */
+object TextAnalysis {
+  import Tables._
+
+  /** Non-empty whitespace tokens (empty text -> empty array). */
+  private def toks: Column =
+    filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"""
+
+  // O-61: tokenize + length/diversity/stopword statistics (the engine's
+  // text-quality primitives; ref O-40 text handling rg.py:364-366).
+  def q38TextAnalysis(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_m"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => t === "the" || t === "a"))
+          .as("n_stop"),
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+          .as("sum_token_len"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          round(col("sum_token_len").cast("double") / col("n_tokens"), 4)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_stop").cast("double") / col("n_tokens"), 4)))
+      .orderBy(col("doc_id"))
+
+  // O-61 language-ID: marker-word argmax against a broadcast dim (the
+  // 1-gram special case of the n-gram heuristic). Deterministic
+  // tie-break: (score DESC, candidate ASC); docs with no marker -> 'und'.
+  def q41LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers = Seq(
+      ("en", "the"), ("en", "a"), ("es", "el"), ("es", "la"),
+      ("fr", "le"), ("fr", "et"), ("de", "der"), ("de", "und"),
+      ("zh", "ma")).toDF("cand_lang", "word")
+    val tokRows = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val scored = tokRows
+      .join(broadcast(markers), col("tok") === col("word"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("score"))
+    documents(s, d)
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // O-61 quality scoring: integer-only rubric (length band, diversity,
+  // stopword ratio via cross-multiplication, mean token length band) —
+  // zero float ops, so the score is engine- and order-exact.
+  def q42QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => t === "the" || t === "a"))
+          .as("n_stop"),
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+          .as("sum_token_len"))
+      .withColumn("quality_score",
+        when(col("n_tokens").between(10, 1000), 40).otherwise(0) +
+          when(col("n_distinct") * 2 >= col("n_tokens"), 30).otherwise(0) +
+          when(col("n_stop") * 10 <= col("n_tokens") * 3, 20).otherwise(0) +
+          when(col("sum_token_len").between(col("n_tokens") * 3,
+            col("n_tokens") * 8), 10).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  // O-61 token counting: whitespace tokens + a BPE-ish regex pass
+  // (word-runs and single punctuation marks, the GPT-2 pre-tokenizer
+  // shape) — both Java regex and RE2 agree on this ASCII class.
+  def q43TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(toks).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  // O-61 fingerprinting: full-content md5, whitespace-normalized md5,
+  // and 2 salted min-hashes over word-3-gram shingles (rolling-hash
+  // document signature; deterministic across engines).
+  def q44Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val warr = split(trim(col("text")), "\\s+")
+    val sharr = transform(
+      sequence(lit(0), size(col("w")) - 3),
+      i => concat_ws(" ", element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
+    documents(s, d)
+      .withColumn("w", warr)
+      .withColumn("norm_text",
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_full"),
+        md5(col("norm_text").cast("binary")).as("md5_norm"),
+        when(size(col("w")) >= 3,
+          array_min(transform(sharr, sh => md5(sh.cast("binary")))))
+          .as("fp_min"),
+        when(size(col("w")) >= 3,
+          array_min(transform(sharr,
+            sh => md5(concat(lit("salt:"), sh).cast("binary")))))
+          .as("fp_min_salted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_text_analysis" -> (q38TextAnalysis _),
+    "q41_lang_id" -> (q41LangId _),
+    "q42_quality_score" -> (q42QualityScore _),
+    "q43_token_count" -> (q43TokenCount _),
+    "q44_fingerprint" -> (q44Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q38_text_analysis" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CAST(length(text) AS INT) AS n_chars_m,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INT) AS n_stop,
+         |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INT) AS sum_token_len,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4)
+         |  END AS avg_token_len,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 4)
+         |  END AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q41_lang_id" ->
+      s"""WITH markers(cand_lang, word) AS (VALUES
+         |  ('en','the'), ('en','a'), ('es','el'), ('es','la'),
+         |  ('fr','le'), ('fr','et'), ('de','der'), ('de','und'),
+         |  ('zh','ma')),
+         |tokrows AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+         |scored AS (
+         |  SELECT doc_id, cand_lang, count(*) AS score
+         |  FROM tokrows JOIN markers ON tok = word
+         |  GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand_lang) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(b.cand_lang, 'und') AS predicted_lang,
+         |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+         |FROM documents d LEFT OUTER JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q42_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INT) AS n_stop,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INT) AS sum_token_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_distinct, n_stop, sum_token_len,
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+         |  + (CASE WHEN n_distinct * 2 >= n_tokens THEN 30 ELSE 0 END)
+         |  + (CASE WHEN n_stop * 10 <= n_tokens * 3 THEN 20 ELSE 0 END)
+         |  + (CASE WHEN sum_token_len BETWEEN n_tokens * 3 AND n_tokens * 8
+         |     THEN 10 ELSE 0 END) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q43_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars_m,
+         |  CAST(len($toksSql) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, text, norm_text, w,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      [concat_ws(' ', w[i+1], w[i+2], w[i+3])
+        |       FOR i IN generate_series(0, len(w)-3)]
+        |    END AS shingles
+        |  FROM t)
+        |SELECT doc_id,
+        |  md5(text) AS md5_full,
+        |  md5(norm_text) AS md5_norm,
+        |  list_min(list_transform(shingles, s -> md5(s))) AS fp_min,
+        |  list_min(list_transform(shingles, s -> md5('salt:' || s)))
+        |    AS fp_min_salted
+        |FROM sh ORDER BY doc_id""".stripMargin,
+  )
+}

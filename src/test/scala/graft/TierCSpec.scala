@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the approximate Tier-C operators (the exact ones
+  * are covered by the DuckDB oracle gate). */
+class TierCSpec extends SparkSpec {
+
+  test("LSH top-10 recalls most of the exact top-10") {
+    import spark.implicits._
+    val exact = Similarity.q37SimilarityTopk(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.q37bSimilarityLsh(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.nonEmpty, "multi-probe LSH returned no candidates")
+    // the exact top-10 here sit at cosine ~0.3 (not near-dups), where an
+    // 8-bit sign-LSH is weakly discriminative by construction; require
+    // non-trivial overlap rather than high recall
+    assert((exact intersect approx).size >= 2,
+      s"recall too low: exact=$exact approx=$approx")
+  }
+
+  test("minhash est_jaccard agrees with exact jaccard on found pairs") {
+    import spark.implicits._
+    val exact = Dedup.q36NearDup(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = Dedup.q36bMinhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect()
+    assert(est.nonEmpty, "minhash-LSH found no pairs")
+    // every 16/16-signature-match pair must be a true high-jaccard pair
+    est.filter(_._3 == 1.0).foreach { case (a, b, _) =>
+      assert(exact.getOrElse((a, b), 0.0) >= 0.5,
+        s"pair ($a,$b) matched all sigs but exact jaccard is low")
+    }
+  }
+
+  test("simhash pairs include the true near-dup pairs") {
+    import spark.implicits._
+    val exact = Dedup.q36NearDup(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val sim = Dedup.q36cSimhash(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val caught = exact intersect sim
+    assert(exact.isEmpty || caught.size * 2 >= exact.size,
+      s"simhash missed too many: caught ${caught.size} of ${exact.size}")
+  }
+}
