@@ -33,12 +33,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Scalars.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.TextAnalysis.queries
+      ops.TextAnalysis.queries ++ functions.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
       ops.Scalars.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.TextAnalysis.oracles
+      ops.TextAnalysis.oracles ++ functions.Multimodal.oracles
 }

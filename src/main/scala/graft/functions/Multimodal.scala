@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (driver north-star): media as opaque BINARY
+  * payloads with typed metadata, processed by per-partition batch
+  * functions — the Scala analog of a vectorized decode UDF.
+  *
+  * The decode step is a STUB: this container has no image/audio codecs,
+  * so `decodeStub` derives deterministic fake features from the payload
+  * bytes. Everything AROUND the stub is real and load-bearing: the
+  * schema (binary + struct metadata), the typed Dataset plumbing, the
+  * partition-level batch shape (one iterator pass per partition, no
+  * per-row task overhead), and the pushdown-friendly projections.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
+  * string conversion); decode is mapPartitions so a real codec would
+  * amortize model/codec init once per partition — exactly the shape a
+  * Pandas-UDF/mapInPandas pipeline has in PySpark.
+  */
+object Multimodal {
+
+  /** A media row: payload is the raw bytes of the asset. */
+  case class MediaRecord(doc_id: Long, modality: String,
+      payload: Array[Byte], source: String)
+
+  /** Extracted features; `embedding` stands in for a model output. */
+  case class MediaFeatures(doc_id: Long, modality: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, embedding: Array[Float])
+
+  /** Build a media table from the documents fixture: the text bytes act
+    * as the opaque payload (deterministic stand-in for image bytes). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.ops.Tables.documents(s, d)
+      .select(col("doc_id"),
+        // deterministic modality assignment: hash-route documents
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: deterministic fake dimensions/frames/embedding derived
+    * from payload bytes. A real implementation would invoke a codec here
+    * (one init per partition); the signature and batch shape are final. */
+  def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // >>> per-partition init would go here (codec/model load) <<<
+    records.map { r =>
+      val len = r.payload.length
+      val h = java.util.Arrays.hashCode(r.payload)
+      def dim(seed: Int): Int = 16 + math.floorMod(h * 31 + seed, 1024)
+      MediaFeatures(
+        doc_id = r.doc_id,
+        modality = r.modality,
+        byte_len = len,
+        width = if (r.modality == "audio") 0 else dim(1),
+        height = if (r.modality == "audio") 0 else dim(2),
+        n_frames = r.modality match {
+          case "video" => 1 + math.floorMod(h, 300)
+          case _ => 1
+        },
+        embedding = Array.tabulate(8)(i =>
+          (math.floorMod(h * (i + 1), 1000) / 1000.0f)))
+    }
+  }
+
+  /** Full pipeline: encode -> partition-batched stub decode -> features.
+    * Registered as q45 (no oracle: exercises the stub). */
+  def q45MultimodalPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .repartition(col("doc_id")) // spread decode work evenly
+      .mapPartitions(decodeStub)
+      .select(col("doc_id"), col("modality"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Binary scalar functions over the payload column — the oracle-checked
+    * slice of the multimodal surface (octet length, sha256, base64). */
+  def q46BinaryFuncs(s: SparkSession, d: String): DataFrame =
+    graft.ops.Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        // Spark's base64() is MIME-wrapped at 76 chars; strip the CRLFs
+        // to get canonical (RFC 4648) output like DuckDB's to_base64
+        regexp_replace(base64(col("text").cast("binary")), "\r\n", "")
+          .as("payload_b64"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_multimodal_pipeline" -> (q45MultimodalPipeline _),
+    "q46_binary_funcs" -> (q46BinaryFuncs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q46_binary_funcs" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+        |  sha256(text) AS sha256_hex,
+        |  to_base64(CAST(text AS BLOB)) AS payload_b64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

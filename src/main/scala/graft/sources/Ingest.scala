@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-shape ingest parsers (SURVEY.md §2.1 O-01/O-02/O-05,
+  * FIXTURES.md §2): the two input formats RIOT-graphs consumes, re-built
+  * as reusable DataFrame readers. The HTTP fetch boundary of the
+  * reference (rg.py:96-104) becomes "a column of JSON payloads from any
+  * source"; everything downstream is engine-native.
+  */
+object Ingest {
+
+  /** Schema of one sizes.json artifact: sizes[test][board] -> fields
+    * (ref rg.py:269-279; `count` optional, rg.py:279). */
+  val sizesSchema: StructType = StructType(Seq(
+    StructField("sizes", MapType(StringType, MapType(StringType,
+      StructType(Seq(
+        StructField("bss", LongType), StructField("text", LongType),
+        StructField("data", LongType), StructField("count", LongType))))))))
+
+  /** Flatten a DataFrame of raw sizes.json payloads into one row per
+    * (test, board) cell with derived `dec` (ref rg.py:269-298).
+    *
+    * Input columns: `payload` (JSON string), `artifact_ts` (timestamp of
+    * the artifact, ref HTTP Last-Modified rg.py:101). Two Generator
+    * (explode) steps — the Catalyst form of iter_measures' nested walk.
+    */
+  def flattenSizes(raw: DataFrame): DataFrame =
+    raw
+      .select(col("artifact_ts"),
+        from_json(col("payload"), sizesSchema).getField("sizes").as("sizes"))
+      .select(col("artifact_ts"),
+        explode(col("sizes")).as(Seq("test", "boards")))
+      .select(col("artifact_ts"), col("test"),
+        explode(col("boards")).as(Seq("board", "f")))
+      .select(
+        col("artifact_ts").as("ts"), col("test"), col("board"),
+        col("f.bss").as("bss"), col("f.text").as("text"),
+        col("f.data").as("data"),
+        (col("f.bss") + col("f.text") + col("f.data")).as("dec"),
+        coalesce(col("f.count"), lit(0L)).as("count"))
+
+  /** Parse `git log --merges --format=%H%x1f%cd%x1f%s` lines
+    * (ref rg.py:182-223): unit-separator split, `%Y-%m-%d %H:%M:%S %z`
+    * timestamp, and the first digit-run as PR number. A subject with no
+    * digits yields a NULL pr_num (the reference raised IndexError here,
+    * rg.py:78 — intended semantics per SURVEY.md §1.2).
+    */
+  def parseCommitLog(lines: DataFrame): DataFrame = {
+    val us = ""
+    lines
+      .select(split(col("value"), us).as("p"))
+      .select(
+        element_at(col("p"), 1).as("hash"),
+        to_timestamp(element_at(col("p"), 2), "yyyy-MM-dd HH:mm:ss X")
+          .as("commit_ts"),
+        element_at(col("p"), 3).as("msg"))
+      .withColumn("pr_num",
+        nullif(regexp_extract(col("msg"), "(\\d+)", 1), lit(""))
+          .cast("long"))
+  }
+
+  /** Read a commit-log text file (one `\x1f` line per commit). */
+  def readCommitLog(s: SparkSession, path: String): DataFrame =
+    parseCommitLog(s.read.text(path))
+
+  /** The pr_events HTML annotation synthesis (ref rg.py:331-348): title
+    * and event anchors built from the PR number; description wrapped at
+    * 32 chars joined by `<br>` (rg.py:364-366, the O-40 UDF).
+    */
+  def prEvents(commits: DataFrame, prDim: DataFrame): DataFrame = {
+    val wrapped = Wrap32.wrapUdf(coalesce(col("title"), lit("")))
+    commits
+      .join(broadcast(prDim), Seq("pr_num"), "left_outer")
+      .select(
+        col("commit_ts").as("ts"), col("pr_num"), col("hash"),
+        concat(lit("<a href=\"https://github.com/RIOT-OS/RIOT/pull/"),
+          col("pr_num").cast("string"), lit("\">#"),
+          col("pr_num").cast("string"), lit("</a>")).as("title"),
+        concat(lit("PR <a href=\"https://github.com/RIOT-OS/RIOT/pull/"),
+          col("pr_num").cast("string"), lit("\">#"),
+          col("pr_num").cast("string"), lit("</a>")).as("event"),
+        wrapped.as("description"))
+  }
+}
+
+/** The one genuine scalar UDF in the engine (O-40/O-55): textwrap.wrap
+  * at width 32 joined with `<br>` (ref rg.py:364-366). Word-boundary
+  * wrapping is not expressible with built-in string functions; kept
+  * off hot paths (annotation synthesis only).
+  */
+object Wrap32 {
+  def wrap(s: String, width: Int = 32): String = {
+    if (s == null || s.isEmpty) ""
+    else {
+      val words = s.trim.split("\\s+").toSeq
+      val lines = words.foldLeft(List.empty[String]) { (acc, w) =>
+        acc match {
+          case Nil => List(w)
+          case head :: tail if head.length + 1 + w.length <= width =>
+            (head + " " + w) :: tail
+          case _ => w :: acc
+        }
+      }
+      lines.reverse.mkString("<br>")
+    }
+  }
+
+  val wrapUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => wrap(s))
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9, O-48..O-54).
+  *
+  * The reference's incremental mode is a hand-rolled stream processor:
+  * offset resume (rg.py:130-143), process-new-only, idempotent replay,
+  * micro-batched sink (rg.py:33-41). Here each s-query replays the events
+  * table through a real file-source streaming query (Trigger.AvailableNow
+  * = the reference's cron/`/update` trigger, server.py:11-17), runs the
+  * transform with watermarks/state, and returns the materialized sink.
+  * Approximate/streaming ops carry no DuckDB oracle (rows-only check).
+  *
+  * Scale: file-source offsets + checkpoints give exactly the reference's
+  * resume semantics but distributed; state stores are keyed by the same
+  * columns the batch twins shuffle on.
+  */
+object Streams {
+
+  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) -> LongType
+    * under the nanosAsLong reader flag; converted to micros below). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Streaming read of the events table (O-48: the file source tracks
+    * per-file offsets in the checkpoint — the `sha..HEAD` analog). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source requires a directory: scan the sf dir but admit
+    // only the events file
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Run a finite streaming query to completion into a memory sink and
+    * return the materialized result. */
+  private def runToMemory(s: SparkSession, out: DataFrame, mode: String)
+      : DataFrame = {
+    val name = s"sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // O-49: tumbling daily window with the reference's 03:00Z anchor
+  // (rg.py:61-68) on a live stream.
+  def s01StreamTumbling(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 day", "1 day", "3 hours"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+    runToMemory(s, agg, "complete")
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  // O-52: watermark — append mode only emits windows the watermark has
+  // closed; rows later than (max ts - 1 hour) stay open and are withheld,
+  // the streaming analog of the reference re-scanning a full day.
+  def s02Watermark(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"))
+    runToMemory(s, agg, "append")
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  // O-53: stateful dedup — each input row is doubled (explode) then
+  // deduplicated by key in the state store; counts equal the originals
+  // (idempotent replay, rg.py:43-50).
+  def s03StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = eventsStream(s, d)
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .drop("copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val agg = doubled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_after_dedup"))
+    runToMemory(s, agg, "complete").orderBy(col("event_type"))
+  }
+
+  // O-04/O-54: foreachBatch micro-batch sink (the reference's batched
+  // `write_points`, rg.py:33-41) appending parquet; result is read back
+  // from the sink files — proving the write path, not just the plan.
+  def s04Foreachbatch(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_sink_").toString
+    val q = eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        cents(col("value")).as("value_cents"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  // O-51: streaming session windows (30-minute gap), the stateful twin
+  // of batch q34.
+  def s05SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+    runToMemory(s, agg, "append")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_tumbling" -> (s01StreamTumbling _),
+    "s02_watermark" -> (s02Watermark _),
+    "s03_stream_dedup" -> (s03StreamDedup _),
+    "s04_foreachbatch" -> (s04Foreachbatch _),
+    "s05_session_window" -> (s05SessionWindow _),
+  )
+}
