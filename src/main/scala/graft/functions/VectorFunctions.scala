@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.LongArrayDot
 
 /** Vector math over ARRAY<FLOAT> embedding columns, built from Spark's
   * higher-order functions (codegen-capable, no UDF serialization).
@@ -20,10 +21,11 @@ object VectorFunctions {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000000, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (scale 1e12). */
+  /** Exact integer dot product of two quantized vectors (scale 1e12).
+    * Runs as the codegen'd LongArrayDot loop; prefer pre-quantizing each
+    * side before a join so quantization cost is per-row, not per-pair. */
   def dotQuantized(a: Column, b: Column): Column =
-    aggregate(zip_with(quantize(a), quantize(b), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    LongArrayDot(quantize(a), quantize(b))
 
   /** Double-precision dot product (fixed left-to-right fold). For ranking
     * and internal use; NOT for cross-engine equality checks. */

