@@ -98,10 +98,27 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // O-27/O-56: custom typed Aggregator — per-label vector centroid sums
+  // (exact integer per-dimension sums + count; mean = sum/n downstream).
+  // Partial aggregation merges primitive arrays map-side, so the shuffle
+  // carries one 64-long buffer per (label, partition), not the vectors.
+  def q47CentroidUdaf(s: SparkSession, d: String): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    embeddings(s, d)
+      .select(col("label"), quantize(col("embedding")).as("qe"))
+      .groupBy(col("label"))
+      .agg(centroid(col("qe")).as("sums"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), posexplode(col("sums")).as(Seq("dim_idx", "sum_q")),
+        col("n_vecs"))
+      .select(col("label"), col("dim_idx"), col("sum_q"), col("n_vecs"))
+      .orderBy(col("label"), col("dim_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
+    "q47_centroid_udaf" -> (q47CentroidUdaf _),
   )
 
   private val dotSql =
@@ -122,5 +139,19 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${dotSql.format("a.embedding", "b.embedding", "a.embedding")} >= 400000000000
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q47_centroid_udaf" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    [CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT)
+        |     FOR e IN embedding] AS qe
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim_idx, qe[i] AS v
+        |  FROM q, UNNEST(generate_series(1, len(qe))) AS t(i))
+        |SELECT label, dim_idx,
+        |  CAST(sum(v) AS BIGINT) AS sum_q,
+        |  count(*) AS n_vecs
+        |FROM ex GROUP BY label, dim_idx
+        |ORDER BY label, dim_idx""".stripMargin,
   )
 }

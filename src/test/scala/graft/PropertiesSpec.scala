@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck invariants (SURVEY.md §5.2.3) over small generated frames.
+  * Generators are sampled with fixed seeds (no scalatestplus bridge in
+  * the offline dependency cache), so runs are deterministic. */
+class PropertiesSpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 5).foreach { i =>
+      for {
+        a <- g1.apply(Gen.Parameters.default, Seed(42L + i))
+        b <- g2.apply(Gen.Parameters.default, Seed(1042L + i))
+      } f(a, b)
+    }
+
+  private val rowsGen = Gen.listOfN(30,
+    for {
+      id <- Gen.chooseNum(0L, 1000L)
+      key <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 100000L)
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (id, key, new Timestamp(1700000000000L + t * 1000), v))
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "key", "ts", "v")
+      val once = df.dropDuplicates("id")
+      assert(once.dropDuplicates("id").count() === once.count())
+    }
+  }
+
+  test("union row-count additivity") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (a, b) =>
+      val da = a.toDF("id", "key", "ts", "v")
+      val db = b.toDF("id", "key", "ts", "v")
+      assert(da.unionByName(db).count() === da.count() + db.count())
+    }
+  }
+
+  test("asof join invariant: matched right ts <= left ts, within key") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (l, r) =>
+      val left = l.toDF("event_id", "user_id", "ts", "v")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = r.toDF("err_event_id", "user_id", "err_ts", "v")
+        .select(col("err_event_id"), col("user_id"), col("err_ts"))
+      val joined = AsofJoin.asofJoin(left, right, Seq("user_id"),
+        "ts", "err_ts", Seq("err_event_id"), Seq("err_event_id"))
+      // row count preserved (left join semantics)
+      assert(joined.count() === left.count())
+      // every match is at-or-before
+      val violations = joined
+        .filter(col("err_ts").isNotNull && col("err_ts") > col("ts"))
+        .count()
+      assert(violations === 0)
+    }
+  }
+
+  test("window-sum over unbounded frame equals group-sum") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "key", "ts", "v")
+      val grouped = df.groupBy(col("key"))
+        .agg(sum(col("v")).as("s")).orderBy(col("key"))
+      val windowed = df
+        .withColumn("s", sum(col("v")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+        .select(col("key"), col("s")).distinct().orderBy(col("key"))
+      assert(grouped.collect().toSeq === windowed.collect().toSeq)
+    }
+  }
+
+  test("explode row count equals total array cardinality") {
+    import spark.implicits._
+    forAll(Gen.listOfN(20, Gen.listOf(Gen.alphaStr))) { lists =>
+      val df = lists.zipWithIndex.map { case (l, i) => (i, l) }
+        .toDF("id", "arr")
+      val exploded = df.select(col("id"), explode(col("arr"))).count()
+      assert(exploded === lists.map(_.size).sum)
+    }
+  }
+}
