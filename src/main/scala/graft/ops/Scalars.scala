@@ -44,7 +44,8 @@ object Scalars {
   // O-12/O-41: date arithmetic + the reference's 03:00Z-anchored day
   // (ref rg.py:61-68) + truncation/extraction.
   def q28DateFuncs(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    // range applied pre-conversion so it pushes to the scan
+    eventsBetween(s, d, Some("2024-01-02 21:00:00"), Some("2024-01-10"))
       .select(col("event_id"),
         date_trunc("DAY", col("ts") - expr("INTERVAL 3 HOURS"))
           .as("anchored_day"),
@@ -52,8 +53,6 @@ object Scalars {
         date_trunc("HOUR", col("ts")).as("hour_bucket"),
         year(col("ts")).as("y"), month(col("ts")).as("m"),
         dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hr"))
-      .filter(col("ts") >= to_timestamp(lit("2024-01-03")) - expr("INTERVAL 3 HOURS") &&
-        col("ts") < to_timestamp(lit("2024-01-10")))
       .orderBy(col("event_id"))
 
   // O-43: integer/float math — round/abs/floor/ceil/sqrt/power

@@ -11,9 +11,10 @@ object SetOps {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
-  private def week(d: DataFrame, lo: String, hi: String): DataFrame =
-    d.filter(col("ts") >= to_timestamp(lit(lo)) &&
-      col("ts") < to_timestamp(lit(hi)))
+  /** Pushdown-friendly week slice (see Tables.eventsBetween). */
+  private def week(s: SparkSession, d: String, lo: String, hi: String)
+      : DataFrame =
+    eventsBetween(s, d, Some(lo), Some(hi))
 
   // O-34: heterogeneous union — one output stream mixing two row kinds
   // (ref rg.py:243-252: build_sizes + pr_events in one list).
@@ -31,22 +32,19 @@ object SetOps {
   }
 
   // O-35: intersect — users active in both of two weeks.
-  def q24Intersect(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    week(ev, "2024-01-01", "2024-01-08").select(col("user_id"))
-      .intersect(week(ev, "2024-01-08", "2024-01-15").select(col("user_id")))
+  def q24Intersect(s: SparkSession, d: String): DataFrame =
+    week(s, d, "2024-01-01", "2024-01-08").select(col("user_id"))
+      .intersect(
+        week(s, d, "2024-01-08", "2024-01-15").select(col("user_id")))
       .orderBy(col("user_id"))
-  }
 
   // O-36: except — users who disappeared between two weeks.
-  def q25Except(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    week(ev, "2024-01-01", "2024-01-08")
+  def q25Except(s: SparkSession, d: String): DataFrame =
+    week(s, d, "2024-01-01", "2024-01-08")
       .select(col("user_id"), col("event_type"))
-      .except(week(ev, "2024-01-08", "2024-01-15")
+      .except(week(s, d, "2024-01-08", "2024-01-15")
         .select(col("user_id"), col("event_type")))
       .orderBy(col("user_id"), col("event_type"))
-  }
 
   // O-62: pivot (series -> columns, the Grafana one-column-per-board
   // table). Pivot values passed explicitly: no extra distinct-collect
@@ -74,7 +72,8 @@ object SetOps {
   // into the filter; at scale this prunes partitions instead of scanning.
   def q40IncrementalOffset(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val hw = ev.filter(col("ts") < to_timestamp(lit("2024-01-25")))
+    // high-water scan: the ts bound reaches the parquet footer (pushdown)
+    val hw = eventsBetween(s, d, None, Some("2024-01-25"))
       .agg(max(col("event_id")).as("hw"))
     ev.crossJoin(broadcast(hw))
       .filter(col("event_id") > col("hw"))

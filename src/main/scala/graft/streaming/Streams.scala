@@ -134,8 +134,22 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // O-50: sliding window — overlapping 12h windows every 6h (the Tier B
+  // moving aggregate on live data); each row lands in 2 windows.
+  def s06StreamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+    runToMemory(s, agg, "append")
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> (s01StreamTumbling _),
+    "s06_stream_sliding" -> (s06StreamSliding _),
     "s02_watermark" -> (s02Watermark _),
     "s03_stream_dedup" -> (s03StreamDedup _),
     "s04_foreachbatch" -> (s04Foreachbatch _),
