@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.LongArrayDot
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: exposes the engine's custom Catalyst
+  * expression to SQL users, so `spark.sql("SELECT long_array_dot(a, b)")`
+  * works next to the Scala Column API.
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.longArrayDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[graft] val longArrayDotDescriptor = (
+    new FunctionIdentifier("long_array_dot"),
+    new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+    (children: Seq[Expression]) => LongArrayDot(children(0), children(1)))
+
+  /** Register on an already-built session (test/REPL convenience). */
+  def install(spark: SparkSession): Unit = {
+    val (id, info, builder) = longArrayDotDescriptor
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+
+  /** Register the sf-dir parquet tables as temp views so the whole query
+    * surface is reachable from `spark.sql` — the engine's SQL front door.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      ops.Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    ops.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}

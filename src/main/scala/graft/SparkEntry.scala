@@ -34,7 +34,10 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Scalars.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ functions.Multimodal.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      Map("q48_pipeline_backfill" ->
+        ((s: SparkSession, d: String) =>
+          sources.Pipeline.q48PipelineBackfill(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
