@@ -82,7 +82,29 @@ object SetOps {
       .orderBy(col("event_id"))
   }
 
+  // Skew-resilient two-phase aggregation (100 TB pattern): phase 1
+  // aggregates on (key, salt) so one hot key spreads over 8 reducers;
+  // phase 2 merges the 8 partials. Same result as a plain groupBy —
+  // hence a normal oracle — but no reducer sees a whole hot key.
+  // (Spark's partial/final agg already handles additive skew; the salt
+  // pattern matters for non-algebraic aggs and extreme cardinality skew.)
+  def q49SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(cents(col("value"))).as("psum"),
+        max(col("ts")).as("pmax"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).as("sum_cents"),
+        max(col("pmax")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_salted_agg" -> (q49SaltedAgg _),
     "q23_union" -> (q23Union _),
     "q24_intersect" -> (q24Intersect _),
     "q25_except" -> (q25Except _),
@@ -91,6 +113,11 @@ object SetOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_union" ->
       """SELECT event_id, ts, 'click_stream' AS src,
         |  CAST(round(value*100,0) AS BIGINT) AS value_cents,

@@ -44,17 +44,29 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** State-store parallelism for the one-shot replay queries: every
+    * state partition pays per-batch snapshot/commit IO, so a single-file
+    * AvailableNow run wants few, fat state partitions. On a real cluster
+    * this is sized to executor count; state re-partitioning requires a
+    * fresh checkpoint either way. */
+  private val StreamShufflePartitions = "8"
+
   /** Run a finite streaming query to completion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result. Narrows shuffle partitions for the
+    * stream's lifetime, then restores the session setting. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String)
       : DataFrame = {
     val name = s"sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = out.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ckpt_").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
