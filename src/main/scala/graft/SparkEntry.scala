@@ -32,7 +32,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
-      ops.Scalars.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Scalars.queries ++ ops.Typed.queries ++
+      ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ functions.Multimodal.queries ++
       streaming.Streams.queries ++
       Map("q48_pipeline_backfill" ->
@@ -43,6 +44,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
-      ops.Scalars.oracles ++ ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.Scalars.oracles ++ ops.Typed.oracles ++
+      ops.Dedup.oracles ++ ops.Similarity.oracles ++
       ops.TextAnalysis.oracles ++ functions.Multimodal.oracles
 }

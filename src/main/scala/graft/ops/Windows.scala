@@ -110,7 +110,35 @@ object Windows {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // Tier B fill(): dense daily grid per series via sequence+explode
+  // (no driver-side date loop), left join of actual daily aggregates,
+  // then fill(0) for counts and fill(previous) (LOCF) for the value —
+  // InfluxQL's fill(0)/fill(previous) in one query.
+  def q50TimeFill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+    // grid = (distinct event_type) x (every day in the observed range)
+    val span = events(s, d)
+      .agg(date_trunc("DAY", min(col("ts"))).as("d0"),
+        date_trunc("DAY", max(col("ts"))).as("d1"))
+    val grid = events(s, d).select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_fill0"),
+        last(col("sum_cents"), ignoreNulls = true).over(locf)
+          .as("sum_cents_locf"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_time_fill" -> (q50TimeFill _),
     "q18_window_rank" -> (q18WindowRank _),
     "q19_window_lag_delta" -> (q19WindowLagDelta _),
     "q20_moving_avg" -> (q20MovingAvg _),
@@ -120,6 +148,29 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_time_fill" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT date_trunc('day', min(ts)) AS d0,
+        |    date_trunc('day', max(ts)) AS d1 FROM events),
+        |grid AS (
+        |  SELECT e.event_type, t.day
+        |  FROM (SELECT DISTINCT event_type FROM events) e,
+        |    span,
+        |    UNNEST(generate_series(span.d0, span.d1, INTERVAL 1 DAY)) AS t(day)),
+        |joined AS (
+        |  SELECT g.day, g.event_type,
+        |    coalesce(d.n, 0) AS n_fill0, d.sum_cents
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.day = d.day AND g.event_type = d.event_type)
+        |SELECT day, event_type, n_fill0,
+        |  last_value(sum_cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents_locf
+        |FROM joined ORDER BY day, event_type""".stripMargin,
     "q18_window_rank" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(round(c_acctbal*100,0) AS BIGINT) AS acctbal_cents,

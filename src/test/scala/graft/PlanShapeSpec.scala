@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * properties the engine is designed around, asserted so a refactor
+  * can't silently lose them (SURVEY.md §4). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: filter and projection reach the parquet scan") {
+    val plan = formatted("q01_scan_projection")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      plan)
+    // pruned read schema: only the 4 referenced columns
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+        "l_extendedprice:double,l_shipdate:timestamp"), plan)
+  }
+
+  test("q07: dimension joins broadcast (no shuffle join)") {
+    val plan = formatted("q07_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q22: top-1 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = formatted("q22_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q24: ts range filter pushes down through the nanos conversion") {
+    val plan = formatted("q24_intersect")
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(plan.contains("LessThan(ts,"), plan)
+  }
+
+  test("q37: brute-force top-k broadcasts the 1-row query vector") {
+    val plan = formatted("q37_similarity_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("long_array_dot"), plan)
+  }
+}
