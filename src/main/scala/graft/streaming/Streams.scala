@@ -159,9 +159,40 @@ object Streams {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** Per-user running state for s07. */
+  case class UserState(n: Long, sumCents: Long)
+  case class UserSummary(user_id: Long, n_events: Long, sum_cents: Long)
+
+  // O-51/custom state: flatMapGroupsWithState — arbitrary per-key state
+  // beyond what windows express (the KeyValueGroupedDataset escape
+  // hatch). Emits one summary per user per batch from explicit state.
+  def s07StatefulCounter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val typed = eventsStream(s, d)
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long")
+        .as("cents"))
+      .as[(Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var sum = prev.sumCents
+          rows.foreach { case (_, c) => n += 1; sum += c }
+          state.update(UserState(n, sum))
+          Iterator.single(UserSummary(user, n, sum))
+      }
+    runToMemory(s, out.toDF(), "append")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> (s01StreamTumbling _),
     "s06_stream_sliding" -> (s06StreamSliding _),
+    "s07_stateful_counter" -> (s07StatefulCounter _),
     "s02_watermark" -> (s02Watermark _),
     "s03_stream_dedup" -> (s03StreamDedup _),
     "s04_foreachbatch" -> (s04Foreachbatch _),
