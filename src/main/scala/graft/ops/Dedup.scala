@@ -89,12 +89,20 @@ object Dedup {
   // O-59 scale path: MinHash (16 salted-md5 min-hashes) + LSH (8 bands of
   // 2). Fully deterministic (md5), so even this approximate operator has
   // a DuckDB oracle. est_jaccard = matching-signature fraction.
+  /** Hash family: 16 independent-ish 32-bit hashes from only 4 md5
+    * invocations per shingle — hash j is the (j%4)-th 8-hex-char slice of
+    * md5("s{j/4}:" || shingle). Slicing one wide hash into narrow ones is
+    * the standard trick for cheap MinHash families at scale; the oracle
+    * mirrors the exact same derivation. */
+  private def minhashExpr(j: Int): Column =
+    min(substring(
+      md5(concat(lit(s"s${j / 4}:"), col("shingle"))), 1 + 8 * (j % 4), 8))
+
   def q36bMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("s0:"), col("shingle")))).as("m0"),
-      (1 until NHashes).map(j =>
-        min(md5(concat(lit(s"s$j:"), col("shingle")))).as(s"m$j")): _*)
+      minhashExpr(0).as("m0"),
+      (1 until NHashes).map(j => minhashExpr(j).as(s"m$j")): _*)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NBands).map(b =>
         struct(lit(b).as("band"),
@@ -167,7 +175,8 @@ object Dedup {
 
   private def minExprs(prefix: String): String =
     (0 until NHashes).map(j =>
-      s"min(md5('s$j:' || shingle)) AS $prefix$j").mkString(",\n      |    ")
+      s"min(substring(md5('s${j / 4}:' || shingle), ${1 + 8 * (j % 4)}, 8))" +
+        s" AS $prefix$j").mkString(",\n      |    ")
 
   val oracles: Map[String, String] = Map(
     "q35_dedup_exact" ->

@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.Windows
+import graft.streaming.Streams
+
+/** SURVEY.md §5.2.4: batch/stream parity — the same aggregation computed
+  * through the batch plan (q33) and through a real streaming query (s01)
+  * must produce identical results on a finite input. */
+class BatchStreamParitySpec extends SparkSpec {
+
+  test("streaming tumbling windows (s01) == batch time buckets (q33)") {
+    val batch = Windows.q33TimeBucket(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s01StreamTumbling(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+
+  test("stateful counter (s07) == batch per-user aggregate") {
+    import org.apache.spark.sql.functions._
+    val batch = ops.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s07StatefulCounter(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+}
