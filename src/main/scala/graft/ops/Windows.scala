@@ -137,8 +137,56 @@ object Windows {
       .orderBy(col("day"), col("event_type"))
   }
 
+  // Tier B percentile() — discrete percentiles (the value AT rank
+  // ceil(p*n), an actual element) via one rank window: interpolating
+  // percentiles mix engine-specific float formulas, element-picking is
+  // engine-exact. One shuffle, three percentiles in one pass.
+  def q52Percentiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents"), col("event_id"))
+    val ranked = events(s, d)
+      .select(col("event_type"), col("event_id"),
+        cents(col("value")).as("value_cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    // integer ceiling division avoids float/decimal boundary drift
+    // (ceil(100 * 0.99) is 100 in IEEE double but 99 in exact decimal)
+    def pick(pct: Int, name: String) =
+      max(when(col("rn") === expr(s"(n * $pct + 99) DIV 100"),
+        col("value_cents"))).as(name)
+    ranked.groupBy(col("event_type"))
+      .agg(pick(50, "p50_cents"), pick(90, "p90_cents"),
+        pick(99, "p99_cents"), max(col("n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  // Tier B histogram(): fixed-width value buckets per series.
+  def q53Histogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        (floor(cents(col("value")) / 2000L) * 2000L).as("bucket_lo"))
+      .groupBy(col("event_type"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket_lo"))
+
+  // Tier B cumulative_sum(): running total per series in event order.
+  def q54CumulativeSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        cents(col("value")).as("value_cents"))
+      .withColumn("cum_cents", sum(col("value_cents")).over(w))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_time_fill" -> (q50TimeFill _),
+    "q52_percentiles" -> (q52Percentiles _),
+    "q53_histogram" -> (q53Histogram _),
+    "q54_cumulative_sum" -> (q54CumulativeSum _),
     "q18_window_rank" -> (q18WindowRank _),
     "q19_window_lag_delta" -> (q19WindowLagDelta _),
     "q20_moving_avg" -> (q20MovingAvg _),
@@ -148,6 +196,37 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value*100,0) AS BIGINT) AS value_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value*100,0) AS BIGINT), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100
+        |    THEN value_cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100
+        |    THEN value_cents END) AS BIGINT) AS p90_cents,
+        |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100
+        |    THEN value_cents END) AS BIGINT) AS p99_cents,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q53_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(CAST(round(value*100,0) AS BIGINT) / 2000) * 2000
+        |    AS BIGINT) AS bucket_lo,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_lo""".stripMargin,
+    "q54_cumulative_sum" ->
+      """SELECT event_id, event_type, ts,
+        |  CAST(round(value*100,0) AS BIGINT) AS value_cents,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM events ORDER BY event_type, ts, event_id""".stripMargin,
     "q50_time_fill" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
