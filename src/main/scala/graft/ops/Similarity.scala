@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.LongArrayDot
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (SURVEY.md §2.11 O-60;
@@ -80,6 +81,43 @@ object Similarity {
       .limit(10)
   }
 
+  // O-60 IVF variant: inverted-file ANN. Coarse quantizer = the first 16
+  // vectors as deterministic centroids (a k-means seed set); every vector
+  // is assigned to its nearest centroid (one scan), and a probe searches
+  // only the nprobe=4 cells nearest the query, re-ranking exactly inside.
+  // At 100 TB the cell assignment is a write-time layout (partition by
+  // cell id), so a probe touches ~nprobe/k of the corpus.
+  def q37cSimilarityIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val quantized = emb.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    // assign: argmax dot(vector, centroid) — 16 broadcast rows per vector
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell_id"))
+    val assigned = quantized.crossJoin(broadcast(centroids))
+      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("qe"), col("cell_id"))
+    // probe cells: the 4 centroids nearest the query vector
+    val qv = quantized.filter(col("vec_id") === 0)
+      .select(col("qe").as("qvq"))
+    val probeCells = centroids.crossJoin(broadcast(qv))
+      .select(col("cell_id"), LongArrayDot(col("ce"), col("qvq")).as("qdot"))
+      .orderBy(col("qdot").desc, col("cell_id"))
+      .limit(4)
+      .select(col("cell_id"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeCells), Seq("cell_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        LongArrayDot(col("qe"), col("qvq")).as("dot_e12"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
   def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
@@ -117,6 +155,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
+    "q37c_similarity_ivf" -> (q37cSimilarityIvf _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
   )

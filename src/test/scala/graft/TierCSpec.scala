@@ -21,6 +21,17 @@ class TierCSpec extends SparkSpec {
       s"recall too low: exact=$exact approx=$approx")
   }
 
+  test("IVF top-10 overlaps the exact top-10 and returns full rows") {
+    import spark.implicits._
+    val exact = Similarity.q37SimilarityTopk(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.q37cSimilarityIvf(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size === 10, s"ivf returned ${ivf.size} rows")
+    assert((exact intersect ivf).nonEmpty,
+      s"IVF found none of the exact top-10: exact=$exact ivf=$ivf")
+  }
+
   test("minhash est_jaccard agrees with exact jaccard on found pairs") {
     import spark.implicits._
     val exact = Dedup.q36NearDup(spark, sf)
