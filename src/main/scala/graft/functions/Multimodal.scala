@@ -67,13 +67,41 @@ object Multimodal {
     }
   }
 
-  /** Full pipeline: encode -> partition-batched stub decode -> features.
-    * Registered as q45 (no oracle: exercises the stub). */
+  /** STUB resize: clamps decoded dimensions to a max edge, preserving
+    * aspect via integer math. Real codecs would transform `payload`;
+    * the metadata contract (width/height rewritten, payload untouched)
+    * is final. */
+  def resizeStub(maxEdge: Int)(records: Iterator[MediaFeatures])
+      : Iterator[MediaFeatures] =
+    records.map { f =>
+      val edge = math.max(f.width, f.height)
+      if (edge <= maxEdge || edge == 0) f
+      else f.copy(
+        width = f.width * maxEdge / edge,
+        height = f.height * maxEdge / edge)
+    }
+
+  /** STUB frame sampling: deterministic every-k-th frame count for video
+    * (the real stage would emit one row per sampled frame). */
+  def frameSampleStub(everyK: Int)(records: Iterator[MediaFeatures])
+      : Iterator[MediaFeatures] =
+    records.map { f =>
+      if (f.modality == "video")
+        f.copy(n_frames = (f.n_frames + everyK - 1) / everyK)
+      else f
+    }
+
+  /** Full pipeline: encode -> partition-batched stub decode -> resize ->
+    * frame-sample -> features. Registered as q45 (no oracle: exercises
+    * the stubs; the plumbing — schema, partitioning, iterator batch
+    * shape — is the real contract). */
   def q45MultimodalPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .repartition(col("doc_id")) // spread decode work evenly
       .mapPartitions(decodeStub)
+      .mapPartitions(resizeStub(256))
+      .mapPartitions(frameSampleStub(10))
       .select(col("doc_id"), col("modality"), col("byte_len"),
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("doc_id"))

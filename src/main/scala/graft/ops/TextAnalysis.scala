@@ -128,8 +128,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // O-61 rolling-hash fingerprint: winnowing-style min of all 32-byte
+  // substring hashes in one O(n) codegen pass (RollingHashMin custom
+  // Expression). No SQL oracle (per-char loop isn't SQL-expressible);
+  // the expression math is unit-tested against a naive reference.
+  def q44bRollingFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.RollingHashMin(col("text"), 32).as("rolling_fp"),
+        graft.functions.RollingHashMin(col("text"), 8).as("rolling_fp_w8"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_text_analysis" -> (q38TextAnalysis _),
+    "q44b_rolling_fingerprint" -> (q44bRollingFingerprint _),
     "q41_lang_id" -> (q41LangId _),
     "q42_quality_score" -> (q42QualityScore _),
     "q43_token_count" -> (q43TokenCount _),
