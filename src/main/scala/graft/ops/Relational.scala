@@ -224,6 +224,57 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // Tier B stddev()/variance: computed from exact integer sums
+  // (n, sum, sum-of-squares), so the only float ops are the final
+  // divisions/sqrt — deterministic across engines and partitionings,
+  // unlike the built-in running-moment stddev whose result depends on
+  // aggregation order.
+  def q55StatsAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sum_cents"),
+        sum(col("v") * col("v")).as("sum_sq"))
+      // derived moments in DOUBLE over the exact long sums: long
+      // products would overflow at scale; double ops are IEEE-identical
+      // on both engines given identical exact inputs
+      .withColumn("m2",
+        (col("sum_sq").cast("double") * col("n")
+          - col("sum_cents").cast("double") * col("sum_cents"))
+          / (col("n") * (col("n") - 1)))
+      .withColumn("variance", round(col("m2") / 10000.0, 4))
+      .withColumn("stddev", round(sqrt(col("m2")) / 100.0, 4))
+      .drop("m2")
+      .orderBy(col("event_type"))
+
+  // Tier B correlation: Pearson r from exact integer sums over
+  // (quantity, price-cents) — one hash aggregate, one final float chain.
+  def q56Corr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("l_returnflag"))
+      // syy (sum of cents^2) can overflow BIGINT at scale: accumulate it
+      // in DECIMAL (Spark) — DuckDB's sum(BIGINT) is HUGEINT-exact
+      // already — and fold to double only in the final expression
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy_d"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_r",
+        round((col("sxy").cast("double") * col("n")
+          - col("sx").cast("double") * col("sy")) /
+          sqrt((col("sxx").cast("double") * col("n")
+            - col("sx").cast("double") * col("sx"))
+            * (col("syy_d").cast("double") * col("n")
+              - col("sy").cast("double") * col("sy"))), 4))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("corr_r"))
+      .orderBy(col("l_returnflag"))
+
   // O-32: global sort + limit -> TakeOrderedAndProject, no full sort
   // (ref rg.py:130-131 — the offset query, verbatim shape).
   def q22SortLimit(s: SparkSession, d: String): DataFrame =
@@ -251,6 +302,8 @@ object Relational {
     "q15_rollup" -> (q15Rollup _),
     "q16_selector_last" -> (q16SelectorLast _),
     "q22_sort_limit" -> (q22SortLimit _),
+    "q55_stats_agg" -> (q55StatsAgg _),
+    "q56_corr" -> (q56Corr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,5 +428,35 @@ object Relational {
     "q22_sort_limit" ->
       """SELECT event_id, ts, event_type FROM events
         |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q55_stats_agg" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    CAST(sum(CAST(round(value*100,0) AS BIGINT)
+        |      * CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_sq
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, sum_cents, sum_sq,
+        |  round((CAST(sum_sq AS DOUBLE) * n - CAST(sum_cents AS DOUBLE) * sum_cents)
+        |    / (n * (n - 1)) / 10000.0, 4) AS variance,
+        |  round(sqrt((CAST(sum_sq AS DOUBLE) * n - CAST(sum_cents AS DOUBLE) * sum_cents)
+        |    / (n * (n - 1))) / 100.0, 4) AS stddev
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q56_corr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * CAST(round(l_extendedprice*100,0) AS BIGINT)) AS syy_h,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sy, sxx, sxy,
+        |  round((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy) /
+        |    sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(syy_h AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)), 4)
+        |    AS corr_r
+        |FROM g ORDER BY l_returnflag""".stripMargin,
   )
 }
