@@ -133,7 +133,7 @@ object Dedup {
 
   // O-59 SimHash variant: 64-bit signature from token hashes; candidate
   // pairs share a 16-bit chunk (banded), reported with hamming distance
-  // <= 12. xxhash64-based => Spark-only (no oracle; rows-only check).
+  // <= 8. xxhash64-based => Spark-only (no oracle; rows-only check).
   def q36cSimhash(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"),
@@ -162,7 +162,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
