@@ -56,7 +56,7 @@ object Cli {
         conf.history match {
           case Some(n) =>
             val hi = Ingest.parseCommitLog(commitsRaw)
-              .agg(max(col("commit_ts"))).head.getTimestamp(0)
+              .agg(max(col("commit_ts"))).head().getTimestamp(0)
             val lo = new java.sql.Timestamp(
               hi.getTime - n.toLong * 24 * 3600 * 1000)
             (b.filter(col("ts") >= lit(lo)), e.filter(col("ts") >= lit(lo)))

@@ -116,9 +116,9 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.toDF(sig.columns.map(c =>
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c =>
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
       if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val nMatch = (0 until NHashes).map(j =>
       when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))

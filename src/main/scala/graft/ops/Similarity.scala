@@ -44,7 +44,7 @@ object Similarity {
   private def planes: Seq[Seq[Double]] =
     (0 until NPlanes).map { p =>
       (0 until 64).map { i =>
-        if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0)
+        if ((scala.util.hashing.MurmurHash3.caseClassHash((p, i)) & 1) == 0)
           1.0 else -1.0
       }
     }

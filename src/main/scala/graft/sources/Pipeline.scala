@@ -1,6 +1,5 @@
 package graft.sources
 
-import graft.ops.AsofJoin
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
