@@ -189,10 +189,37 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  // Stream-stream interval join: click events matched to error events of
+  // the same user within the preceding 10 minutes — both sides
+  // watermarked so the join state is bounded (rows older than watermark
+  // + interval are evicted). The streaming twin of the batch range join
+  // (q11) / as-of correlation (q12).
+  def s08StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", "1 hour")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("err_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("err_ts") <= col("click_ts"),
+      "inner")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("err_id"), col("click_ts"), col("err_ts"))
+    runToMemory(s, joined, "append")
+      .orderBy(col("click_id"), col("err_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_tumbling" -> (s01StreamTumbling _),
     "s06_stream_sliding" -> (s06StreamSliding _),
     "s07_stateful_counter" -> (s07StatefulCounter _),
+    "s08_stream_stream_join" -> (s08StreamStreamJoin _),
     "s02_watermark" -> (s02Watermark _),
     "s03_stream_dedup" -> (s03StreamDedup _),
     "s04_foreachbatch" -> (s04Foreachbatch _),

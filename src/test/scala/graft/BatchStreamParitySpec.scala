@@ -16,6 +16,28 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stream-stream interval join (s08) == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val ev = ops.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    val batch = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("err_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("err_ts") <= col("click_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("err_id"), col("click_ts"), col("err_ts"))
+      .orderBy(col("click_id"), col("err_id"))
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s08StreamStreamJoin(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+
   test("stateful counter (s07) == batch per-user aggregate") {
     import org.apache.spark.sql.functions._
     val batch = ops.Tables.events(spark, sf)
