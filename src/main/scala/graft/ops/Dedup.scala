@@ -64,6 +64,8 @@ object Dedup {
 
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
+  // This corpus has low cross-doc shingle sharing, so the naive join has
+  // little fan-out and wins; q36e is the prefix-filtered scale variant.
   def q36NearDup(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
@@ -75,6 +77,49 @@ object Dedup {
     pairs
       .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("n_a")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // O-59 scale variant: PPJoin-style PREFIX FILTERING. A full shingle
+  // self-join explodes on frequent tokens in heavy-tailed corpora, so
+  // candidates come only from each doc's first (n - ceil(t*n) + 1)
+  // shingles under a rarest-first global order (prefix-filtering
+  // theorem: any pair with Jaccard >= t shares a prefix token =>
+  // candidates are a superset); exact verification via array_intersect
+  // reproduces precisely the naive output — SAME oracle. Wins when
+  // token frequency is skewed (the 100 TB case); loses on this small
+  // uniform corpus, which is why both formulations ship.
+  def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    // prefix length for t = 0.5: n - ceil(n/2) + 1 = n DIV 2 + 1
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= expr("n DIV 2 + 1"))
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("c"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("c").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("c").as("n_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
@@ -171,6 +216,7 @@ object Dedup {
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
+    "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
   )
 
   private def minExprs(prefix: String): String =
@@ -191,6 +237,23 @@ object Dedup {
         |SELECT doc_id, lang, source, n_chars, content_hash, n_dups
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q36_near_dup" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, ca.c AS n_a, cb.c AS n_b,
+         |  round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 4) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q36e must produce EXACTLY the naive formulation's answer — the
+    // whole point of prefix filtering being a lossless optimization —
+    // so its oracle IS the naive SQL.
+    "q36e_near_dup_prefix" ->
       s"""WITH $shinglesSql,
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          |pairs AS (
