@@ -96,23 +96,31 @@ object Dedup {
   // uniform corpus, which is why both formulations ship.
   def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
+    // global doc-frequency table is tiny relative to the corpus (distinct
+    // shingles only) -> broadcast, no shuffle on the big side
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val wPos = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("shingle"))
-    val wDoc = Window.partitionBy(col("doc_id"))
+    // ONE aggregation per doc: shingles sorted rarest-first inside a
+    // sort_array (no window shuffle), from which set/count/prefix all
+    // derive; the identical docAgg subtrees below collapse via exchange
+    // reuse.
+    val docAgg = sh.join(broadcast(freq), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        transform(col("arr"), x => x.getField("shingle")).as("set"),
+        size(col("arr")).cast("long").as("c"))
     // prefix length for t = 0.5: n - ceil(n/2) + 1 = n DIV 2 + 1
-    val prefix = sh.join(freq, "shingle")
-      .withColumn("pos", row_number().over(wPos))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .filter(col("pos") <= expr("n DIV 2 + 1"))
-      .select(col("doc_id"), col("shingle"))
+    val prefix = docAgg.select(col("doc_id"),
+      explode(slice(col("set"), lit(1),
+        (size(col("set")).cast("long") / lit(2L)).cast("int") + 1))
+        .as("shingle"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("c"))
+    val sets = docAgg
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
         col("c").as("n_a")), "doc_a")
