@@ -275,6 +275,28 @@ object Relational {
         col("sxx"), col("sxy"), col("corr_r"))
       .orderBy(col("l_returnflag"))
 
+  // Tier B spread()/mode(): value range per series, plus the most
+  // frequent value with a deterministic tie-break (highest count, then
+  // smallest value) via one count-aggregate and one rank window.
+  def q57SpreadMode(s: SparkSession, d: String): DataFrame = {
+    val vals = events(s, d)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val spread = vals.groupBy(col("event_type"))
+      .agg(min(col("v")).as("min_cents"), max(col("v")).as("max_cents"),
+        (max(col("v")) - min(col("v"))).as("spread_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("v"))
+    val mode = vals.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("v").as("mode_cents"),
+        col("cnt").as("mode_n"))
+    spread.join(mode, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   // O-32: global sort + limit -> TakeOrderedAndProject, no full sort
   // (ref rg.py:130-131 — the offset query, verbatim shape).
   def q22SortLimit(s: SparkSession, d: String): DataFrame =
@@ -304,6 +326,7 @@ object Relational {
     "q22_sort_limit" -> (q22SortLimit _),
     "q55_stats_agg" -> (q55StatsAgg _),
     "q56_corr" -> (q56Corr _),
+    "q57_spread_mode" -> (q57SpreadMode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,5 +481,25 @@ object Relational {
         |      * (CAST(syy_h AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)), 4)
         |    AS corr_r
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "q57_spread_mode" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(round(value*100,0) AS BIGINT) AS v
+        |  FROM events),
+        |spread AS (
+        |  SELECT event_type, min(v) AS min_cents, max(v) AS max_cents,
+        |    max(v) - min(v) AS spread_cents
+        |  FROM vals GROUP BY event_type),
+        |counted AS (
+        |  SELECT event_type, v, count(*) AS cnt FROM vals
+        |  GROUP BY event_type, v),
+        |mode AS (
+        |  SELECT event_type, v AS mode_cents, cnt AS mode_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, v) AS rn
+        |    FROM counted) WHERE rn = 1)
+        |SELECT s.event_type, s.min_cents, s.max_cents, s.spread_cents,
+        |  m.mode_cents, m.mode_n
+        |FROM spread s JOIN mode m ON s.event_type = m.event_type
+        |ORDER BY s.event_type""".stripMargin,
   )
 }
