@@ -70,7 +70,7 @@ object Relational {
   // O-10/O-38/O-42: round-trip a \x1f-delimited line: format -> split ->
   // cast/parse (ref rg.py:184,216,220 — the commit-log codec).
   def q05CastParse(s: SparkSession, d: String): DataFrame = {
-    val us = ""
+    val us = "\u001f"
     events(s, d)
       .select(
         col("event_id"),

@@ -49,7 +49,7 @@ object Ingest {
     * rg.py:78 — intended semantics per SURVEY.md §1.2).
     */
   def parseCommitLog(lines: DataFrame): DataFrame = {
-    val us = ""
+    val us = "\u001f"
     lines
       .select(split(col("value"), us).as("p"))
       .select(

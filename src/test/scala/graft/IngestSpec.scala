@@ -36,7 +36,7 @@ class IngestSpec extends SparkSpec {
 
   test("parseCommitLog: \\x1f split, tz parse, first digit-run") {
     import spark.implicits._
-    val us = ""
+    val us = "\u001f"
     val lines = Seq(
       s"8c03a1${us}2026-08-01 01:42:13 +0200${us}Merge pull request #21504 from maintainer/branch",
       s"4fe177${us}2026-07-31 22:10:05 +0000${us}Merge #21498: cpu/stm32: fix clock init",
