@@ -62,15 +62,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shingle rows keyed by 64-bit hash: (doc_id, h). Shuffling/joining
+    * 8-byte longs instead of ~25-char strings cuts exchange and compare
+    * cost ~3x; intersection counts are identical to the string
+    * formulation unless xxhash64 collides inside one doc-pair union
+    * (P < 1e-9 at 100 TB shingle cardinality ~2^40 per pair; the DuckDB
+    * oracle — which stays on strings — would catch one deterministically
+    * at test scale). */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => xxhash64(concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
+          .as("h"))
+      .distinct()
+
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
   // This corpus has low cross-doc shingle sharing, so the naive join has
   // little fan-out and wins; q36e is the prefix-filtered scale variant.
   def q36NearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = hashedShingles(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .join(sh.as("b"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -95,29 +114,36 @@ object Dedup {
   // token frequency is skewed (the 100 TB case); loses on this small
   // uniform corpus, which is why both formulations ship.
   def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = hashedShingles(s, d).persist()
     // global doc-frequency table is tiny relative to the corpus (distinct
     // shingles only) -> broadcast, no shuffle on the big side
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // ONE aggregation per doc: shingles sorted rarest-first inside a
-    // sort_array (no window shuffle), from which set/count/prefix all
-    // derive; the identical docAgg subtrees below collapse via exchange
-    // reuse.
-    val docAgg = sh.join(broadcast(freq), "shingle")
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE aggregation per doc: hashed shingles sorted rarest-first (any
+    // canonical global order satisfies the prefix-filtering theorem; we
+    // use (df, h)) inside a sort_array — no window shuffle. docAgg feeds
+    // three consumers (prefix explode + both sides of the verification
+    // join); persist() materializes it once — on a cluster this is the
+    // signature table you'd write out anyway.
+    val docAgg = sh.join(broadcast(freq), "h")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
         .as("arr"))
       .select(col("doc_id"),
-        transform(col("arr"), x => x.getField("shingle")).as("set"),
+        transform(col("arr"), x => x.getField("h")).as("set"),
         size(col("arr")).cast("long").as("c"))
-    // prefix length for t = 0.5: n - ceil(n/2) + 1 = n DIV 2 + 1
-    val prefix = docAgg.select(col("doc_id"),
+      .persist()
+    // prefix length for t = 0.5: n - ceil(t*n) + 1 = n DIV 2 + 1
+    val prefix = docAgg.select(col("doc_id"), col("c"),
       explode(slice(col("set"), lit(1),
         (size(col("set")).cast("long") / lit(2L)).cast("int") + 1))
-        .as("shingle"))
+        .as("h"))
+    // size filter at candidate time: jaccard >= 0.5 forces
+    // max(|A|,|B|) <= 2*min(|A|,|B|); carrying c through the prefix rows
+    // prunes incompatible pairs before the distinct + verification join.
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .join(prefix.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = docAgg
