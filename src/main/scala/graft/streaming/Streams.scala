@@ -32,6 +32,19 @@ object Streams {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Ephemeral checkpoint dir for the finite replay-to-memory queries.
+    * Their checkpoint is throwaway by construction (the query ends with
+    * the batch), so it goes on tmpfs when available: the offset/commit
+    * logs and state snapshots are dozens of small fsync'd files whose
+    * disk IO dominated these queries' bench time. A long-lived query
+    * (TimeSeriesStore, StreamResumeSpec) keeps a durable location. */
+  private[graft] def ephemeralCheckpointDir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      Files.createTempDirectory(shm.toPath, "graft_ckpt_").toString
+    else Files.createTempDirectory("graft_ckpt_").toString
+  }
+
   /** Streaming read of the events table (O-48: the file source tracks
     * per-file offsets in the checkpoint — the `sha..HEAD` analog). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
@@ -62,8 +75,7 @@ object Streams {
     try {
       val q = out.writeStream.outputMode(mode)
         .format("memory").queryName(name)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft_ckpt_").toString)
+        .option("checkpointLocation", ephemeralCheckpointDir())
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -120,8 +132,7 @@ object Streams {
       .select(col("event_id"), col("ts"), col("event_type"),
         cents(col("value")).as("value_cents"))
       .writeStream
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_").toString)
+      .option("checkpointLocation", ephemeralCheckpointDir())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(dir)
       }
