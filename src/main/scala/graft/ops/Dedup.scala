@@ -21,19 +21,32 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
-  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
-    * Documents with fewer than 3 tokens produce no rows. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, w): tokenized documents with >= 3 tokens. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ", element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
-          .as("shingle"))
-      .distinct()
+
+  /** Word-3-gram shingle array over a bound token-array attribute.
+    *
+    * PLAN-SHAPE TRAP: this expression must be inlined into explode(), not
+    * named in an intermediate projection. explode over a *named computed
+    * array* makes InferFiltersFromGenerate add size(arr)>0/isnotnull
+    * filters that predicate pushdown then rewrites in terms of the full
+    * lambda — evaluating the shingling three times per row in a
+    * non-codegen Filter (16x slowdown, measured). explode over the inline
+    * expression infers nothing and stays in one codegen stage. */
+  private def shingleExpr(w: Column): Column =
+    transform(
+      sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i + 1),
+        element_at(w, i + 2), element_at(w, i + 3)))
+
+  /** (doc_id, shingle): one row per shingle POSITION (per-doc duplicates
+    * kept — min-hash aggregation is duplicate-insensitive). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d)
+      .select(col("doc_id"), explode(shingleExpr(col("w"))).as("shingle"))
 
   /** Shared oracle CTE producing the same distinct shingles in DuckDB. */
   private val shinglesSql =
@@ -70,16 +83,10 @@ object Dedup {
     * oracle — which stays on strings — would catch one deterministically
     * at test scale). */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
+    docTokens(s, d)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => xxhash64(concat_ws(" ", element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
-          .as("h"))
-      .distinct()
+        explode(array_distinct(
+          transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
 
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
@@ -165,44 +172,73 @@ object Dedup {
   private val NHashes = 16
   private val NBands = 8 // 2 rows per band
 
-  // O-59 scale path: MinHash (16 salted-md5 min-hashes) + LSH (8 bands of
-  // 2). Fully deterministic (md5), so even this approximate operator has
-  // a DuckDB oracle. est_jaccard = matching-signature fraction.
-  /** Hash family: 16 independent-ish 32-bit hashes from only 4 md5
-    * invocations per shingle — hash j is the (j%4)-th 8-hex-char slice of
-    * md5("s{j/4}:" || shingle). Slicing one wide hash into narrow ones is
-    * the standard trick for cheap MinHash families at scale; the oracle
-    * mirrors the exact same derivation. */
-  private def minhashExpr(j: Int): Column =
-    min(substring(
-      md5(concat(lit(s"s${j / 4}:"), col("shingle"))), 1 + 8 * (j % 4), 8))
+  // O-59 scale path: MinHash (16 min-hashes) + LSH (8 bands of 2). Fully
+  // deterministic (md5-seeded), so even this approximate operator has a
+  // DuckDB oracle. est_jaccard = matching-signature fraction.
+  //
+  // Hash family: hash j of a shingle is the (j%8)-th 8-hex-char slice of
+  // sha256("s{j/8}:" || shingle) — 16 32-bit hashes from TWO digest
+  // calls. The two salted digests are mutually independent, so the 16
+  // min-orderings decorrelate (an a+j*b affine family over one digest was
+  // cheaper still but its correlated orderings inflated 8-of-16 match
+  // counts ~40x). min() over fixed-width lowercase hex == numeric min of
+  // the 32-bit slice.
+  //
+  // Deliberately explode + project + groupBy rather than per-row array
+  // lambdas: digests and slices are computed ONCE per shingle row in a
+  // whole-stage-codegen projection (subexpression elimination shares the
+  // two sha256 calls across their 8 slices — putting them inside the 16
+  // min() aggregates instead re-ran the digest per aggregate), and the
+  // slices are LONGS so the groupBy is a codegen'd HashAggregate over
+  // mutable primitive buffers (string mins fall back to SortAggregate).
+  // Partial aggregation collapses the shingle rows to one 16-min row per
+  // doc per partition before the exchange — the shuffle carries ~|docs|
+  // rows, never ~|shingles|. The lambda formulation (transform/aggregate/
+  // zip_with) is CodegenFallback: interpreted eval made it 4x slower.
+  // Duplicate shingles within a doc are NOT removed: min() is
+  // duplicate-insensitive, and per-doc dedup of a *string* array is
+  // O(len^2) generic-compare.
+  private def q36bSig(s: SparkSession, d: String): DataFrame = {
+    val digests = (0 until 2).map(g =>
+      sha2(concat(lit(s"s$g:"), col("shingle")).cast("binary"), 256))
+    val sliced = shingles(s, d).select(
+      col("doc_id") +: (0 until NHashes).map(j =>
+        conv(substring(digests(j / 8), 1 + 8 * (j % 8), 8), 16, 10)
+          .cast("long").as(s"x$j")): _*)
+    sliced.groupBy(col("doc_id")).agg(
+      array((0 until NHashes).map(j => min(col(s"x$j"))): _*).as("mins"))
+  }
 
+  // sig is NOT persist()ed even though four subtrees consume it: the
+  // aggregation's shuffle exchange is reused across the identical
+  // subtrees (ReuseExchange), while building the in-memory column cache
+  // for the array column measured 3.5x the cost of just recomputing.
   def q36bMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val sig = sh.groupBy(col("doc_id")).agg(
-      minhashExpr(0).as("m0"),
-      (1 until NHashes).map(j => minhashExpr(j).as(s"m$j")): _*)
+    val sig = q36bSig(s, d)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NBands).map(b =>
         struct(lit(b).as("band"),
-          concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))): _*))
+          element_at(col("mins"), 2 * b + 1).as("k1"),
+          element_at(col("mins"), 2 * b + 2).as("k2"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bkey").as("bkey"))
+        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
     val cand = bands.as("x")
       .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
+          col("x.k2") === col("y.k2"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c =>
-      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c =>
-      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-    val nMatch = (0 until NHashes).map(j =>
-      when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val nMatch = aggregate(
+      zip_with(col("a_mins"), col("b_mins"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mins").as("a_mins")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mins").as("b_mins")),
+        "doc_b")
       .withColumn("n_match", nMatch)
       .filter(col("n_match") * 2 >= NHashes)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
@@ -253,10 +289,12 @@ object Dedup {
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
   )
 
+  /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
+    * family, classic GROUP BY formulation over exploded shingles). */
   private def minExprs(prefix: String): String =
     (0 until NHashes).map(j =>
-      s"min(substring(md5('s${j / 4}:' || shingle), ${1 + 8 * (j % 4)}, 8))" +
-        s" AS $prefix$j").mkString(",\n      |    ")
+      s"min(substring(sha256('s${j / 8}:' || shingle), " +
+        s"${1 + 8 * (j % 8)}, 8)) AS $prefix$j").mkString(",\n      |    ")
 
   val oracles: Map[String, String] = Map(
     "q35_dedup_exact" ->
@@ -310,12 +348,14 @@ object Dedup {
          |bands AS (
          |  SELECT doc_id, b,
          |    CASE b ${(0 until NBands).map(b =>
-              s"WHEN $b THEN m${2 * b} || m${2 * b + 1}").mkString(" ")}
-         |    END AS bkey
+              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
          |  FROM sig, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
          |  WHERE x.doc_id < y.doc_id),
          |scored AS (
          |  SELECT doc_a, doc_b,
