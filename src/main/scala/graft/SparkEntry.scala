@@ -46,5 +46,23 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
       ops.Scalars.oracles ++ ops.Typed.oracles ++
       ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.TextAnalysis.oracles ++ functions.Multimodal.oracles
+      ops.TextAnalysis.oracles ++ functions.Multimodal.oracles ++
+      streaming.Streams.oracles ++
+      // q48 runs over an inline 3-commit fixture (sfDir-independent), so
+      // its oracle is the hand-derived golden: artifact "bbb" carries two
+      // boards (b1: 10+20+30, b2: 7+8+9, count absent -> 0) at its
+      // Last-Modified ts, cross-joined with PR 102's event row.
+      Map("q48_pipeline_backfill" ->
+        """SELECT * FROM (VALUES
+          |  (TIMESTAMP '2026-08-01 20:05:00', 't1', 'b1',
+          |   CAST(10 AS BIGINT), CAST(20 AS BIGINT), CAST(30 AS BIGINT),
+          |   CAST(60 AS BIGINT), CAST(0 AS BIGINT), CAST(102 AS BIGINT),
+          |   'two'),
+          |  (TIMESTAMP '2026-08-01 20:05:00', 't1', 'b2',
+          |   CAST(7 AS BIGINT), CAST(8 AS BIGINT), CAST(9 AS BIGINT),
+          |   CAST(24 AS BIGINT), CAST(0 AS BIGINT), CAST(102 AS BIGINT),
+          |   'two'))
+          |  AS t(ts, test, board, bss, text, data, dec, count, pr_num,
+          |       description)
+          |ORDER BY test, board""".stripMargin)
 }

@@ -121,16 +121,19 @@ object Dedup {
   // token frequency is skewed (the 100 TB case); loses on this small
   // uniform corpus, which is why both formulations ship.
   def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d).persist()
+    val sh = hashedShingles(s, d)
     // global doc-frequency table is tiny relative to the corpus (distinct
     // shingles only) -> broadcast, no shuffle on the big side
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // ONE aggregation per doc: hashed shingles sorted rarest-first (any
     // canonical global order satisfies the prefix-filtering theorem; we
     // use (df, h)) inside a sort_array — no window shuffle. docAgg feeds
-    // three consumers (prefix explode + both sides of the verification
-    // join); persist() materializes it once — on a cluster this is the
-    // signature table you'd write out anyway.
+    // four subtrees (prefix explode x2 via the self-join + both sides of
+    // the verification join), but is deliberately NOT persist()ed:
+    // ReuseExchange dedups the identical aggregation subtrees, and
+    // building the in-memory cache of the array column measured ~3.5x
+    // the cost of recomputing it (same finding as q36b's signature). On
+    // a cluster this is the signature table you'd write out anyway.
     val docAgg = sh.join(broadcast(freq), "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h"))))
@@ -138,7 +141,6 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("arr"), x => x.getField("h")).as("set"),
         size(col("arr")).cast("long").as("c"))
-      .persist()
     // prefix length for t = 0.5: n - ceil(t*n) + 1 = n DIV 2 + 1
     val prefix = docAgg.select(col("doc_id"), col("c"),
       explode(slice(col("set"), lit(1),
@@ -246,27 +248,34 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // O-59 SimHash variant: 64-bit signature from token hashes; candidate
-  // pairs share a 16-bit chunk (banded), reported with hamming distance
-  // <= 8. xxhash64-based => Spark-only (no oracle; rows-only check).
+  private val SimBits = 60 // md5-derived token hash width (15 hex chars)
+  private val SimChunks = 4 // banding: 4 chunks of 15 bits
+
+  // O-59 SimHash variant: 60-bit signature from md5-derived token hashes
+  // (15 hex chars -> BIGINT, the widest slice both engines parse without
+  // signed overflow, so the operator carries a full DuckDB oracle);
+  // candidate pairs share a 15-bit chunk (banded), reported with hamming
+  // distance <= 8. Token multiplicity intentionally counts (frequency-
+  // weighted SimHash), hence no dedup anywhere.
   def q36cSimhash(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val bitSums = toks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_toks"),
-      (0 until 64).map(b =>
+      (0 until SimBits).map(b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)).as(s"bit$b")): _*)
-    val simhash = (0 until 64).map(b =>
+    val simhash = (0 until SimBits).map(b =>
       when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))
+      explode(array((0 until SimChunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7FFFL))
           .as("ckey"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"),
         col("cc.ckey").as("ckey"))
@@ -296,7 +305,37 @@ object Dedup {
       s"min(substring(sha256('s${j / 8}:' || shingle), " +
         s"${1 + 8 * (j % 8)}, 8)) AS $prefix$j").mkString(",\n      |    ")
 
+  private val simBitSumsSql = (0 until SimBits).map(b =>
+    s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+    .mkString(",\n      |    ")
+  private val simhashSql = (0 until SimBits).map(b =>
+    s"(CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q36c_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.tok
+         |  FROM documents,
+         |    UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+         |  WHERE t.tok != ''),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |  FROM toks),
+         |bitsums AS (
+         |  SELECT doc_id,
+         |    $simBitSumsSql
+         |  FROM hs GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $simhashSql AS simhash FROM bitsums),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey
+         |  FROM sigs, UNNEST(generate_series(0, ${SimChunks - 1})) AS t(c))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |WHERE x.doc_id < y.doc_id
+         |  AND bit_count(xor(x.simhash, y.simhash)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q35_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash

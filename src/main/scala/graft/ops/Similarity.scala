@@ -41,28 +41,32 @@ object Similarity {
 
   /** Deterministic +-1 hyperplane components: MurmurHash3 of (plane, dim).
     * No RNG state — identical planes on every executor of any cluster. */
-  private def planes: Seq[Seq[Double]] =
+  private def planes: Seq[Seq[Long]] =
     (0 until NPlanes).map { p =>
       (0 until 64).map { i =>
         if ((scala.util.hashing.MurmurHash3.caseClassHash((p, i)) & 1) == 0)
-          1.0 else -1.0
+          1L else -1L
       }
     }
 
   // O-60 scale variant: sign-LSH (random hyperplanes with +-1 components)
   // -> 8-bit bucket signature -> multi-probe: candidates are rows whose
   // bucket is within hamming distance 3 of the query's signature, then
-  // exact re-rank inside. Approximate => no oracle (rows-only check).
+  // exact re-rank inside. The projections are integer dots over the
+  // QUANTIZED vector (a sum of +-quantized components): bit-exact in any
+  // engine, so even this approximate operator carries a DuckDB oracle —
+  // a double-precision projection's sign could flip per summation order.
   def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    // signature bit p = sign of dot(plane[p], v); plane literals are
-    // embedded in the codegen'd expression — nothing broadcast at runtime.
+    // signature bit p = sign of dot(plane[p], quantize(v)); plane
+    // literals are embedded in the codegen'd expression — nothing
+    // broadcast at runtime.
     def signature(v: org.apache.spark.sql.Column) =
       planes.zipWithIndex.map { case (pl, p) =>
         val planeLit = array(pl.map(lit): _*)
         val proj = aggregate(
-          zip_with(v, planeLit, (x, w) => x.cast("double") * w),
-          lit(0.0d), (acc, x) => acc + x)
+          zip_with(quantize(v), planeLit, (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
@@ -165,7 +169,58 @@ object Similarity {
       | * CAST(round(CAST(%s[i] AS DOUBLE)*1000000, 0) AS BIGINT)
       | FOR i IN generate_series(1, len(%s))]) AS BIGINT)""".stripMargin
 
+  /** DuckDB list literal of plane p's +-1 components. */
+  private def planeSql(p: Int): String =
+    planes(p).mkString("[", ",", "]")
+
+  private val qeSql =
+    "[CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT) FOR e IN embedding]"
+
+  /** Integer dot product of two quantized BIGINT list columns. */
+  private def qdotSql(a: String, b: String): String =
+    s"CAST(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, len($a))])" +
+      " AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "q37b_similarity_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, label, qe,
+         |    CAST(${(0 until NPlanes).map(p =>
+              s"(CASE WHEN ${qdotSql("qe", planeSql(p))} >= 0 " +
+                s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
+         |      AS BIGINT) AS bucket
+         |  FROM q),
+         |qv AS (SELECT qe AS qq, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, b.bucket,
+         |  ${qdotSql("b.qe", "qv.qq")} AS dot_e12
+         |FROM b, qv
+         |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
+         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q37c_similarity_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+         |  WHERE vec_id < 16),
+         |dots AS (
+         |  SELECT q.vec_id, q.label, q.qe, cent.cell_id,
+         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+         |  FROM q, cent),
+         |assigned AS (
+         |  SELECT vec_id, label, qe, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell_id FROM cent, qv
+         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4)
+         |SELECT a.vec_id, a.label, a.cell_id,
+         |  ${qdotSql("a.qe", "qv.qq")} AS dot_e12
+         |FROM assigned a JOIN probe USING (cell_id), qv
+         |WHERE a.vec_id != 0
+         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
     "q37_similarity_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

@@ -130,8 +130,9 @@ object TextAnalysis {
 
   // O-61 rolling-hash fingerprint: winnowing-style min of all 32-byte
   // substring hashes in one O(n) codegen pass (RollingHashMin custom
-  // Expression). No SQL oracle (per-char loop isn't SQL-expressible);
-  // the expression math is unit-tested against a naive reference.
+  // Expression). The DuckDB oracle recomputes each window hash as a
+  // sum-of-products mod 2^61-1 (O(n*w), oracle-side only); the
+  // expression math is also unit-tested against a naive reference.
   def q44bRollingFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -148,7 +149,31 @@ object TextAnalysis {
     "q44_fingerprint" -> (q44Fingerprint _),
   )
 
+  /** DuckDB twin of RollingHashMin(text, w): min over window positions of
+    * the polynomial hash, as a sum of byte*Base^k products folded mod
+    * 2^61-1 in HUGEINT (sum-of-products == Horner's rolling form, mod M).
+    * O(n*w) vs the Spark Expression's O(n) — oracle-side only. Exploits
+    * the fixture being pure ASCII (verified): ord(char) == byte value. */
+  private def rollSql(w: Int): String = {
+    val m = BigInt("2305843009213693951") // 2^61 - 1
+    val pows = (0 until w)
+      .map(k => BigInt(1000003).modPow(BigInt(w - 1 - k), m))
+      .mkString("[", ",", "]")
+    s"""CASE WHEN length(text) >= $w THEN
+       |    list_min([CAST(list_sum(
+       |      [CAST(ord(substr(text, p+k-1, 1)) AS HUGEINT) * ($pows)[k]
+       |       FOR k IN generate_series(1, $w)]) % 2305843009213693951
+       |      AS BIGINT)
+       |     FOR p IN generate_series(1, length(text)-$w+1)])
+       |  ELSE NULL END""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q44b_rolling_fingerprint" ->
+      s"""SELECT doc_id, n_chars,
+         |  ${rollSql(32)} AS rolling_fp,
+         |  ${rollSql(8)} AS rolling_fp_w8
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q38_text_analysis" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
          |  FROM documents)

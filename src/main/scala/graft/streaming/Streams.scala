@@ -236,4 +236,98 @@ object Streams {
     "s04_foreachbatch" -> (s04Foreachbatch _),
     "s05_session_window" -> (s05SessionWindow _),
   )
+
+  /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
+    * replay of a finite file is DETERMINISTIC: one data micro-batch, then
+    * a no-data batch that advances the watermark to max(ts) - delay. So
+    * append-mode results are exactly "windows/sessions whose END is at or
+    * before max(ts) - 1 hour" (the <= boundary is what Spark's state
+    * eviction emits, verified empirically), and complete-mode /
+    * foreachBatch / dedup / per-key-state results equal their batch
+    * twins. These mirror that closed-form in SQL — upgrading all eight
+    * s-queries from rows-only checks to full value-hash oracles. */
+  val oracles: Map[String, String] = Map(
+    // complete mode => every 03:00Z-anchored daily window (== q33 shape)
+    "s01_stream_tumbling" ->
+      """SELECT
+        |  date_trunc('day', ts - INTERVAL 3 HOUR) + INTERVAL 3 HOUR
+        |    AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type"""
+        .stripMargin,
+    // append mode: 6h tumbling windows closed by the final watermark
+    "s02_watermark" ->
+      """WITH agg AS (
+        |  SELECT to_timestamp(epoch_us(ts)//21600000000*21600000000/1e6)
+        |      ::TIMESTAMP AS bucket_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket_start, event_type, n FROM agg
+        |WHERE bucket_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    // explode-doubled rows deduped by event_id == the original counts
+    "s03_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_after_dedup
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // foreachBatch parquet sink read back == plain aggregation
+    "s04_foreachbatch" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // 30-min-gap sessions whose end (last event + gap) the watermark
+    // closed; open sessions are withheld by append mode
+    "s05_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // 12h windows sliding by 6h: each event lands in 2 windows
+    "s06_stream_sliding" ->
+      """WITH ex AS (
+        |  SELECT unnest([
+        |      to_timestamp(epoch_us(ts)//21600000000*21600000000/1e6)
+        |        ::TIMESTAMP,
+        |      to_timestamp((epoch_us(ts)//21600000000-1)*21600000000/1e6)
+        |        ::TIMESTAMP
+        |    ]) AS bucket_start, event_type, value FROM events),
+        |agg AS (
+        |  SELECT bucket_start, event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT * FROM agg
+        |WHERE bucket_start + INTERVAL 12 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    // one data batch => flatMapGroupsWithState emits one summary per user
+    "s07_stateful_counter" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // interval join: all pairs emitted within the single data batch
+    "s08_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  c.ts AS click_ts, e.ts AS err_ts
+        |FROM events c JOIN events e
+        |  ON c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.user_id = e.user_id
+        |  AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+        |ORDER BY click_id, err_id""".stripMargin,
+  )
 }
