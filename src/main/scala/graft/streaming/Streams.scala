@@ -64,21 +64,41 @@ object Streams {
     * fresh checkpoint either way. */
   private val StreamShufflePartitions = "8"
 
+  /** State-store backend for the s-queries. The default in-memory
+    * (HDFS-backed) provider is right for this bench's small state; set
+    * SPARK_GRAFT_STATE_STORE=rocksdb to run every stateful s-query on
+    * the RocksDB provider instead — the 100 TB configuration, where
+    * per-key state must spill beyond executor heap and changelogs keep
+    * snapshots incremental. Exercised by StreamResumeSpec either way. */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run a finite streaming query to completion into a memory sink and
-    * return the materialized result. Narrows shuffle partitions for the
-    * stream's lifetime, then restores the session setting. */
+    * return the materialized result. Narrows shuffle partitions (and
+    * optionally swaps the state-store provider) for the stream's
+    * lifetime, then restores the session settings. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String)
       : DataFrame = {
     val name = s"sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption(providerKey)
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      s.conf.set(providerKey, RocksDbProvider)
     try {
       val q = out.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .option("checkpointLocation", ephemeralCheckpointDir())
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
     s.table(name)
   }
 
