@@ -210,6 +210,22 @@ object Relational {
         col("n"), col("total_cents"), col("gid"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
+  // O-25 (grouping-sets form): cube = every (status, priority) grouping
+  // combination — the per-board, per-test, per-pair, and overall totals
+  // in ONE aggregation pass (Expand + single shuffle, no union of four
+  // scans). Completes O-25's rollup/cube/grouping-sets trio with q15.
+  def q15bCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_cents"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total_cents"), col("gid"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   // O-24: selector aggregate last() by time with explicit tie-break
   // (ref rg.py:130-131 — SELECT hash ... ORDER BY time DESC LIMIT 1,
   // generalized per series as InfluxQL last()).
@@ -322,6 +338,7 @@ object Relational {
     "q14_distinct" -> (q14Distinct _),
     "q14b_approx_distinct" -> (q14bApproxDistinct _),
     "q15_rollup" -> (q15Rollup _),
+    "q15b_cube" -> (q15bCube _),
     "q16_selector_last" -> (q16SelectorLast _),
     "q22_sort_limit" -> (q22SortLimit _),
     "q55_stats_agg" -> (q55StatsAgg _),
@@ -438,6 +455,15 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
         |  GROUPING(o_orderstatus, o_orderpriority) AS gid
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q15b_cube" ->
+      """SELECT
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
     "q16_selector_last" ->
       """WITH ranked AS (
