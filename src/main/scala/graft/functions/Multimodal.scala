@@ -92,9 +92,11 @@ object Multimodal {
     }
 
   /** Full pipeline: encode -> partition-batched stub decode -> resize ->
-    * frame-sample -> features. Registered as q45 (no oracle: exercises
-    * the stubs; the plumbing — schema, partitioning, iterator batch
-    * shape — is the real contract). */
+    * frame-sample -> features. Registered as q45 WITH an oracle: the
+    * stub decode is deterministic from the payload bytes (Java
+    * Arrays.hashCode fold), so DuckDB can replay the exact arithmetic —
+    * the plumbing (schema, partitioning, iterator batch shape) plus the
+    * stub math are all hash-checked. */
   def q45MultimodalPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
@@ -125,7 +127,58 @@ object Multimodal {
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
+  /** 32-bit Java-int wrap of a BIGINT expression, floor-mod style.
+    * DuckDB's % keeps the dividend's sign, so the naive single-mod wrap
+    * is off by 2^32 whenever the intermediate is negative (caught
+    * because mod-1024 residues coincidentally matched: 1024 | 2^32). */
+  private def wrap32(x: String): String =
+    s"(((($x) + 2147483648) % 4294967296) + 4294967296) % 4294967296" +
+      " - 2147483648"
+
+  /** floorMod of a (possibly negative) BIGINT expr by a positive m. */
+  private def fmod(x: String, m: Long): String = s"((($x) % $m) + $m) % $m"
+
   val oracles: Map[String, String] = Map(
+    // DuckDB replay of the deterministic stub pipeline: h = Java
+    // Arrays.hashCode(bytes) (list_reduce fold with 32-bit wrap; fixture
+    // is pure ASCII so ord(char) == byte), then the same dim/resize/
+    // frame-sample integer math as decodeStub/resizeStub/frameSampleStub.
+    "q45_multimodal_pipeline" ->
+      s"""WITH h32 AS (
+         |  SELECT doc_id,
+         |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS modality,
+         |    CAST(length(text) AS INT) AS byte_len,
+         |    list_reduce(
+         |      list_prepend(CAST(1 AS BIGINT),
+         |        [CAST(ord(substr(text, i, 1)) AS BIGINT)
+         |         FOR i IN generate_series(1, length(text))]),
+         |      (a, b) -> ${wrap32("31*a + b")}) AS h
+         |  FROM documents),
+         |dims AS (
+         |  SELECT doc_id, modality, byte_len, h,
+         |    CASE modality WHEN 'audio' THEN 0 ELSE
+         |      16 + CAST(${fmod(wrap32("31*h + 1"), 1024)} AS INT)
+         |    END AS w0,
+         |    CASE modality WHEN 'audio' THEN 0 ELSE
+         |      16 + CAST(${fmod(wrap32("31*h + 2"), 1024)} AS INT)
+         |    END AS h0,
+         |    CASE modality WHEN 'video' THEN
+         |      1 + CAST(${fmod("h", 300)} AS INT) ELSE 1 END AS f0
+         |  FROM h32),
+         |resized AS (
+         |  SELECT doc_id, modality, byte_len,
+         |    CASE WHEN greatest(w0, h0) <= 256 OR greatest(w0, h0) = 0
+         |      THEN w0 ELSE CAST(w0 * 256 // greatest(w0, h0) AS INT)
+         |    END AS width,
+         |    CASE WHEN greatest(w0, h0) <= 256 OR greatest(w0, h0) = 0
+         |      THEN h0 ELSE CAST(h0 * 256 // greatest(w0, h0) AS INT)
+         |    END AS height,
+         |    CASE modality WHEN 'video' THEN CAST((f0 + 9) // 10 AS INT)
+         |      ELSE f0 END AS n_frames
+         |  FROM dims)
+         |SELECT doc_id, modality, byte_len, width, height, n_frames
+         |FROM resized ORDER BY doc_id""".stripMargin,
     "q46_binary_funcs" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
