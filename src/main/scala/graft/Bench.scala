@@ -10,13 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/parquet-footer costs land here, not on
-    // the first measured query.
-    try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries.get("q13_groupby_agg")
-        .foreach(fn => fn(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // Untimed warmup: run EVERY query once at the smallest sf so each
+    // operator path's codegen compilation and JIT land here, not on its
+    // measured run — the measured numbers are steady-state throughput at
+    // the target sf, which is what a long-lived cluster job looks like.
+    // (Plans differ only in the scan path between sf dirs; Janino/JIT
+    // caches key on generated code, which is sf-independent.)
+    val warmDir = "/root/testdata/sf0.001"
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
