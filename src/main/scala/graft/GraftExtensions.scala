@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.longArrayDotDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 
@@ -24,11 +25,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
     (children: Seq[Expression]) => LongArrayDot(children(0), children(1)))
 
-  /** Register on an already-built session (test/REPL convenience). */
+  /** Register on an already-built session (test/REPL convenience):
+    * the SQL function plus the dot-product optimizer rewrite (via the
+    * public experimental extraOptimizations hook; idempotent). */
   def install(spark: SparkSession): Unit = {
     val (id, info, builder) = longArrayDotDescriptor
     spark.sessionState.functionRegistry
       .registerFunction(id, info, builder)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.DotProductRewrite)
   }
 
   /** Register the sf-dir parquet tables as temp views so the whole query

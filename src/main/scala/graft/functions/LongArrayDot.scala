@@ -16,23 +16,29 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * to a tight primitive loop inside whole-stage codegen: no allocation,
   * no boxing, no virtual calls.
   *
-  * Semantics match the composable form exactly: pairwise multiply over
-  * the common prefix length, summed in Long (exact integer math).
+  * Semantics match the composable form exactly — including the edges, so
+  * graft.plans.DotProductRewrite may substitute this for the lambda tree:
+  * NULL if either array is NULL, if the lengths differ (zip_with pads the
+  * shorter side with NULL, and NULL poisons the sum), or if any element
+  * is NULL. Overflow wraps (the quantized-embedding domain cannot reach
+  * 2^63; the lambda form under ANSI would throw instead).
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "long_array_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -46,12 +52,22 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
