@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark) // SQL functions + optimizer rewrites
     // Untimed warmup: run EVERY query once at the smallest sf so each
     // operator path's codegen compilation and JIT land here, not on its
     // measured run — the measured numbers are steady-state throughput at
