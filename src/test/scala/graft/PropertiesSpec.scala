@@ -93,4 +93,22 @@ class PropertiesSpec extends SparkSpec {
       assert(exploded === lists.map(_.size).sum)
     }
   }
+
+  test("LongArrayDot equals the lambda fold on random long arrays") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(12,
+      Gen.zip(Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L)),
+        Gen.listOfN(8, Gen.chooseNum(-1000000L, 1000000L))))
+    forAll(vecGen) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+      val lambda = df.select(col("id"), aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d")).orderBy(col("id"))
+      val native = df.select(col("id"),
+        graft.functions.LongArrayDot(col("a"), col("b")).as("d"))
+        .orderBy(col("id"))
+      assert(native.collect().toSeq === lambda.collect().toSeq)
+    }
+  }
 }
