@@ -21,23 +21,37 @@ import org.apache.spark.sql.functions._
 object Cli {
 
   case class Conf(mode: String, commits: String, artifacts: String,
-      prDim: String, store: String, history: Option[Int], noop: Boolean)
+      prDim: String, store: String, history: Option[Int], noop: Boolean,
+      writeBuilds: Boolean = true, writeEvents: Boolean = true)
 
+  /** Flags override `--config=<ini>` values, which override built-in
+    * fallbacks — configparser-style precedence (ref GraphConf,
+    * rg.py:368-414): [inputs] commits/artifacts/prdim, [store] path,
+    * [main] builds/events toggles (rg.py:382-385's row-kind switches). */
   def parse(args: Array[String]): Conf = {
     val opts = args.drop(1).filter(_.startsWith("--"))
       .map { a =>
         val kv = a.stripPrefix("--").split("=", 2)
         kv(0) -> (if (kv.length > 1) kv(1) else "true")
       }.toMap
+    val ini = opts.get("config").map(sources.GraftConf.load)
+    def pathOpt(flag: String, section: String, key: String): Option[String] =
+      opts.get(flag).orElse(ini.flatMap(_.getOption(section, key)))
+    def path(flag: String, section: String, key: String): String =
+      pathOpt(flag, section, key)
+        .getOrElse(sys.error(s"--$flag (or config [$section] $key) required"))
     Conf(
       mode = args.headOption.getOrElse("fetch"),
-      commits = opts.getOrElse("commits", sys.error("--commits required")),
-      artifacts = opts
-        .getOrElse("artifacts", sys.error("--artifacts required")),
-      prDim = opts.getOrElse("prdim", sys.error("--prdim required")),
-      store = opts.getOrElse("store", sys.error("--store required")),
+      commits = path("commits", "inputs", "commits"),
+      artifacts = path("artifacts", "inputs", "artifacts"),
+      prDim = path("prdim", "inputs", "prdim"),
+      store = path("store", "store", "path"),
       history = opts.get("history").map(_.toInt),
-      noop = opts.contains("noop"))
+      noop = opts.contains("noop"),
+      writeBuilds = opts.get("builds").map(_.toBoolean)
+        .getOrElse(ini.forall(_.getBoolean("main", "builds", true))),
+      writeEvents = opts.get("events").map(_.toBoolean)
+        .getOrElse(ini.forall(_.getBoolean("main", "events", true))))
   }
 
   /** Run one CLI invocation; returns (build rows, event rows) written
@@ -67,8 +81,10 @@ object Cli {
     val nb = builds.count()
     val ne = events.count()
     if (!conf.noop) {
-      TimeSeriesStore.write(builds, s"${conf.store}/build_sizes")
-      TimeSeriesStore.write(events, s"${conf.store}/pr_events")
+      if (conf.writeBuilds)
+        TimeSeriesStore.write(builds, s"${conf.store}/build_sizes")
+      if (conf.writeEvents)
+        TimeSeriesStore.write(events, s"${conf.store}/pr_events")
     }
     (nb, ne)
   }
