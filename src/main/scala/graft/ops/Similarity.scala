@@ -122,6 +122,52 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF as a STORED layout — the 100 TB shape of q37c. `ivfWrite` runs
+    * the coarse quantizer once at write time and lays the corpus out as
+    * parquet PARTITIONED BY cell_id (plus a small centroids table);
+    * `ivfProbe` then answers a query by ranking the centroids and reading
+    * ONLY the nprobe matching partitions — the cell filter is a partition
+    * filter (directory pruning), so a probe scans ~nprobe/k of the
+    * corpus no matter how large the table grows. Same math as q37c
+    * (verified by IvfStoreSpec result-parity + plan assertions). */
+  def ivfWrite(s: SparkSession, d: String, storeDir: String): Unit = {
+    val quantized = embeddings(s, d).select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell_id"))
+    quantized.crossJoin(broadcast(centroids))
+      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("qe"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$storeDir/vectors")
+    centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
+  }
+
+  /** Probe the stored IVF layout: rank centroids against the query
+    * vector (16-row scan), then read only the nprobe best cells' parquet
+    * partitions and re-rank exactly inside them. */
+  def ivfProbe(s: SparkSession, storeDir: String,
+      queryVec: Array[Long], nprobe: Int = 4, k: Int = 10,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val qv = array(queryVec.map(lit(_)).toIndexedSeq: _*)
+    val cells = s.read.parquet(s"$storeDir/centroids")
+      .select(col("cell_id"), LongArrayDot(col("ce"), qv).as("qdot"))
+      .orderBy(col("qdot").desc, col("cell_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)) // nprobe cell ids: tiny, driver-side
+    val hits = s.read.parquet(s"$storeDir/vectors")
+      .filter(col("cell_id").isin(cells.toIndexedSeq: _*)) // partition prune
+    excludeVecId.foldLeft(hits)((df, id) => df.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        LongArrayDot(col("qe"), qv).as("dot_e12"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
   def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {

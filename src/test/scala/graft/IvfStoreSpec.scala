@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.{Similarity, Tables}
+import graft.functions.VectorFunctions.quantize
+import org.apache.spark.sql.functions._
+
+/** IVF stored layout (Similarity.ivfWrite/ivfProbe): cell assignment is
+  * a write-time partition column, so a probe reads only the nprobe
+  * matching parquet partitions — directory pruning, not a filter over a
+  * full scan. Asserts (1) result parity with the per-query IVF (q37c),
+  * (2) the cell predicate runs as a PartitionFilter, (3) only files from
+  * the probed cells' directories are read. */
+class IvfStoreSpec extends SparkSpec {
+
+  test("stored IVF probe prunes partitions and matches q37c") {
+    val store = java.nio.file.Files.createTempDirectory("ivf_").toString
+    Similarity.ivfWrite(spark, sf, store)
+
+    // query vector 0, quantized — same probe q37c runs per-query
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .collect().head.getSeq[Long](0).toArray
+    val probe = Similarity.ivfProbe(spark, store, qv,
+      excludeVecId = Some(0L))
+
+    // (1) identical result to the per-query formulation
+    val expected = SparkEntry.queries("q37c_similarity_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === expected)
+
+    // (2) the cell filter is a partition filter on the scan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"cell_id not pushed as a partition filter:\n$plan")
+
+    // (3) only files under the probed cells' directories are read:
+    // the executed scan's numFiles metric, not inputFiles (which lists
+    // the relation pre-pruning)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPlan = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanned = finalPlan.collectLeaves().collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("vectors")) =>
+        f.metrics("numFiles").value
+    }
+    val allFiles = spark.read.parquet(s"$store/vectors").inputFiles.length
+    assert(scanned.nonEmpty)
+    assert(scanned.head > 0 && scanned.head < allFiles,
+      s"probe scanned ${scanned.head} of $allFiles files — no pruning")
+  }
+}
