@@ -56,20 +56,20 @@ object Similarity {
   // QUANTIZED vector (a sum of +-quantized components): bit-exact in any
   // engine, so even this approximate operator carries a DuckDB oracle —
   // a double-precision projection's sign could flip per summation order.
+  /** 8-bit sign-LSH bucket: bit p = sign of dot(plane[p], quantize(v)).
+    * Plane literals are embedded in the codegen'd expression — nothing
+    * broadcast at runtime. */
+  private def signature(v: org.apache.spark.sql.Column) =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val planeLit = array(pl.map(lit): _*)
+      val proj = aggregate(
+        zip_with(quantize(v), planeLit, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    // signature bit p = sign of dot(plane[p], quantize(v)); plane
-    // literals are embedded in the codegen'd expression — nothing
-    // broadcast at runtime.
-    def signature(v: org.apache.spark.sql.Column) =
-      planes.zipWithIndex.map { case (pl, p) =>
-        val planeLit = array(pl.map(lit): _*)
-        val proj = aggregate(
-          zip_with(quantize(v), planeLit, (x, w) => x * w),
-          lit(0L), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
     val bucketed = emb.withColumn("bucket", signature(col("embedding")))
     val qv = bucketed.filter(col("vec_id") === 0)
       .select(quantize(col("embedding")).as("qv"),
@@ -168,6 +168,30 @@ object Similarity {
       .limit(k)
   }
 
+  // O-59/O-60 scale path for PAIRWISE embedding near-dup: candidates are
+  // vectors sharing their full 8-bit sign-LSH bucket (n^2/256 expected
+  // pairs instead of n^2/2), then exact integer re-verification at the
+  // same threshold as q36d. Quantized projections => deterministic =>
+  // oracle-checked; the result is a strict subset of q36d's (asserted in
+  // TierCSpec). Recall is sim-dependent by LSH math — P(same bucket) =
+  // (1 - theta/pi)^8, i.e. ~43% at cosine 0.95 (true near-dups) but only
+  // ~3% at the 0.4 comparability threshold inherited from q36d; raise
+  // recall with banded signatures or hamming<=1 multi-probe, both of
+  // which trade candidate volume linearly.
+  def q36fEmbeddingNeardupLsh(s: SparkSession, d: String): DataFrame = {
+    val bucketed = embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"),
+        signature(col("embedding")).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        LongArrayDot(col("a.qe"), col("b.qe")).as("dot_e12"))
+      .filter(col("dot_e12") >= 400000000000L)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
   def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
@@ -207,6 +231,7 @@ object Similarity {
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
     "q37c_similarity_ivf" -> (q37cSimilarityIvf _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
+    "q36f_embedding_neardup_lsh" -> (q36fEmbeddingNeardupLsh _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
   )
 
@@ -273,6 +298,22 @@ object Similarity {
          |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
          |FROM embeddings, q WHERE vec_id != 0
          |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q36f_embedding_neardup_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $qeSql AS qe FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, qe,
+         |    CAST(${(0 until NPlanes).map(p =>
+              s"(CASE WHEN ${qdotSql("qe", planeSql(p))} >= 0 " +
+                s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
+         |      AS BIGINT) AS bucket
+         |  FROM q)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+         |  ${qdotSql("x.qe", "y.qe")} AS dot_e12
+         |FROM b x JOIN b y ON x.bucket = y.bucket
+         |WHERE x.vec_id < y.vec_id
+         |  AND ${qdotSql("x.qe", "y.qe")} >= 400000000000
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q36d_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${dotSql.format("a.embedding", "b.embedding", "a.embedding")} AS dot_e12

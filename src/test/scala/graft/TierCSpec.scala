@@ -49,6 +49,16 @@ class TierCSpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding near-dup pairs are a subset of the exact pairs") {
+    import spark.implicits._
+    val exact = Similarity.q36dEmbeddingNeardup(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.q36fEmbeddingNeardupLsh(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH produced pairs the exact join lacks: ${lsh.diff(exact)}")
+  }
+
   test("simhash pairs include the true near-dup pairs") {
     import spark.implicits._
     val exact = Dedup.q36NearDup(spark, sf)
