@@ -21,9 +21,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
-  /** (doc_id, w): tokenized documents with >= 3 tokens. */
+  /** (doc_id, w): tokenized documents with >= 3 tokens.
+    *
+    * The repartition exists because the heavy per-doc work (shingling,
+    * digests, slicing) would otherwise execute inside the SCAN stage,
+    * whose parallelism is the parquet split count — and a single-row-
+    * group file (this fixture; any ill-written table) is unsplittable,
+    * serializing the whole pipeline onto one task (measured 2.4s of the
+    * old 3.3s q36b). Shuffling the raw text (~600 KB here) is orders of
+    * magnitude cheaper than serializing the compute; on a many-file
+    * 100 TB table the scan parallelism is already there and this shuffle
+    * is a no-op cost next to the digest work it balances. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
 
@@ -149,8 +160,13 @@ object Dedup {
     // size filter at candidate time: jaccard >= 0.5 forces
     // max(|A|,|B|) <= 2*min(|A|,|B|); carrying c through the prefix rows
     // prunes incompatible pairs before the distinct + verification join.
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h"))
+    // shuffle-hash everywhere docAgg re-enters the plan: the prefix
+    // self-join's two sides and the two verification sides all reduce to
+    // the SAME docAgg aggregation exchange, so it's computed once and
+    // reused (broadcast builds would each re-materialize it); a doc
+    // signature table never broadcasts at 100 TB anyway.
+    val cand = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -158,9 +174,9 @@ object Dedup {
     val sets = docAgg
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
-        col("c").as("n_a")), "doc_a")
+        col("c").as("n_a")).hint("shuffle_hash"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
-        col("c").as("n_b")), "doc_b")
+        col("c").as("n_b")).hint("shuffle_hash"), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
@@ -211,38 +227,44 @@ object Dedup {
       array((0 until NHashes).map(j => min(col(s"x$j"))): _*).as("mins"))
   }
 
-  // sig is NOT persist()ed even though four subtrees consume it: the
-  // aggregation's shuffle exchange is reused across the identical
-  // subtrees (ReuseExchange), while building the in-memory column cache
-  // for the array column measured 3.5x the cost of just recomputing.
+  // The 16-min signature array rides THROUGH the band explode, so the
+  // verification (n_match over the two mins arrays) happens inside the
+  // band self-join itself — no join back to the signature table at all.
+  // n_match is a function of the pair, so distinct-ing (pair, n_match)
+  // after the match filter equals the classic candidates->verify plan
+  // row-for-row (SAME oracle). Carrying 16 longs (~128 B) per band row
+  // through one shuffle costs far less than re-materializing the
+  // signature aggregation for two extra join sides: this shape cut q36b
+  // 3.3s -> ~1.5s at sf0.1, and at 100 TB it is one shuffle + one
+  // distinct instead of three shuffles and two broadcast builds.
   def q36bMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = q36bSig(s, d)
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), col("mins"),
       explode(array((0 until NBands).map(b =>
         struct(lit(b).as("band"),
           element_at(col("mins"), 2 * b + 1).as("k1"),
           element_at(col("mins"), 2 * b + 2).as("k2"))): _*))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
+      .select(col("doc_id"), col("mins"), col("bb.band").as("band"),
         col("bb.k1").as("k1"), col("bb.k2").as("k2"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    val nMatch = aggregate(
+      zip_with(col("x.mins"), col("y.mins"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    // shuffle-hash, not broadcast: the self-join's two inputs are the
+    // SAME plan, so as shuffle exchanges one is computed and one reused
+    // (a broadcast build would materialize the signature pipeline twice
+    // — measured 2x the whole query), and at 100 TB a band table never
+    // broadcasts anyway.
+    bands.as("x").hint("shuffle_hash")
+      .join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
           col("x.k2") === col("y.k2"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val nMatch = aggregate(
-      zip_with(col("a_mins"), col("b_mins"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("mins").as("a_mins")),
-        "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("mins").as("b_mins")),
-        "doc_b")
-      .withColumn("n_match", nMatch)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        nMatch.as("n_match"))
       .filter(col("n_match") * 2 >= NHashes)
+      .distinct()
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         round(col("n_match") / lit(NHashes.toDouble), 4).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -258,7 +280,10 @@ object Dedup {
   // distance <= 8. Token multiplicity intentionally counts (frequency-
   // weighted SimHash), hence no dedup anywhere.
   def q36cSimhash(s: SparkSession, d: String): DataFrame = {
+    // repartition: same single-row-group scan-parallelism fix as
+    // docTokens (the 60 bit-sum aggregates are the heavy stage here)
     val toks = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
