@@ -289,14 +289,27 @@ object Dedup {
       .filter(col("tok") =!= "")
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitSums = toks.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_toks"),
-      (0 until SimBits).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"bit$b")): _*)
-    val simhash = (0 until SimBits).map(b =>
-      when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // Lane-packed bit counting: 20 sums of longs carrying three 20-bit
+    // counter lanes each (bits 3g, 3g+1, 3g+2 at offsets 0/20/40)
+    // instead of 60 separate +-1 sums — a third of the aggregate
+    // buffers and a much smaller generated update method. Lanes can't
+    // carry into each other below 2^20 = 1M tokens per document (these
+    // are <= ~1k). bit_b of the signature: majority test
+    // 2*count_b > n_toks == the +-1 sum being positive (ties -> 0).
+    val lanes = (0 until SimBits / 3).map { g =>
+      sum((0 until 3).map { j =>
+        shiftright(col("h"), 3 * g + j).bitwiseAND(lit(1L)) *
+          lit(1L << (20 * j))
+      }.reduce(_ + _)).as(s"lane$g")
+    }
+    val bitSums = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), lanes: _*)
+    val simhash = (0 until SimBits).map { b =>
+      val (g, j) = (b / 3, b % 3)
+      when(shiftright(col(s"lane$g"), 20 * j)
+        .bitwiseAND(lit(0xFFFFFL)) * 2 > col("n_toks"),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimChunks).map(c => struct(lit(c).as("chunk"),
