@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `sbt runMain` output for graft.Bench's one-line JSON
+// metric. sbt's default LoggedOutput prefixes every forked line with
+// "[info] " and appends a "[success] Total time ..." line, which broke
+// JSON extraction in rounds 1-2 (BENCH_r0{1,2}.json parsed:null). Send
+// forked-run output straight through and drop the success banner so the
+// bare JSON line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,11 +17,29 @@ object Bench {
     // the target sf, which is what a long-lived cluster job looks like.
     // (Plans differ only in the scan path between sf dirs; Janino/JIT
     // caches key on generated code, which is sf-independent.)
-    val warmDir = "/root/testdata/sf0.001"
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      // prefer the smallest sibling sf dir; fall back to the bench dir
+      val sibling = new java.io.File(sfDir).getParentFile match {
+        case null => null
+        case p => new java.io.File(p, "sf0.001")
+      }
+      if (sibling != null && sibling.isDirectory) sibling.toString else sfDir
+    })
+    var warmFailures = 0
+    var firstWarmError: Throwable = null
+    def warm(body: => Long): Unit =
+      try body catch {
+        case t: Throwable =>
+          warmFailures += 1
+          if (firstWarmError == null) firstWarmError = t
+      }
+    warm(SparkEntry.entry(spark).count())
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      warm(fn(spark, warmDir).count())
     }
+    if (warmFailures > 0)
+      System.err.println(s"[graft.Bench] $warmFailures warmup run(s) on " +
+        s"$warmDir failed; first error: $firstWarmError")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -31,12 +49,19 @@ object Bench {
     // Millisecond precision keeps the whole line under ~2.5 KB: the driver
     // captures only the tail of the run output, and round 1's full-precision
     // doubles pushed the line past that window (BENCH_r01.json parsed:null).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop() BEFORE printing so the JSON metric is the last stdout line —
+    // the driver's parser wants a bare, final JSON line (see build.sbt's
+    // outputStrategy note).
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Catalyst expression: dot product of two ARRAY<BIGINT> columns.
@@ -20,10 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * graft.plans.DotProductRewrite may substitute this for the lambda tree:
   * NULL if either array is NULL, if the lengths differ (zip_with pads the
   * shorter side with NULL, and NULL poisons the sum), or if any element
-  * is NULL. Overflow wraps (the quantized-embedding domain cannot reach
-  * 2^63; the lambda form under ANSI would throw instead).
+  * is NULL. Overflow honors the session's ANSI mode, captured at
+  * construction as [[failOnError]]: checked `Math.*Exact` arithmetic
+  * (throws ArithmeticException, like the ANSI lambda form) when ANSI is
+  * on, silent wraparound (legacy lambda semantics) when off.
   */
-case class LongArrayDot(left: Expression, right: Expression)
+case class LongArrayDot(left: Expression, right: Expression,
+    failOnError: Boolean = SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
@@ -39,7 +43,9 @@ case class LongArrayDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getLong(i) * b.getLong(i)
+      if (failOnError)
+        s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      else s += a.getLong(i) * b.getLong(i)
       i += 1
     }
     s
@@ -51,6 +57,11 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val step =
+        if (failOnError)
+          s"$s = java.lang.Math.addExact($s, " +
+            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else s"$s += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -62,7 +73,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |      ${ev.isNull} = true;
          |      break;
          |    }
-         |    $s += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $s;

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * contract the engine is built on.
   *
   * Edge-for-edge equivalent (see LongArrayDot's scaladoc): NULL inputs,
-  * unequal lengths, and NULL elements all yield NULL in both forms. The
-  * one divergence is Long overflow under ANSI mode (throw vs wrap),
-  * unreachable in the quantized-embedding domain.
+  * unequal lengths, and NULL elements all yield NULL in both forms, and
+  * Long overflow follows the session's ANSI mode in both forms — the
+  * substituted LongArrayDot carries failOnError = conf.ansiEnabled, so
+  * it throws under ANSI exactly where the lambda form would.
   *
   * Install: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or post-hoc via `GraftExtensions.install(spark)`
@@ -70,6 +71,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isVarSum(sum,
               aggArgs.map(_.asInstanceOf[NamedLambdaVariable])) &&
             fin.exprId == finArg.exprId =>
-        LongArrayDot(a, b)
+        LongArrayDot(a, b, conf.ansiEnabled)
     }
 }

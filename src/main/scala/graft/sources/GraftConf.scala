@@ -28,7 +28,14 @@ final class GraftConf(entries: Map[(String, String), String]) {
     entries.get((section, key))
 
   def getInt(section: String, key: String, fallback: Int): Int =
-    entries.get((section, key)).map(_.trim.toInt).getOrElse(fallback)
+    entries.get((section, key)).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"Config error: [$section] $key is not an int: ${v.trim}")
+      }
+    }.getOrElse(fallback)
 
   def getBoolean(section: String, key: String, fallback: Boolean): Boolean =
     entries.get((section, key)).map(_.trim.toLowerCase)

@@ -55,6 +55,30 @@ class DotProductRewriteSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) === 18L)
   }
 
+  test("overflow follows the session's ANSI mode") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.getOption(key)
+    val df = {
+      val dir = java.nio.file.Files.createTempDirectory("dot_ovf_").toString
+      Seq((1L, Seq(Long.MaxValue, 0L), Seq(2L, 0L)))
+        .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    try {
+      spark.conf.set(key, "false")
+      // legacy: wraps like the lambda form (MaxValue * 2 == -2)
+      assert(declarativeDot(df).collect().head.getLong(1) === -2L)
+      spark.conf.set(key, "true")
+      // ANSI: throws like the lambda form would
+      intercept[Exception] { declarativeDot(df).collect() }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("SQL form gets the same rewrite") {
     GraftExtensions.install(spark)
     val q = spark.sql(

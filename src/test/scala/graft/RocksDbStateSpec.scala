@@ -18,10 +18,12 @@ class RocksDbStateSpec extends SparkSpec {
     * executed on an explicit state-store provider. */
   private def dedupCounts(provider: Option[String]): DataFrame = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(providerKey)
+    val prevNanos = spark.conf.getOption(nanosKey)
     provider.foreach(spark.conf.set(providerKey, _))
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set(nanosKey, "true")
       val stream = spark.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, " +
           "event_type STRING, value DOUBLE, props STRING")
@@ -42,9 +44,15 @@ class RocksDbStateSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.table(name)
-    } finally prev match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevNanos match {
+        case Some(p) => spark.conf.set(nanosKey, p)
+        case None => spark.conf.unset(nanosKey)
+      }
     }
   }
 
