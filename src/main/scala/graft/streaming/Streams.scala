@@ -59,10 +59,12 @@ object Streams {
 
   /** State-store parallelism for the one-shot replay queries: every
     * state partition pays per-batch snapshot/commit IO, so a single-file
-    * AvailableNow run wants few, fat state partitions. On a real cluster
-    * this is sized to executor count; state re-partitioning requires a
-    * fresh checkpoint either way. */
-  private val StreamShufflePartitions = "8"
+    * AvailableNow run wants few, fat state partitions (measured: 4 beats
+    * 8 by ~40% on the stream-stream join, which keeps four state stores
+    * per partition). On a real cluster this is sized to executor count;
+    * state re-partitioning requires a fresh checkpoint either way. */
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
   /** State-store backend for the s-queries. The default in-memory
     * (HDFS-backed) provider is right for this bench's small state; set
@@ -77,13 +79,20 @@ object Streams {
     * return the materialized result. Narrows shuffle partitions (and
     * optionally swaps the state-store provider) for the stream's
     * lifetime, then restores the session settings. */
-  private def runToMemory(s: SparkSession, out: DataFrame, mode: String)
-      : DataFrame = {
+  private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
+      noDataBatch: Boolean = true): DataFrame = {
     val name = s"sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = s.conf.getOption(providerKey)
+    val prevNoData = s.conf.getOption(noDataKey)
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    // Append-mode queries need the trailing no-data batch: it advances
+    // the watermark and emits the closed windows. Complete-mode output
+    // is identical with or without it, so those callers skip it and save
+    // one state commit cycle per partition.
+    s.conf.set(noDataKey, noDataBatch.toString)
     if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
       s.conf.set(providerKey, RocksDbProvider)
     try {
@@ -98,6 +107,10 @@ object Streams {
         case Some(p) => s.conf.set(providerKey, p)
         case None => s.conf.unset(providerKey)
       }
+      prevNoData match {
+        case Some(p) => s.conf.set(noDataKey, p)
+        case None => s.conf.unset(noDataKey)
+      }
     }
     s.table(name)
   }
@@ -111,7 +124,7 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_cents"))
-    runToMemory(s, agg, "complete")
+    runToMemory(s, agg, "complete", noDataBatch = false)
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
@@ -140,7 +153,8 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("event_id"))
     val agg = doubled.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_after_dedup"))
-    runToMemory(s, agg, "complete").orderBy(col("event_type"))
+    runToMemory(s, agg, "complete", noDataBatch = false)
+      .orderBy(col("event_type"))
   }
 
   // O-04/O-54: foreachBatch micro-batch sink (the reference's batched
