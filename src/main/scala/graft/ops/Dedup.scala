@@ -106,8 +106,8 @@ object Dedup {
   def q36NearDup(s: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h"))
+    val pairs = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -152,14 +152,23 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("arr"), x => x.getField("h")).as("set"),
         size(col("arr")).cast("long").as("c"))
-    // prefix length for t = 0.5: n - ceil(t*n) + 1 = n DIV 2 + 1
+    // prefix length for t = 0.5: n - ceil(t*n) + 1 = n DIV 2 + 1.
+    // posexplode keeps each prefix shingle's 0-based position p for the
+    // positional filter below.
     val prefix = docAgg.select(col("doc_id"), col("c"),
-      explode(slice(col("set"), lit(1),
+      posexplode(slice(col("set"), lit(1),
         (size(col("set")).cast("long") / lit(2L)).cast("int") + 1))
-        .as("h"))
-    // size filter at candidate time: jaccard >= 0.5 forces
-    // max(|A|,|B|) <= 2*min(|A|,|B|); carrying c through the prefix rows
-    // prunes incompatible pairs before the distinct + verification join.
+        .as(Seq("p", "h")))
+    // Candidate-time pruning, both lossless (PPJoin):
+    //  - size filter: jaccard >= 0.5 forces max(|A|,|B|) <= 2*min(|A|,|B|);
+    //  - POSITIONAL filter: both prefixes follow the same global shingle
+    //    order, so a match at positions (p_a, p_b) bounds the achievable
+    //    intersection by 1 + min(c_a-p_a-1, c_b-p_b-1); jaccard >= 0.5
+    //    needs inter*3 >= c_a+c_b. The first shared prefix shingle has
+    //    the minimal positions (order is shared), so per-row filtering +
+    //    distinct keeps exactly the pairs whose best bound passes —
+    //    no false negatives. Cut candidates 310k -> far fewer on this
+    //    high-sharing corpus, which is what the verification join costs.
     // shuffle-hash everywhere docAgg re-enters the plan: the prefix
     // self-join's two sides and the two verification sides all reduce to
     // the SAME docAgg aggregation exchange, so it's computed once and
@@ -168,7 +177,9 @@ object Dedup {
     val cand = prefix.as("a").hint("shuffle_hash")
       .join(prefix.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2)
+        greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2 &&
+        (lit(1) + least(col("a.c") - col("a.p") - 1,
+          col("b.c") - col("b.p") - 1)) * 3 >= col("a.c") + col("b.c"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = docAgg
@@ -317,8 +328,8 @@ object Dedup {
           .as("ckey"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"),
         col("cc.ckey").as("ckey"))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    chunks.as("x").hint("shuffle_hash")
+      .join(chunks.as("y").hint("shuffle_hash"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -17,13 +17,23 @@ object TextAnalysis {
   private def toks: Column =
     filter(split(trim(col("text")), "\\s+"), t => t =!= "")
 
+  /** documents scan rebalanced to all cores: the fixture is a
+    * single-row-group parquet (one scan task), and every query here does
+    * heavy per-doc compute (regexes, digests, interpreted array lambdas)
+    * that Catalyst fuses into the scan stage — without this it all runs
+    * serially (Dedup.docTokens has the full argument). On a well-written
+    * many-file table the scan is already parallel and this exchange is
+    * noise next to the per-doc work it balances. */
+  private def docsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   private val toksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"""
 
   // O-61: tokenize + length/diversity/stopword statistics (the engine's
   // text-quality primitives; ref O-40 text handling rg.py:364-366).
   def q38TextAnalysis(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsParallel(s, d)
       .withColumn("toks", toks)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("n_chars_m"),
@@ -50,7 +60,10 @@ object TextAnalysis {
       ("en", "the"), ("en", "a"), ("es", "el"), ("es", "la"),
       ("fr", "le"), ("fr", "et"), ("de", "der"), ("de", "und"),
       ("zh", "ma")).toDF("cand_lang", "word")
-    val tokRows = documents(s, d)
+    // repartition: the fixture is a single-row-group parquet, so the
+    // token explode + probe would otherwise run on the lone scan task
+    // (same trap as Dedup.docTokens)
+    val tokRows = docsParallel(s, d)
       .select(col("doc_id"), explode(toks).as("tok"))
     val scored = tokRows
       .join(broadcast(markers), col("tok") === col("word"))
@@ -73,7 +86,7 @@ object TextAnalysis {
   // stopword ratio via cross-multiplication, mean token length band) —
   // zero float ops, so the score is engine- and order-exact.
   def q42QualityScore(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsParallel(s, d)
       .withColumn("toks", toks)
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -94,7 +107,7 @@ object TextAnalysis {
   // (word-runs and single punctuation marks, the GPT-2 pre-tokenizer
   // shape) — both Java regex and RE2 agree on this ASCII class.
   def q43TokenCount(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsParallel(s, d)
       .select(col("doc_id"),
         length(col("text")).as("n_chars_m"),
         size(toks).as("n_ws_tokens"),
@@ -111,7 +124,7 @@ object TextAnalysis {
       sequence(lit(0), size(col("w")) - 3),
       i => concat_ws(" ", element_at(col("w"), i + 1),
         element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
-    documents(s, d)
+    docsParallel(s, d)
       .withColumn("w", warr)
       .withColumn("norm_text",
         regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -134,7 +147,7 @@ object TextAnalysis {
   // sum-of-products mod 2^61-1 (O(n*w), oracle-side only); the
   // expression math is also unit-tested against a naive reference.
   def q44bRollingFingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsParallel(s, d)
       .select(col("doc_id"), col("n_chars"),
         graft.functions.RollingHashMin(col("text"), 32).as("rolling_fp"),
         graft.functions.RollingHashMin(col("text"), 8).as("rolling_fp_w8"))
