@@ -34,7 +34,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Scalars.queries ++ ops.Typed.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.TextAnalysis.queries ++ functions.Multimodal.queries ++
+      ops.TextAnalysis.queries ++ ops.Sampling.queries ++
+      functions.Multimodal.queries ++
       streaming.Streams.queries ++
       Map("q48_pipeline_backfill" ->
         ((s: SparkSession, d: String) =>
@@ -46,7 +47,8 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
       ops.Scalars.oracles ++ ops.Typed.oracles ++
       ops.Dedup.oracles ++ ops.Similarity.oracles ++
-      ops.TextAnalysis.oracles ++ functions.Multimodal.oracles ++
+      ops.TextAnalysis.oracles ++ ops.Sampling.oracles ++
+      functions.Multimodal.oracles ++
       streaming.Streams.oracles ++
       // q48 runs over an inline 3-commit fixture (sfDir-independent), so
       // its oracle is the hand-derived golden: artifact "bbb" carries two

@@ -140,7 +140,12 @@ object Relational {
 
   // O-18: equi join + range residual (Tier B time-range correlation).
   def q11RangeJoin(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
+    // shuffle-hash over sort-merge: the downstream groupBy(o_orderkey)
+    // reuses the join's hash partitioning either way, but SHJ skips
+    // sorting both inputs (the range residual is a per-row filter, not
+    // a merge condition). At scale the small side per partition is the
+    // orders slice — hash-buildable.
+    orders(s, d).hint("shuffle_hash")
       .join(lineitem(s, d),
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),

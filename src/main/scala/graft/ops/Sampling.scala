@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split operators for training-data pipelines
+  * (driver north-star extension family, BASELINE.json: "design every
+  * operator for 100 TB scale").
+  *
+  * Both operators key on a content-stable md5-derived bucket instead of
+  * rand(): at 100 TB a split must be (a) reproducible across reruns and
+  * engines, (b) stable under repartitioning, (c) a pure per-row map with
+  * no global state — a driver-seeded RNG is none of those. The same
+  * md5-slice construction backs the MinHash family (Dedup.q36bSig).
+  */
+object Sampling {
+  import Tables._
+
+  /** Stable per-doc bucket in [0, 100): first 8 hex chars of
+    * md5(doc_id) as an integer, mod 100. */
+  private def bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  // Train/val/test split 80/10/10 by stable hash bucket: new data lands
+  // in the same split on every backfill, and membership is decided
+  // row-locally (no shuffle at all before the presentation sort).
+  def q59HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  private val QuotaPerSource = 20
+
+  // Data-mixing quota: at most K docs per source, selected by the stable
+  // hash order (not arrival order, which is nondeterministic at scale).
+  // One shuffle on source; the rank window streams each group.
+  def q60SourceQuota(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QuotaPerSource)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_hash_split" -> (q59HashSplit _),
+    "q60_source_quota" -> (q60SourceQuota _),
+  )
+
+  private val bucketSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  val oracles: Map[String, String] = Map(
+    "q59_hash_split" ->
+      s"""SELECT doc_id, source, $bucketSql AS bucket,
+         |  CASE WHEN $bucketSql < 80 THEN 'train'
+         |       WHEN $bucketSql < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q60_source_quota" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $bucketSql AS bucket FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id) AS INT) AS rn
+         |  FROM b)
+         |SELECT doc_id, source, rn FROM ranked
+         |WHERE rn <= $QuotaPerSource ORDER BY source, rn""".stripMargin,
+  )
+}

@@ -153,6 +153,35 @@ object TextAnalysis {
         graft.functions.RollingHashMin(col("text"), 8).as("rolling_fp_w8"))
       .orderBy(col("doc_id"))
 
+  private val TfidfTopK = 5
+
+  // O-61 keyword extraction: deterministic integer TF-IDF, top-5 terms
+  // per document. idf is the integer surrogate (n_docs*1000) DIV df —
+  // monotone in the real ln((N+1)/(df+1)) ranking but engine-exact
+  // (chained float ln/multiply is not, SURVEY.md §7.4). Shapes: tf is
+  // one shuffle on (doc, term); df is an aggregate of the tf rows
+  // (already distinct per doc-term); df and the doc count broadcast back
+  // — at 100 TB the term dictionary is millions of rows against
+  // trillions of token rows, the canonical broadcast asymmetry.
+  def q58TfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val tf = docsParallel(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((n_docs * 1000) DIV df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_text_analysis" -> (q38TextAnalysis _),
     "q44b_rolling_fingerprint" -> (q44bRollingFingerprint _),
@@ -160,6 +189,7 @@ object TextAnalysis {
     "q42_quality_score" -> (q42QualityScore _),
     "q43_token_count" -> (q43TokenCount _),
     "q44_fingerprint" -> (q44Fingerprint _),
+    "q58_tfidf_topk" -> (q58TfidfTopk _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -182,6 +212,24 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q58_tfidf_topk" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t.term, count(*) AS tf
+         |  FROM documents,
+         |    UNNEST($toksSql) AS t(term)
+         |  GROUP BY doc_id, t.term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * ((n.n_docs * 1000) // df.df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, rank FROM ranked
+         |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "q44b_rolling_fingerprint" ->
       s"""SELECT doc_id, n_chars,
          |  ${rollSql(32)} AS rolling_fp,
