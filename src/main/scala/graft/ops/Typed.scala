@@ -1,23 +1,41 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Typed row model for the lineitem slice used by the Dataset-API demo. */
 case class LineSlim(l_returnflag: String, l_quantity: Double,
     l_extendedprice: Double)
 
+/** Mutable-free aggregation buffer for [[LineStatsAgg]]. */
+case class LineBuf(n: Long, qty: Long, cents: Long)
+
+/** Typed Aggregator over the case-class rows: exact integer sums (cents
+  * for money), so the result is engine-exact. Unlike `mapGroups`, an
+  * Aggregator participates in PARTIAL aggregation — each partition
+  * reduces to one buffer per key map-side and the shuffle carries
+  * buffers, not rows: the shape that survives a 100 TB scale-up. */
+object LineStatsAgg extends Aggregator[LineSlim, LineBuf, LineBuf] {
+  override def zero: LineBuf = LineBuf(0L, 0L, 0L)
+  override def reduce(b: LineBuf, r: LineSlim): LineBuf =
+    LineBuf(b.n + 1, b.qty + r.l_quantity.toLong,
+      b.cents + math.round(r.l_extendedprice * 100))
+  override def merge(a: LineBuf, b: LineBuf): LineBuf =
+    LineBuf(a.n + b.n, a.qty + b.qty, a.cents + b.cents)
+  override def finish(b: LineBuf): LineBuf = b
+  override def bufferEncoder: Encoder[LineBuf] = Encoders.product[LineBuf]
+  override def outputEncoder: Encoder[LineBuf] = Encoders.product[LineBuf]
+}
+
 /** Typed Dataset surface (SURVEY.md §1.4: `Dataset[T]` where compile-time
   * field checks help). q51 runs the q13 aggregation through
-  * `groupByKey` + `mapGroups` — the typed escape hatch for logic that
-  * genuinely can't be expressed as columns.
-  *
-  * Scale note, stated for the record: mapGroups has NO partial
-  * aggregation — every row shuffles to its group's reducer. For additive
-  * aggregates the column form (q13) is strictly better; the typed form
-  * exists for non-algebraic per-group logic (sessionizers, model
-  * scoring, ordered scans). The oracle proves result parity with the
-  * columnar path.
+  * `groupByKey` + a typed [[Aggregator]] — custom per-group logic with
+  * compile-time row types, WITHOUT giving up partial aggregation (the
+  * `mapGroups` escape hatch, which shuffles every row to its group's
+  * reducer, stays reserved for genuinely non-algebraic per-group logic;
+  * the streaming s07 query demonstrates that shape). The oracle proves
+  * result parity with the columnar path.
   */
 object Typed {
   import Tables._
@@ -28,18 +46,10 @@ object Typed {
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .as[LineSlim]
     ds.groupByKey(_.l_returnflag)
-      .mapGroups { (flag, rows) =>
-        var n = 0L
-        var qty = 0L
-        var cents = 0L
-        rows.foreach { r =>
-          n += 1
-          qty += r.l_quantity.toLong
-          cents += math.round(r.l_extendedprice * 100)
-        }
-        (flag, n, qty, cents)
-      }
-      .toDF("l_returnflag", "n_rows", "sum_qty", "sum_base_cents")
+      .agg(LineStatsAgg.toColumn.name("stats"))
+      .select(col("key").as("l_returnflag"),
+        col("stats.n").as("n_rows"), col("stats.qty").as("sum_qty"),
+        col("stats.cents").as("sum_base_cents"))
       .orderBy(col("l_returnflag"))
   }
 
