@@ -111,4 +111,24 @@ class PropertiesSpec extends SparkSpec {
       assert(native.collect().toSeq === lambda.collect().toSeq)
     }
   }
+
+  test("SortedLongArrayIntersectSize equals array_intersect on sorted sets") {
+    import spark.implicits._
+    val setGen = Gen.listOfN(12,
+      Gen.zip(Gen.listOf(Gen.chooseNum(0L, 50L)),
+        Gen.listOf(Gen.chooseNum(0L, 50L))))
+    forAll(setGen) { pairs =>
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a.distinct.sorted, b.distinct.sorted) }
+      val df = rows.toDF("id", "a", "b")
+      val stock = df.select(col("id"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("n"))
+        .orderBy(col("id"))
+      val native = df.select(col("id"),
+        graft.functions.SortedLongArrayIntersectSize(col("a"), col("b"))
+          .as("n"))
+        .orderBy(col("id"))
+      assert(native.collect().toSeq === stock.collect().toSeq)
+    }
+  }
 }
