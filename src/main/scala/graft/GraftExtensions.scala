@@ -1,12 +1,12 @@
 package graft
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, SortedLongArrayIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions wiring: exposes the engine's custom Catalyst
-  * expression to SQL users, so `spark.sql("SELECT long_array_dot(a, b)")`
+  * expressions to SQL users, so `spark.sql("SELECT long_array_dot(a, b)")`
   * works next to the Scala Column API.
   *
   * Usage: SparkSession.builder().withExtensions(new GraftExtensions)
@@ -14,24 +14,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.longArrayDotDescriptor)
+    GraftExtensions.functionDescriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 
 object GraftExtensions {
-  private[graft] val longArrayDotDescriptor = (
-    new FunctionIdentifier("long_array_dot"),
-    new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
-    (children: Seq[Expression]) => LongArrayDot(children(0), children(1)))
+  private[graft] val functionDescriptors = Seq(
+    (new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (children: Seq[Expression]) => LongArrayDot(children(0), children(1))
+        : Expression),
+    (new FunctionIdentifier("sorted_long_array_intersect_size"),
+      new ExpressionInfo(classOf[SortedLongArrayIntersectSize].getName,
+        "sorted_long_array_intersect_size"),
+      (children: Seq[Expression]) =>
+        SortedLongArrayIntersectSize(children(0), children(1)): Expression),
+  )
 
   /** Register on an already-built session (test/REPL convenience):
-    * the SQL function plus the dot-product optimizer rewrite (via the
+    * the SQL functions plus the dot-product optimizer rewrite (via the
     * public experimental extraOptimizations hook; idempotent). */
   def install(spark: SparkSession): Unit = {
-    val (id, info, builder) = longArrayDotDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    functionDescriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations ++=

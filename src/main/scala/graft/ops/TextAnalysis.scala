@@ -164,10 +164,16 @@ object TextAnalysis {
   // — at 100 TB the term dictionary is millions of rows against
   // trillions of token rows, the canonical broadcast asymmetry.
   def q58TfidfTopk(s: SparkSession, d: String): DataFrame = {
+    // repartition(doc_id) above the tf aggregation: tf feeds BOTH the df
+    // dictionary aggregate and the scoring join, and AQE reuses
+    // exchanges, not the final agg above one (q36e's docAgg finding) —
+    // this way tf is computed once, and the rank window's required
+    // hash(doc_id) distribution is already satisfied (no third shuffle).
     val tf = docsParallel(s, d)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .repartition(col("doc_id"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -10,6 +10,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === 4 + 10 + 18)
   }
 
+  test("sorted_long_array_intersect_size callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT sorted_long_array_intersect_size(" +
+        "array(1L, 3L, 5L, 9L), array(2L, 3L, 9L, 11L)) AS n")
+      .collect().head.getLong(0)
+    assert(got === 2L)
+  }
+
   test("registerTables exposes the full surface to spark.sql") {
     GraftExtensions.registerTables(spark, sf)
     val n = spark.sql(
