@@ -230,7 +230,9 @@ object Streams {
           state.update(UserState(n, sum))
           Iterator.single(UserSummary(user, n, sum))
       }
-    runToMemory(s, out.toDF(), "append")
+    // append mode, but emission happens in the data batch itself
+    // (NoTimeout state never fires on a no-data batch) -> skip it
+    runToMemory(s, out.toDF(), "append", noDataBatch = false)
       .orderBy(col("user_id"))
   }
 
@@ -256,7 +258,10 @@ object Streams {
       "inner")
       .select(col("c_user").as("user_id"), col("click_id"),
         col("err_id"), col("click_ts"), col("err_ts"))
-    runToMemory(s, joined, "append")
+    // inner stream-stream joins emit pairs eagerly as rows arrive; the
+    // trailing no-data batch only evicts state (nothing new can match
+    // after the single data batch) -> skip it
+    runToMemory(s, joined, "append", noDataBatch = false)
       .orderBy(col("click_id"), col("err_id"))
   }
 
