@@ -18,8 +18,10 @@ object Bench {
     // the target sf, which is what a long-lived cluster job looks like.
     // (Plans differ only in the scan path between sf dirs; Janino/JIT
     // caches key on generated code, which is sf-independent.)
+    // Warmup dir: smallest sibling sf (codegen/JIT land there; measured
+    // A/B showed target-sf warmup buys nothing further — AQE re-plans
+    // every execution regardless). Override via SPARK_GRAFT_WARM_DIR.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
-      // prefer the smallest sibling sf dir; fall back to the bench dir
       val sibling = new java.io.File(sfDir).getParentFile match {
         case null => null
         case p => new java.io.File(p, "sf0.001")
