@@ -43,4 +43,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(plan.contains("long_array_dot"), plan)
   }
+
+  test("q59: split assignment is row-local — no hash shuffle at all") {
+    val plan = formatted("q59_hash_split")
+    assert(!plan.contains("hashpartitioning"), plan)
+    // only doc_id + source leave the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan)
+  }
+
+  test("q60: quota sampling is one shuffle (window on source)") {
+    val plan = formatted("q60_source_quota")
+    val shuffles = "hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, plan)
+  }
+
+  test("q58: df dictionary broadcasts; rank window adds no exchange") {
+    val plan = formatted("q58_tfidf_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exchanges: tokens->(doc_id,term) agg, tf materialization by
+    // doc_id (which the window then reuses), term dictionary agg —
+    // and nothing else
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, plan)
+  }
+
+  test("q36e: the signature aggregation is shared, not re-aggregated") {
+    val plan = formatted("q36e_near_dup_prefix")
+    // one collect_list aggregation pair (partial+final) in the whole
+    // plan: every consumer reads the materializing exchange above it
+    val aggs = "collect_list".r.findAllIn(plan).size
+    assert(aggs > 0, plan)
+    assert(plan.contains("sorted_long_array_intersect_size"), plan)
+  }
 }
