@@ -98,6 +98,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(
           transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
+      // materialize-via-exchange (same reasoning as q36e's docAgg): both
+      // consumers of this table — the per-shingle frequency/count
+      // aggregation and the candidate join — require hash(h) or don't
+      // care, so one repartition(h) makes the shingling+digest pass a
+      // single shared stage AND pre-satisfies the join/agg distribution
+      // (EnsureRequirements adds no further exchange on h).
+      .repartition(col("h"))
 
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
