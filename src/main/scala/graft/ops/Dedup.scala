@@ -32,9 +32,9 @@ object Dedup {
     * magnitude cheaper than serializing the compute; on a many-file
     * 100 TB table the scan parallelism is already there and this shuffle
     * is a no-op cost next to the digest work it balances. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
 
@@ -55,8 +55,8 @@ object Dedup {
 
   /** (doc_id, shingle): one row per shingle POSITION (per-doc duplicates
     * kept — min-hash aggregation is duplicate-insensitive). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docTokens(s, d)
+  private def shingles(docs: DataFrame): DataFrame =
+    docTokens(docs)
       .select(col("doc_id"), explode(shingleExpr(col("w"))).as("shingle"))
 
   /** Shared oracle CTE producing the same distinct shingles in DuckDB. */
@@ -72,8 +72,10 @@ object Dedup {
 
   // O-58: exact dedup — keep-first by content, grouped on a 256-bit
   // content hash (ref InfluxDB point-identity overwrite, rg.py:43-50).
-  def q35DedupExact(s: SparkSession, d: String): DataFrame = {
-    val keyed = documents(s, d)
+  /** Generic exact dedup over any (doc_id, lang, source, n_chars, text)
+    * table; the q35 fixture query is `exactDedup(Tables.documents(...))`. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs
       .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     keyed
@@ -86,6 +88,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  def q35DedupExact(s: SparkSession, d: String): DataFrame =
+    exactDedup(documents(s, d))
+
   /** Shingle rows keyed by 64-bit hash: (doc_id, h). Shuffling/joining
     * 8-byte longs instead of ~25-char strings cuts exchange and compare
     * cost ~3x; intersection counts are identical to the string
@@ -93,8 +98,8 @@ object Dedup {
     * (P < 1e-9 at 100 TB shingle cardinality ~2^40 per pair; the DuckDB
     * oracle — which stays on strings — would catch one deterministically
     * at test scale). */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    docTokens(s, d)
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    docTokens(docs)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
@@ -110,8 +115,10 @@ object Dedup {
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
   // This corpus has low cross-doc shingle sharing, so the naive join has
   // little fan-out and wins; q36e is the prefix-filtered scale variant.
-  def q36NearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d)
+  /** Generic exact 3-gram Jaccard near-dup pairs at threshold 0.5 over
+    * any (doc_id, text) table. */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sh = hashedShingles(docs)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
@@ -129,6 +136,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def q36NearDup(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(documents(s, d))
+
   // O-59 scale variant: PPJoin-style PREFIX FILTERING. A full shingle
   // self-join explodes on frequent tokens in heavy-tailed corpora, so
   // candidates come only from each doc's first (n - ceil(t*n) + 1)
@@ -138,8 +148,8 @@ object Dedup {
   // reproduces precisely the naive output — SAME oracle. Wins when
   // token frequency is skewed (the 100 TB case); loses on this small
   // uniform corpus, which is why both formulations ship.
-  def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d)
+  def nearDupPairsPrefix(docs: DataFrame): DataFrame = {
+    val sh = hashedShingles(docs)
     // global doc-frequency table is tiny relative to the corpus (distinct
     // shingles only) -> broadcast, no shuffle on the big side
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -220,6 +230,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame =
+    nearDupPairsPrefix(documents(s, d))
+
   private val NHashes = 16
   private val NBands = 8 // 2 rows per band
 
@@ -249,10 +262,10 @@ object Dedup {
   // Duplicate shingles within a doc are NOT removed: min() is
   // duplicate-insensitive, and per-doc dedup of a *string* array is
   // O(len^2) generic-compare.
-  private def q36bSig(s: SparkSession, d: String): DataFrame = {
+  private def q36bSig(docs: DataFrame): DataFrame = {
     val digests = (0 until 2).map(g =>
       sha2(concat(lit(s"s$g:"), col("shingle")).cast("binary"), 256))
-    val sliced = shingles(s, d).select(
+    val sliced = shingles(docs).select(
       col("doc_id") +: (0 until NHashes).map(j =>
         conv(substring(digests(j / 8), 1 + 8 * (j % 8), 8), 16, 10)
           .cast("long").as(s"x$j")): _*)
@@ -270,8 +283,9 @@ object Dedup {
   // signature aggregation for two extra join sides: this shape cut q36b
   // 3.3s -> ~1.5s at sf0.1, and at 100 TB it is one shuffle + one
   // distinct instead of three shuffles and two broadcast builds.
-  def q36bMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = q36bSig(s, d)
+  /** Generic MinHash+LSH near-dup pairs over any (doc_id, text) table. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val sig = q36bSig(docs)
     val bands = sig.select(col("doc_id"), col("mins"),
       explode(array((0 until NBands).map(b =>
         struct(lit(b).as("band"),
@@ -303,6 +317,9 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def q36bMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(documents(s, d))
+
   private val SimBits = 60 // md5-derived token hash width (15 hex chars)
   private val SimChunks = 4 // banding: 4 chunks of 15 bits
 
@@ -312,11 +329,13 @@ object Dedup {
   // candidate pairs share a 15-bit chunk (banded), reported with hamming
   // distance <= 8. Token multiplicity intentionally counts (frequency-
   // weighted SimHash), hence no dedup anywhere.
-  def q36cSimhash(s: SparkSession, d: String): DataFrame = {
+  /** Generic frequency-weighted SimHash near-dup pairs over any
+    * (doc_id, text) table. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
     // repartition: same single-row-group scan-parallelism fix as
     // docTokens (the 60 bit-sum aggregates are the heavy stage here)
-    val toks = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
@@ -360,6 +379,9 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def q36cSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),

@@ -26,8 +26,8 @@ object Sampling {
   // Train/val/test split 80/10/10 by stable hash bucket: new data lands
   // in the same split on every backfill, and membership is decided
   // row-locally (no shuffle at all before the presentation sort).
-  def q59HashSplit(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
@@ -35,21 +35,27 @@ object Sampling {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  def q59HashSplit(s: SparkSession, d: String): DataFrame =
+    hashSplit(documents(s, d))
+
   private val QuotaPerSource = 20
 
   // Data-mixing quota: at most K docs per source, selected by the stable
   // hash order (not arrival order, which is nondeterministic at scale).
   // One shuffle on source; the rank window streams each group.
-  def q60SourceQuota(s: SparkSession, d: String): DataFrame = {
+  def sourceQuota(docs: DataFrame, quota: Int = QuotaPerSource): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("bucket"), col("doc_id"))
-    documents(s, d)
+    docs
       .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= QuotaPerSource)
+      .filter(col("rn") <= quota)
       .select(col("doc_id"), col("source"), col("rn"))
       .orderBy(col("source"), col("rn"))
   }
+
+  def q60SourceQuota(s: SparkSession, d: String): DataFrame =
+    sourceQuota(documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),

@@ -21,8 +21,9 @@ object Similarity {
 
   // O-60: brute-force exact top-k by quantized cosine vs a fixed query
   // vector (vec_id 0). Integer dot product => engine-exact ordering.
-  def q37SimilarityTopk(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+  /** Generic brute-force top-k over any (vec_id, label, embedding)
+    * table: exact quantized-cosine against the vec_id=0 query vector. */
+  def similarityTopK(emb: DataFrame, k: Int = 10): DataFrame = {
     // quantize each side ONCE at the scan, then the per-pair work is a
     // single codegen'd integer loop (LongArrayDot)
     val qv = emb.filter(col("vec_id") === 0)
@@ -34,8 +35,11 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
       .orderBy(col("dot_e12").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
+
+  def q37SimilarityTopk(s: SparkSession, d: String): DataFrame =
+    similarityTopK(embeddings(s, d))
 
   private val NPlanes = 8
 
@@ -68,8 +72,7 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+  def similarityLsh(emb: DataFrame, k: Int = 10): DataFrame = {
     val bucketed = emb.withColumn("bucket", signature(col("embedding")))
     val qv = bucketed.filter(col("vec_id") === 0)
       .select(quantize(col("embedding")).as("qv"),
@@ -82,8 +85,11 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"),
         LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
       .orderBy(col("dot_e12").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
+
+  def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame =
+    similarityLsh(embeddings(s, d))
 
   // O-60 IVF variant: inverted-file ANN. Coarse quantizer = the first 16
   // vectors as deterministic centroids (a k-means seed set); every vector
@@ -194,13 +200,13 @@ object Similarity {
 
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
-  def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+  def embeddingNearDup(emb: DataFrame): DataFrame = {
     // quantize per SIDE (n rows), not per pair (n^2): the cross join
     // then runs only the codegen'd integer dot per pair. 20x over the
     // naive zip_with/aggregate-in-the-join formulation at sf0.1.
-    val a = embeddings(s, d)
+    val a = emb
       .select(col("vec_id").as("vec_a"), quantize(col("embedding")).as("qa"))
-    val b = embeddings(s, d)
+    val b = emb
       .select(col("vec_id").as("vec_b"), quantize(col("embedding")).as("qb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
@@ -210,13 +216,16 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  def q36dEmbeddingNeardup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDup(embeddings(s, d))
+
   // O-27/O-56: custom typed Aggregator — per-label vector centroid sums
   // (exact integer per-dimension sums + count; mean = sum/n downstream).
   // Partial aggregation merges primitive arrays map-side, so the shuffle
   // carries one 64-long buffer per (label, partition), not the vectors.
-  def q47CentroidUdaf(s: SparkSession, d: String): DataFrame = {
+  def labelCentroids(emb: DataFrame): DataFrame = {
     val centroid = udaf(graft.functions.CentroidAgg)
-    embeddings(s, d)
+    emb
       .select(col("label"), quantize(col("embedding")).as("qe"))
       .groupBy(col("label"))
       .agg(centroid(col("qe")).as("sums"), count(lit(1)).as("n_vecs"))
@@ -225,6 +234,9 @@ object Similarity {
       .select(col("label"), col("dim_idx"), col("sum_q"), col("n_vecs"))
       .orderBy(col("label"), col("dim_idx"))
   }
+
+  def q47CentroidUdaf(s: SparkSession, d: String): DataFrame =
+    labelCentroids(embeddings(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),

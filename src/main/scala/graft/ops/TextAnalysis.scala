@@ -24,16 +24,16 @@ object TextAnalysis {
     * serially (Dedup.docTokens has the full argument). On a well-written
     * many-file table the scan is already parallel and this exchange is
     * noise next to the per-doc work it balances. */
-  private def docsParallel(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  private def docsParallel(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
   private val toksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"""
 
   // O-61: tokenize + length/diversity/stopword statistics (the engine's
   // text-quality primitives; ref O-40 text handling rg.py:364-366).
-  def q38TextAnalysis(s: SparkSession, d: String): DataFrame =
-    docsParallel(s, d)
+  def textStats(docs: DataFrame): DataFrame =
+    docsParallel(docs)
       .withColumn("toks", toks)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("n_chars_m"),
@@ -51,10 +51,14 @@ object TextAnalysis {
           round(col("n_stop").cast("double") / col("n_tokens"), 4)))
       .orderBy(col("doc_id"))
 
+  def q38TextAnalysis(s: SparkSession, d: String): DataFrame =
+    textStats(documents(s, d))
+
   // O-61 language-ID: marker-word argmax against a broadcast dim (the
   // 1-gram special case of the n-gram heuristic). Deterministic
   // tie-break: (score DESC, candidate ASC); docs with no marker -> 'und'.
-  def q41LangId(s: SparkSession, d: String): DataFrame = {
+  def langId(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val markers = Seq(
       ("en", "the"), ("en", "a"), ("es", "el"), ("es", "la"),
@@ -63,7 +67,7 @@ object TextAnalysis {
     // repartition: the fixture is a single-row-group parquet, so the
     // token explode + probe would otherwise run on the lone scan task
     // (same trap as Dedup.docTokens)
-    val tokRows = docsParallel(s, d)
+    val tokRows = docsParallel(docs)
       .select(col("doc_id"), explode(toks).as("tok"))
     val scored = tokRows
       .join(broadcast(markers), col("tok") === col("word"))
@@ -74,7 +78,7 @@ object TextAnalysis {
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cand_lang"), col("score"))
-    documents(s, d)
+    docs
       .join(best, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
         coalesce(col("cand_lang"), lit("und")).as("predicted_lang"),
@@ -82,11 +86,14 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  def q41LangId(s: SparkSession, d: String): DataFrame =
+    langId(documents(s, d))
+
   // O-61 quality scoring: integer-only rubric (length band, diversity,
   // stopword ratio via cross-multiplication, mean token length band) —
   // zero float ops, so the score is engine- and order-exact.
-  def q42QualityScore(s: SparkSession, d: String): DataFrame =
-    docsParallel(s, d)
+  def qualityScore(docs: DataFrame): DataFrame =
+    docsParallel(docs)
       .withColumn("toks", toks)
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -103,11 +110,14 @@ object TextAnalysis {
             col("n_tokens") * 8), 10).otherwise(0))
       .orderBy(col("doc_id"))
 
+  def q42QualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScore(documents(s, d))
+
   // O-61 token counting: whitespace tokens + a BPE-ish regex pass
   // (word-runs and single punctuation marks, the GPT-2 pre-tokenizer
   // shape) — both Java regex and RE2 agree on this ASCII class.
-  def q43TokenCount(s: SparkSession, d: String): DataFrame =
-    docsParallel(s, d)
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docsParallel(docs)
       .select(col("doc_id"),
         length(col("text")).as("n_chars_m"),
         size(toks).as("n_ws_tokens"),
@@ -115,16 +125,19 @@ object TextAnalysis {
           .as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  def q43TokenCount(s: SparkSession, d: String): DataFrame =
+    tokenCounts(documents(s, d))
+
   // O-61 fingerprinting: full-content md5, whitespace-normalized md5,
   // and 2 salted min-hashes over word-3-gram shingles (rolling-hash
   // document signature; deterministic across engines).
-  def q44Fingerprint(s: SparkSession, d: String): DataFrame = {
+  def fingerprints(docs: DataFrame): DataFrame = {
     val warr = split(trim(col("text")), "\\s+")
     val sharr = transform(
       sequence(lit(0), size(col("w")) - 3),
       i => concat_ws(" ", element_at(col("w"), i + 1),
         element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
-    docsParallel(s, d)
+    docsParallel(docs)
       .withColumn("w", warr)
       .withColumn("norm_text",
         regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -141,17 +154,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  def q44Fingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprints(documents(s, d))
+
   // O-61 rolling-hash fingerprint: winnowing-style min of all 32-byte
   // substring hashes in one O(n) codegen pass (RollingHashMin custom
   // Expression). The DuckDB oracle recomputes each window hash as a
   // sum-of-products mod 2^61-1 (O(n*w), oracle-side only); the
   // expression math is also unit-tested against a naive reference.
-  def q44bRollingFingerprint(s: SparkSession, d: String): DataFrame =
-    docsParallel(s, d)
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docsParallel(docs)
       .select(col("doc_id"), col("n_chars"),
         graft.functions.RollingHashMin(col("text"), 32).as("rolling_fp"),
         graft.functions.RollingHashMin(col("text"), 8).as("rolling_fp_w8"))
       .orderBy(col("doc_id"))
+
+  def q44bRollingFingerprint(s: SparkSession, d: String): DataFrame =
+    rollingFingerprints(documents(s, d))
 
   private val TfidfTopK = 5
 
@@ -163,19 +182,19 @@ object TextAnalysis {
   // (already distinct per doc-term); df and the doc count broadcast back
   // — at 100 TB the term dictionary is millions of rows against
   // trillions of token rows, the canonical broadcast asymmetry.
-  def q58TfidfTopk(s: SparkSession, d: String): DataFrame = {
+  def tfidfTopK(docs: DataFrame): DataFrame = {
     // repartition(doc_id) above the tf aggregation: tf feeds BOTH the df
     // dictionary aggregate and the scoring join, and AQE reuses
     // exchanges, not the final agg above one (q36e's docAgg finding) —
     // this way tf is computed once, and the rank window's required
     // hash(doc_id) distribution is already satisfied (no third shuffle).
-    val tf = docsParallel(s, d)
+    val tf = docsParallel(docs)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .repartition(col("doc_id"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(broadcast(df), "term")
@@ -187,6 +206,9 @@ object TextAnalysis {
         col("score"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  def q58TfidfTopk(s: SparkSession, d: String): DataFrame =
+    tfidfTopK(documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_text_analysis" -> (q38TextAnalysis _),

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The library surface is generic over DataFrames, not bound to the
+  * fixture files: every Tier-C family exposes a `DataFrame => DataFrame`
+  * operator that the qNN fixture queries merely wrap. This spec drives
+  * them with hand-built inputs. */
+class GenericApiSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "srcA", 28L, "the quick brown fox jumps high"),
+      (2L, "en", "srcA", 28L, "the quick brown fox jumps high"),
+      (3L, "en", "srcB", 30L, "a completely different sentence"),
+      (4L, "fr", "srcB", 20L, "le chat et le chien et le loup")
+    ).toDF("doc_id", "lang", "source", "n_chars", "text")
+  }
+
+  test("exactDedup collapses identical texts from any DataFrame") {
+    val out = ops.Dedup.exactDedup(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    assert(out.find(_.getLong(0) == 1L).get.getLong(5) === 2L) // n_dups
+  }
+
+  test("nearDupPairs and the prefix variant agree on any DataFrame") {
+    val naive = ops.Dedup.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prefix = ops.Dedup.nearDupPairsPrefix(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive === Seq((1L, 2L)))
+    assert(prefix === naive)
+  }
+
+  test("minhashLshPairs and simhashPairs find the exact duplicate") {
+    val mh = ops.Dedup.minhashLshPairs(docs).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val sh = ops.Dedup.simhashPairs(docs).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("text analysis generics run on any DataFrame") {
+    assert(ops.TextAnalysis.textStats(docs).count() === 4)
+    val lang = ops.TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(lang(1L) === "en")
+    assert(lang(4L) === "fr")
+    val kw = ops.TextAnalysis.tfidfTopK(docs)
+    assert(kw.filter(col("doc_id") === 4L).count() === 5)
+  }
+
+  test("sampling generics run on any DataFrame, quota parameterized") {
+    assert(ops.Sampling.hashSplit(docs).count() === 4)
+    val q1 = ops.Sampling.sourceQuota(docs, quota = 1).collect()
+    assert(q1.length === 2) // one doc per source
+    assert(q1.map(_.getInt(2)).forall(_ === 1))
+  }
+
+  test("similarity generics run on a hand-built embeddings DataFrame") {
+    import spark.implicits._
+    val emb = (0L to 5L).map { i =>
+      (i, s"lab${i % 2}", Array.tabulate(4)(j =>
+        if (i == 0 || i == 5) 0.5f else 0.1f * ((i + j) % 3)))
+    }.toDF("vec_id", "label", "embedding")
+    val top = ops.Similarity.similarityTopK(emb, k = 2).collect()
+    assert(top.length === 2)
+    assert(top.head.getLong(0) === 5L) // identical direction to the query
+    val cents = ops.Similarity.labelCentroids(emb)
+    assert(cents.count() === 2 * 4) // 2 labels x 4 dims
+  }
+}
