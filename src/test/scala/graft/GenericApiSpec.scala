@@ -57,6 +57,52 @@ class GenericApiSpec extends SparkSpec {
     assert(q1.map(_.getInt(2)).forall(_ === 1))
   }
 
+  test("connectedComponents resolves transitive chains and singleton pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (min label must travel 3 hops -> exercises the
+    // pointer-jumping iterations), disjoint pair 9-8, pair 5-6
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (9L, 8L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = ops.Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false),
+      (3L, 1L, 4L, false), (4L, 1L, 4L, false),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false),
+      (8L, 8L, 2L, true), (9L, 8L, 2L, false)))
+  }
+
+  test("connectedComponents on an empty edge list returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(ops.Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("qualityFilter flags short and repetitive docs") {
+    import spark.implicits._
+    val qdocs = Seq(
+      (1L, ("word " * 30).trim), // 30 tokens, mean 4, distinct 1/30 -> rep fail
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" ")), // all rules pass
+      (3L, "too short entirely") // len fail
+    ).toDF("doc_id", "text")
+    val out = ops.TextAnalysis.qualityFilter(qdocs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) === ((true, true, false, false)))
+    assert(out(2L) === ((true, true, true, true)))
+    assert(out(3L)._1 === false)
+    assert(out(3L)._4 === false)
+  }
+
+  test("stratifiedSample keeps ceil(pct%) per stratum") {
+    import spark.implicits._
+    val sdocs = (1L to 25L).map(i =>
+      (i, if (i <= 21) "en" else "fr")).toDF("doc_id", "lang")
+    val out = ops.Sampling.stratifiedSample(sdocs, pct = 10).collect()
+    val perLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang === Map("en" -> 3, "fr" -> 1)) // ceil(2.1)=3, ceil(0.4)=1
+  }
+
   test("similarity generics run on a hand-built embeddings DataFrame") {
     import spark.implicits._
     val emb = (0L to 5L).map { i =>
