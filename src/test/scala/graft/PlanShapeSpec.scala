@@ -69,6 +69,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 3, plan)
   }
 
+  test("q62: quality filter reads only (doc_id, text), no hash shuffle") {
+    val plan = formatted("q62_quality_filter")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+    // row-local rules: the only exchanges are the scan-parallelism
+    // round-robin repartition and the presentation sort
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("q63: both windows share the single lang shuffle") {
+    val plan = formatted("q63_stratified_sample")
+    val shuffles = "hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan)
+  }
+
   test("q36e: the signature aggregation is shared, not re-aggregated") {
     val plan = formatted("q36e_near_dup_prefix")
     // one collect_list aggregation pair (partial+final) in the whole
