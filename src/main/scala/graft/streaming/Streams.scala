@@ -80,7 +80,7 @@ object Streams {
     * optionally swaps the state-store provider) for the stream's
     * lifetime, then restores the session settings. */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String,
-      noDataBatch: Boolean = true): DataFrame = {
+      noDataBatch: Boolean = true, forceRocksDb: Boolean = false): DataFrame = {
     val name = s"sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -93,7 +93,8 @@ object Streams {
     // is identical with or without it, so those callers skip it and save
     // one state commit cycle per partition.
     s.conf.set(noDataKey, noDataBatch.toString)
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+    if (forceRocksDb ||
+        sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
       s.conf.set(providerKey, RocksDbProvider)
     try {
       val q = out.writeStream.outputMode(mode)
@@ -236,6 +237,65 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** s09 output row: per-series stream high-water mark. */
+  case class HighWater(event_type: String, n_events: Long,
+    last_ts_micros: Long, last_event_id: Long)
+
+  /** O-48 as a Spark 4 StatefulProcessor: the reference's offset-resume
+    * bookkeeping ("last stored hash is the high-water mark",
+    * rg.py:130-143) kept in typed per-key ValueState via the
+    * transformWithState API — the modern arbitrary-state surface
+    * (RocksDB-backed, state-schema'd, TTL-capable) that supersedes
+    * flatMapGroupsWithState (still demonstrated in s07). Tracks, per
+    * event_type, the running row count and the lexicographic max of
+    * (ts, event_id); one summary row per key per data batch. */
+  private class HighWaterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), HighWater] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var hw: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hw = getHandle.getValueState[(Long, Long, Long)]("hw",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[HighWater] = {
+      var (n, ts, id) =
+        if (hw.exists()) hw.get() else (0L, Long.MinValue, Long.MinValue)
+      rows.foreach { case (_, rTs, rId) =>
+        n += 1
+        if (rTs > ts || (rTs == ts && rId > id)) { ts = rTs; id = rId }
+      }
+      hw.update((n, ts, id))
+      Iterator.single(HighWater(key, n, ts, id))
+    }
+  }
+
+  def s09TransformWithState(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val typed = eventsStream(s, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"))
+      .as[(String, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new HighWaterProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[HighWater])
+      .toDF()
+      .select(col("event_type"), col("n_events"),
+        timestamp_micros(col("last_ts_micros")).as("last_ts"),
+        col("last_event_id"))
+    // emission happens inside the data batch (no timers) -> skip the
+    // no-data batch; transformWithState requires the RocksDB provider
+    runToMemory(s, out, "append", noDataBatch = false, forceRocksDb = true)
+      .orderBy(col("event_type"))
+  }
+
   // Stream-stream interval join: click events matched to error events of
   // the same user within the preceding 10 minutes — both sides
   // watermarked so the join state is bounded (rows older than watermark
@@ -274,6 +334,7 @@ object Streams {
     "s03_stream_dedup" -> (s03StreamDedup _),
     "s04_foreachbatch" -> (s04Foreachbatch _),
     "s05_session_window" -> (s05SessionWindow _),
+    "s09_transform_with_state" -> (s09TransformWithState _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -359,6 +420,18 @@ object Streams {
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // one data batch => one high-water summary per event_type; the
+    // lexicographic (ts, event_id) max is the rn=1 row of the desc rank
+    "s09_transform_with_state" ->
+      """WITH ranked AS (
+        |  SELECT event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events, ts AS last_ts,
+        |  event_id AS last_event_id
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // interval join: all pairs emitted within the single data batch
     "s08_stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
