@@ -103,6 +103,35 @@ class GenericApiSpec extends SparkSpec {
     assert(perLang === Map("en" -> 3, "fr" -> 1)) // ceil(2.1)=3, ceil(0.4)=1
   }
 
+  test("generic ops tolerate null text / null lang (null-in, null-out)") {
+    import spark.implicits._
+    val nulldocs = Seq(
+      (1L, "en", "srcA", 28L, "the quick brown fox jumps high"),
+      (2L, null, "srcA", 0L, null),
+      (3L, "en", null, 30L, "a completely different sentence")
+    ).toDF("doc_id", "lang", "source", "n_chars", "text")
+    // near-dup families: null text tokenizes to null -> filtered by the
+    // >= 3 token guard; no pairs, no crash
+    assert(ops.Dedup.nearDupPairs(nulldocs).count() === 0)
+    assert(ops.Dedup.minhashLshPairs(nulldocs).count() === 0)
+    assert(ops.Dedup.simhashPairs(nulldocs).count() === 0)
+    // exact dedup keys on sha2(text): null hashes group together — every
+    // row survives here since there is only one null-text doc
+    assert(ops.Dedup.exactDedup(nulldocs).count() === 3)
+    // row-local text ops keep the row and propagate nulls
+    val stats = ops.TextAnalysis.textStats(nulldocs)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(stats.isNullAt(stats.fieldIndex("n_tokens")))
+    val qf = ops.TextAnalysis.qualityFilter(nulldocs)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(qf.isNullAt(qf.fieldIndex("keep")))
+    // sampling: null lang forms its own stratum (ceil(10%) of the 2-doc
+    // "en" stratum = 1, plus 1 from the null stratum); null source its
+    // own quota group
+    assert(ops.Sampling.stratifiedSample(nulldocs).count() === 2)
+    assert(ops.Sampling.sourceQuota(nulldocs).count() === 3)
+  }
+
   test("similarity generics run on a hand-built embeddings DataFrame") {
     import spark.implicits._
     val emb = (0L to 5L).map { i =>
