@@ -81,10 +81,45 @@ object Sampling {
   def q63StratifiedSample(s: SparkSession, d: String): DataFrame =
     stratifiedSample(documents(s, d))
 
+  private val SeqBudget = 512
+
+  // O-69 sequence packing: assign documents to fixed token-budget
+  // training sequences, greedily in stable hash order WITHIN each source
+  // shard — the packing step of an LLM data pipeline. A doc belongs to
+  // the sequence its first token falls in (start_offset DIV budget);
+  // (seq_id, offset_in_seq) fully reconstruct the packed layout,
+  // boundary-straddling docs included. Packing per source keeps the
+  // running sum parallel: one shuffle on source, and the cumulative
+  // window streams each group — at 100 TB you pack per shard exactly
+  // like this, never with a global cumsum.
+  /** Generic per-shard sequence packing over any (doc_id, source, text)
+    * table; exact integer token offsets. */
+  def sequencePack(docs: DataFrame, budget: Int = SeqBudget): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"),
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+          .as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .withColumn("offset_in_seq",
+        col("cum") - col("n_tokens") - col("seq_id") * budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+        col("offset_in_seq"))
+      .orderBy(col("source"), col("seq_id"), col("offset_in_seq"),
+        col("doc_id"))
+  }
+
+  def q64SequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePack(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
     "q63_stratified_sample" -> (q63StratifiedSample _),
+    "q64_sequence_pack" -> (q64SequencePack _),
   )
 
   private val bucketSql =
@@ -119,5 +154,25 @@ object Sampling {
          |SELECT doc_id, lang, rn, n_lang FROM ranked
          |WHERE rn * 100 <= n_lang * $StratPct + 99
          |ORDER BY lang, rn""".stripMargin,
+    "q64_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $bucketSql AS bucket,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t != '')) AS INT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS seq_id,
+         |  CAST(cum - n_tokens
+         |    - ((cum - n_tokens) // $SeqBudget) * $SeqBudget AS BIGINT)
+         |    AS offset_in_seq
+         |FROM c ORDER BY source, seq_id, offset_in_seq, doc_id"""
+        .stripMargin,
   )
 }

@@ -103,6 +103,29 @@ class GenericApiSpec extends SparkSpec {
     assert(perLang === Map("en" -> 3, "fr" -> 1)) // ceil(2.1)=3, ceil(0.4)=1
   }
 
+  test("sequencePack assigns docs to token-budget sequences per shard") {
+    import spark.implicits._
+    // one source, budget 10: docs of 6/6/6 tokens -> start offsets
+    // 0, 6, 12 -> sequences 0, 0, 1 (doc 2 straddles the boundary and
+    // belongs to the sequence its first token falls in)
+    val sdocs = Seq(
+      (1L, "s", "a b c d e f"), (2L, "s", "g h i j k l"),
+      (3L, "s", "m n o p q r")
+    ).toDF("doc_id", "source", "text")
+    val out = ops.Sampling.sequencePack(sdocs, budget = 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getInt(2))).toMap
+    // hash order, not doc_id order: bucket(1)=95, bucket(2)=83, bucket(3)=3
+    val order = ops.Sampling.sequencePack(sdocs, budget = 10).collect()
+      .map(_.getLong(0)).toSeq
+    assert(out.values.map(_._3).toSeq.forall(_ === 6))
+    val offsets = order.zipWithIndex.map { case (id, i) =>
+      (out(id)._1, out(id)._2, i * 6)
+    }
+    // start offsets 0, 6, 12 in packed order => seq 0@0, 0@6, 1@2
+    assert(offsets === Seq((0L, 0L, 0), (0L, 6L, 6), (1L, 2L, 12)))
+  }
+
   test("generic ops tolerate null text / null lang (null-in, null-out)") {
     import spark.implicits._
     val nulldocs = Seq(
