@@ -60,11 +60,18 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // stop() BEFORE printing so the JSON metric is the last stdout line —
+    // stop() BEFORE printing so the JSON metrics are the last stdout lines —
     // the driver's parser wants a bare, final JSON line (see build.sbt's
     // outputStrategy note).
     spark.stop()
+    // Detail line first (per-query breakdown for humans/judge), then a
+    // COMPACT total-only line LAST: the driver captures only ~2.5 KB of
+    // output tail, and with 80+ queries the detail line alone is ~2.7 KB —
+    // its '{"metric":"total"...' HEAD fell outside the capture window for
+    // three rounds (BENCH_r01..03 all parsed:null). The final line is
+    // <100 bytes, so it survives any tail window and always parses.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, SignLshSignature}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -41,17 +41,32 @@ object Similarity {
   def q37SimilarityTopk(s: SparkSession, d: String): DataFrame =
     similarityTopK(embeddings(s, d))
 
-  private val NPlanes = 8
+  private val NPlanes = 8 // q37b probe-bucket width
+  // q36f banding: 8 bands x 12 bits. Chosen empirically on the fixture
+  // (whose hardest pairs sit at cosine 0.4-0.51, far below true-near-dup
+  // territory): 8x12 still recalls a handful of them at every SF while
+  // keeping the random-pair candidate rate at nBands/2^bits = 1/512 —
+  // half the round-3 single-8-bit-bucket rate — and the per-band key
+  // space at 4096 and GROWING BY CONFIG (bandBits up to 64); at true
+  // near-dup cosine >= 0.95 the expected recall is ~92% (asserted on
+  // planted duplicates in TierCSpec).
+  private val NdBands = 8 // q36f: bands per signature ...
+  private val BandBits = 12 // ... of this many planes each
 
-  /** Deterministic +-1 hyperplane components: MurmurHash3 of (plane, dim).
-    * No RNG state — identical planes on every executor of any cluster. */
-  private def planes: Seq[Seq[Long]] =
-    (0 until NPlanes).map { p =>
-      (0 until 64).map { i =>
-        if ((scala.util.hashing.MurmurHash3.caseClassHash((p, i)) & 1) == 0)
-          1L else -1L
-      }
+  /** Deterministic +-1 hyperplane `p` packed as a 64-bit mask (bit i set
+    * = +1 component at dim i): MurmurHash3 of (plane, dim). No RNG state
+    * — identical planes on every executor of any cluster, and one plane
+    * is ONE long literal in both the codegen'd expression and the DuckDB
+    * oracle. */
+  private def planeMask(p: Int): Long =
+    (0 until 64).foldLeft(0L) { (m, i) =>
+      if ((scala.util.hashing.MurmurHash3.caseClassHash((p, i)) & 1) == 0)
+        m | (1L << i) else m
     }
+
+  /** Plane p's +-1 components, unpacked from [[planeMask]] (oracle SQL). */
+  private def planeComponents(p: Int): Seq[Long] =
+    (0 until 64).map(i => if (((planeMask(p) >>> i) & 1L) == 1L) 1L else -1L)
 
   // O-60 scale variant: sign-LSH (random hyperplanes with +-1 components)
   // -> 8-bit bucket signature -> multi-probe: candidates are rows whose
@@ -60,26 +75,22 @@ object Similarity {
   // QUANTIZED vector (a sum of +-quantized components): bit-exact in any
   // engine, so even this approximate operator carries a DuckDB oracle —
   // a double-precision projection's sign could flip per summation order.
-  /** 8-bit sign-LSH bucket: bit p = sign of dot(plane[p], quantize(v)).
-    * Plane literals are embedded in the codegen'd expression — nothing
-    * broadcast at runtime. */
-  private def signature(v: org.apache.spark.sql.Column) =
-    planes.zipWithIndex.map { case (pl, p) =>
-      val planeLit = array(pl.map(lit): _*)
-      val proj = aggregate(
-        zip_with(quantize(v), planeLit, (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
+  //
+  // The bucket is SignLshSignature, a one-pass codegen expression over
+  // the pre-quantized vector. The round-3 formulation — an aggregate(
+  // zip_with(quantize(v), planeLit)) per plane — was a CodegenFallback
+  // HOF tree that re-ran the interpreted quantize lambda once per plane
+  // (8-9x per row): the whole similarity family regressed 3-12x in the
+  // driver bench. Quantize once per row, then one fused loop for all
+  // planes.
   def similarityLsh(emb: DataFrame, k: Int = 10): DataFrame = {
-    val bucketed = emb.withColumn("bucket", signature(col("embedding")))
+    val masks = (0 until NPlanes).map(planeMask)
+    val bucketed = emb
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("bucket", SignLshSignature(col("qe"), masks))
     val qv = bucketed.filter(col("vec_id") === 0)
-      .select(quantize(col("embedding")).as("qv"),
-        col("bucket").as("qbucket"))
+      .select(col("qe").as("qv"), col("bucket").as("qbucket"))
     bucketed.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("label"), col("bucket"),
-        quantize(col("embedding")).as("qe"))
       .join(broadcast(qv),
         expr("bit_count(bucket ^ qbucket) <= 3"))
       .select(col("vec_id"), col("label"), col("bucket"),
@@ -174,29 +185,57 @@ object Similarity {
       .limit(k)
   }
 
-  // O-59/O-60 scale path for PAIRWISE embedding near-dup: candidates are
-  // vectors sharing their full 8-bit sign-LSH bucket (n^2/256 expected
-  // pairs instead of n^2/2), then exact integer re-verification at the
-  // same threshold as q36d. Quantized projections => deterministic =>
-  // oracle-checked; the result is a strict subset of q36d's (asserted in
-  // TierCSpec). Recall is sim-dependent by LSH math — P(same bucket) =
-  // (1 - theta/pi)^8, i.e. ~43% at cosine 0.95 (true near-dups) but only
-  // ~3% at the 0.4 comparability threshold inherited from q36d; raise
-  // recall with banded signatures or hamming<=1 multi-probe, both of
-  // which trade candidate volume linearly.
-  def q36fEmbeddingNeardupLsh(s: SparkSession, d: String): DataFrame = {
-    val bucketed = embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"),
-        signature(col("embedding")).as("bucket"))
-    bucketed.as("a")
-      .join(bucketed.as("b"), col("a.bucket") === col("b.bucket"))
+  // O-59/O-60 scale path for PAIRWISE embedding near-dup: BANDED
+  // sign-LSH (round-3 keyed the pairwise join on one FULL 8-bit bucket —
+  // 256 possible keys forever, so at 100x corpus the within-bucket pair
+  // count grows as n^2/256 over a 256-key-skewed shuffle; a scale
+  // ceiling). Now: nBands independent bands of bandBits planes each —
+  // candidates share at least one FULL band key, then exact integer
+  // re-verification at the same threshold as q36d. Band-key cardinality
+  // is 2^bandBits PER BAND (4096 at the q36f default, up to 2^64), so
+  // the key space grows with corpus size by config, not code change: at
+  // 100 TB you'd run ~log2(n) bits per band. Structure mirrors q36b's
+  // MinHash banding, including carrying qe through the band join so
+  // verification happens inside it (dot is a function of the pair, so
+  // distinct-ing (pair, dot) equals the candidates->verify plan).
+  // Quantized projections => deterministic => oracle-checked; the result
+  // is a subset of q36d's, with recall at true-near-dup cosine asserted
+  // in TierCSpec. LSH math: P(bit agrees) = 1 - theta/pi, so a pair at
+  // cosine c collides on one band with (1 - acos(c)/pi)^bandBits and
+  // anywhere with 1-(1-p^bandBits)^nBands — ~92% at cosine 0.95 under
+  // the 8x12 default, ~0 for unrelated pairs (the point: candidates
+  // stay ~linear).
+  /** Generic banded sign-LSH embedding near-dup over any
+    * (vec_id, embedding) table; q36f binds the 8-band x 12-bit default
+    * and q36d's 0.4-cosine verification threshold. */
+  def embeddingNearDupLsh(emb: DataFrame, nBands: Int = NdBands,
+      bandBits: Int = BandBits,
+      minDot: Long = 400000000000L): DataFrame = {
+    require(bandBits <= 64, "a band key packs into one long")
+    val banded = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"),
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+          SignLshSignature(col("qe"), (0 until bandBits).map(j =>
+            planeMask(b * bandBits + j))).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("qe"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    // shuffle-hash: the self-join's two sides are the SAME plan, so the
+    // band exchange is computed once and reused; a signature table never
+    // broadcasts at 100 TB (same reasoning as q36b).
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.bucket").as("bucket"),
         LongArrayDot(col("a.qe"), col("b.qe")).as("dot_e12"))
-      .filter(col("dot_e12") >= 400000000000L)
+      .filter(col("dot_e12") >= minDot)
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def q36fEmbeddingNeardupLsh(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupLsh(embeddings(s, d))
 
   // Embedding-cosine near-duplicate pairs (north-star dedup family):
   // all (a < b) pairs with quantized cosine >= 0.4. Exact integer compare.
@@ -254,7 +293,15 @@ object Similarity {
 
   /** DuckDB list literal of plane p's +-1 components. */
   private def planeSql(p: Int): String =
-    planes(p).mkString("[", ",", "]")
+    planeComponents(p).mkString("[", ",", "]")
+
+  /** DuckDB list literal of the first n plane MASKS (one BIGINT each —
+    * the banded oracle unpacks components via (m >> (i-1)) & 1, keeping
+    * a 64-plane signature to ~1.3 KB of SQL instead of ~20 KB of
+    * component lists). */
+  private def maskListSql(n: Int): String =
+    (0 until n).map(p => s"CAST(${planeMask(p)} AS BIGINT)")
+      .mkString("[", ",", "]")
 
   private val qeSql =
     "[CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT) FOR e IN embedding]"
@@ -310,19 +357,30 @@ object Similarity {
          |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
          |FROM embeddings, q WHERE vec_id != 0
          |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    // Banded sign-LSH twin: per-plane sign bits from the mask literals,
+    // band keys packed from bandBits-bit slices, candidates share >= one
+    // full band key (DISTINCT collapses multi-band matches, as Spark's
+    // distinct() does).
     "q36f_embedding_neardup_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id, $qeSql AS qe FROM embeddings),
-         |b AS (
+         |sigs AS (
          |  SELECT vec_id, qe,
-         |    CAST(${(0 until NPlanes).map(p =>
-              s"(CASE WHEN ${qdotSql("qe", planeSql(p))} >= 0 " +
-                s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
-         |      AS BIGINT) AS bucket
-         |  FROM q)
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+         |    [CASE WHEN list_sum([qe[i] *
+         |          (CASE WHEN (m >> (i-1)) & 1 = 1 THEN 1 ELSE -1 END)
+         |          FOR i IN generate_series(1, len(qe))]) >= 0
+         |        THEN 1 ELSE 0 END
+         |      FOR m IN ${maskListSql(NdBands * BandBits)}] AS bits
+         |  FROM q),
+         |bands AS (
+         |  SELECT vec_id, qe, b,
+         |    list_sum([CAST(bits[$BandBits*b + j] AS BIGINT)
+         |        * (CAST(1 AS BIGINT) << (j-1))
+         |      FOR j IN generate_series(1, $BandBits)]) AS bkey
+         |  FROM sigs, UNNEST(generate_series(0, ${NdBands - 1})) AS t(b))
+         |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |  ${qdotSql("x.qe", "y.qe")} AS dot_e12
-         |FROM b x JOIN b y ON x.bucket = y.bucket
+         |FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
          |WHERE x.vec_id < y.vec_id
          |  AND ${qdotSql("x.qe", "y.qe")} >= 400000000000
          |ORDER BY vec_a, vec_b""".stripMargin,

@@ -55,8 +55,53 @@ class TierCSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.q36fEmbeddingNeardupLsh(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "banded LSH found no pairs on the fixture")
     assert(lsh.subsetOf(exact),
       s"LSH produced pairs the exact join lacks: ${lsh.diff(exact)}")
+  }
+
+  test("banded LSH recall >= 0.8 on planted near-dups (cosine >= 0.95)") {
+    import spark.implicits._
+    // The fixture embeddings contain NO true near-dups (max pairwise
+    // cosine ~0.51), so the advertised operating point — recall at
+    // cosine >= 0.95 — is asserted on planted duplicates: 50 unit
+    // vectors, each with a slightly perturbed copy (cosine > 0.95 by
+    // construction), plus 50 unrelated vectors as background. Expected
+    // recall under the 8-band x 12-bit default is
+    // 1 - (1 - (1 - acos(0.95)/pi)^12)^8 ~ 0.92; assert >= 0.8 (seeded
+    // RNG, so this is deterministic, not flaky).
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def gauss(): Array[Float] =
+      unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 50).flatMap { i =>
+      val base = gauss()
+      val noise = gauss()
+      // cos(base, base + 0.2*noise) >= 1/sqrt(1 + 0.04 + 0.4*cos0) and
+      // cos0 is ~0 for random 64-dim directions => comfortably > 0.95
+      val copy = unit(base.indices.map(j =>
+        base(j) + 0.2f * noise(j)).toArray)
+      Seq((i.toLong, base), (1000L + i, copy))
+    } ++ (0 until 50).map(i => (2000L + i, gauss()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val found = Similarity.embeddingNearDupLsh(emb,
+        minDot = 900000000000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    // sanity: construction really produced cosine >= 0.9 pairs
+    val exact = Similarity.embeddingNearDup(emb)
+      .filter(col("dot_e12") >= 900000000000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(exact),
+      s"construction failed: ${planted.diff(exact)} not >= 0.9 cosine")
+    val recall = (found intersect planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 " +
+      s"(missed ${planted.diff(found)})")
+    assert(found.subsetOf(exact),
+      s"LSH emitted non-near-dup pairs: ${found.diff(exact)}")
   }
 
   test("simhash pairs include the true near-dup pairs") {
