@@ -27,7 +27,16 @@ object GraftExtensions {
         : Expression),
     (new FunctionIdentifier("sorted_long_array_intersect_size"),
       new ExpressionInfo(classOf[SortedLongArrayIntersectSize].getName,
-        "sorted_long_array_intersect_size"),
+        null, "sorted_long_array_intersect_size",
+        // SQL callers don't see the Scaladoc, so the precondition that
+        // makes the two-pointer merge correct is stated HERE: unsorted
+        // or duplicate-bearing input silently undercounts.
+        "_FUNC_(a, b) - Size of the intersection of two ARRAY<BIGINT> " +
+          "columns that MUST each be sorted ascending with distinct " +
+          "elements (e.g. via sort_array(array_distinct(x))); unsorted " +
+          "input silently undercounts. NULL array, or a NULL element " +
+          "reached by the merge scan, yields NULL.",
+        "> SELECT _FUNC_(array(1L, 3L, 5L), array(3L, 4L, 5L));\n  2"),
       (children: Seq[Expression]) =>
         SortedLongArrayIntersectSize(children(0), children(1)): Expression),
   )

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Contract: both inputs sorted ascending with no duplicate elements —
   * the caller guarantees it (enforced upstream by array_distinct +
-  * sort_array). NULL array or NULL element yields NULL, mirroring
-  * LongArrayDot's edges.
+  * sort_array); unsorted input silently undercounts. NULL array yields
+  * NULL; a NULL ELEMENT yields NULL only if the merge scan visits it —
+  * elements past the point where one pointer exhausts are never
+  * inspected (e.g. intersect([5], [1, NULL]) is 0, not NULL). Unlike
+  * LongArrayDot, which scans every index, this is a short-circuiting
+  * merge; interpreted and codegen paths agree.
   */
 case class SortedLongArrayIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -34,6 +34,16 @@ object Dedup {
     * is a no-op cost next to the digest work it balances. */
   private def docTokens(docs: DataFrame): DataFrame =
     docs
+      // explicit isnotnull(doc_id), not left to constraint inference:
+      // q36e's doc-frequency subtree never joins on doc_id, so inference
+      // adds IsNotNull(doc_id) to every OTHER consumer's scan but not to
+      // freq's — canonically different subtrees, which blocks AQE
+      // exchange reuse and re-runs the scan+shingling pass (observed in
+      // the executed plan as two RoundRobin + two doc_id stages). A null
+      // doc_id can never reach any dedup output anyway (every path
+      // compares or joins on it), so filtering it here is semantics-free
+      // and makes all consumers share one exchange.
+      .filter(col("doc_id").isNotNull)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
@@ -103,13 +113,6 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(
           transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
-      // materialize-via-exchange (same reasoning as q36e's docAgg): both
-      // consumers of this table — the per-shingle frequency/count
-      // aggregation and the candidate join — require hash(h) or don't
-      // care, so one repartition(h) makes the shingling+digest pass a
-      // single shared stage AND pre-satisfies the join/agg distribution
-      // (EnsureRequirements adds no further exchange on h).
-      .repartition(col("h"))
 
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
@@ -118,7 +121,14 @@ object Dedup {
   /** Generic exact 3-gram Jaccard near-dup pairs at threshold 0.5 over
     * any (doc_id, text) table. */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sh = hashedShingles(docs)
+    // materialize-via-exchange: q36's two consumers of the shingle table
+    // — the self-join (both sides) and the per-doc count — either require
+    // hash(h) or don't care (the count partial-aggregates before its own
+    // tiny exchange), so one repartition(h) makes the shingling+digest
+    // pass a single shared stage AND pre-satisfies the join distribution
+    // (EnsureRequirements adds no further exchange on h). q36e does NOT
+    // share this: see nearDupPairsPrefix.
+    val sh = hashedShingles(docs).repartition(col("h"))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
@@ -148,8 +158,22 @@ object Dedup {
   // reproduces precisely the naive output — SAME oracle. Wins when
   // token frequency is skewed (the 100 TB case); loses on this small
   // uniform corpus, which is why both formulations ship.
-  def nearDupPairsPrefix(docs: DataFrame): DataFrame = {
-    val sh = hashedShingles(docs)
+  def nearDupPairsPrefix(docs: DataFrame): DataFrame =
+    // materialize-via-exchange, but on doc_id — NOT h as q36 does: q36e's
+    // two shingle consumers are the doc-frequency aggregate (partial-aggs
+    // map-side; indifferent to distribution) and docAgg's groupBy(doc_id)
+    // (pre-satisfied by hash(doc_id), which survives the broadcast freq
+    // join — its heavy exchange disappears). Round 3 shipped
+    // repartition(h) here to share one exchange with q36's join; measured
+    // A/B (ProfileQ36e, sf0.1, warm): repartition(h) 5.0s, none 2.8s,
+    // repartition(doc_id) 2.8s warm and 3x better than none on a cold
+    // JVM, because the exchange still dedups the shingling+digest pass
+    // across both consumers.
+    nearDupPairsPrefixFrom(hashedShingles(docs).repartition(col("doc_id")))
+
+  /** q36e pipeline from a prepared (doc_id, h) hashed-shingle table —
+    * package-visible so ProfileQ36e can A/B exchange placements. */
+  private[graft] def nearDupPairsPrefixFrom(sh: DataFrame): DataFrame = {
     // global doc-frequency table is tiny relative to the corpus (distinct
     // shingles only) -> broadcast, no shuffle on the big side
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -273,6 +297,19 @@ object Dedup {
       array((0 until NHashes).map(j => min(col(s"x$j"))): _*).as("mins"))
   }
 
+  /** Band rows of a (doc_id, mins) signature table: one (band, k1, k2)
+    * row per band per doc, the mins array carried through (shared by the
+    * per-query self-join and the stored layout). */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("mins"),
+      explode(array((0 until NBands).map(b =>
+        struct(lit(b).as("band"),
+          element_at(col("mins"), 2 * b + 1).as("k1"),
+          element_at(col("mins"), 2 * b + 2).as("k2"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("mins"), col("bb.band").as("band"),
+        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+
   // The 16-min signature array rides THROUGH the band explode, so the
   // verification (n_match over the two mins arrays) happens inside the
   // band self-join itself — no join back to the signature table at all.
@@ -285,15 +322,7 @@ object Dedup {
   // distinct instead of three shuffles and two broadcast builds.
   /** Generic MinHash+LSH near-dup pairs over any (doc_id, text) table. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val sig = q36bSig(docs)
-    val bands = sig.select(col("doc_id"), col("mins"),
-      explode(array((0 until NBands).map(b =>
-        struct(lit(b).as("band"),
-          element_at(col("mins"), 2 * b + 1).as("k1"),
-          element_at(col("mins"), 2 * b + 2).as("k2"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("mins"), col("bb.band").as("band"),
-        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+    val bands = bandRows(q36bSig(docs))
     val nMatch = aggregate(
       zip_with(col("x.mins"), col("y.mins"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -319,6 +348,50 @@ object Dedup {
 
   def q36bMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(documents(s, d))
+
+  /** MinHash signatures as a STORED layout — the 100 TB shape of q36b
+    * (SCALE.md: sketch tables "written once as bucketed tables"; mirrors
+    * Similarity.ivfWrite). The signature pipeline — shingle, digest,
+    * 16 mins, band explode — runs at WRITE time, once; band rows land
+    * partitioned by band and sorted by (k1, k2) inside each band file,
+    * so parquet row-group stats make a band-key lookup a pruned read. */
+  def minhashWrite(docs: DataFrame, storeDir: String): Unit =
+    bandRows(q36bSig(docs))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("k1"), col("k2"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$storeDir/bands")
+
+  /** Join-free INCREMENTAL near-dup check against the stored signature
+    * table: signature the one new document (driver-side collect of a
+    * single 16-long row), then read each of its band keys from the
+    * store — band as a partition filter (directory pruning), (k1, k2)
+    * pushed to parquet row groups — and verify candidates by n_match
+    * over the stored mins array (>= 8 of 16, q36b's rule). No self-join,
+    * no corpus scan: ingest-time dedup of a new doc costs nBands pruned
+    * point reads no matter how large the store grows. */
+  def minhashProbe(s: SparkSession, storeDir: String, text: String)
+      : DataFrame = {
+    import s.implicits._
+    val probeMins = q36bSig(Seq((0L, text)).toDF("doc_id", "text"))
+      .collect()(0).getSeq[Long](1)
+    val store = s.read.parquet(s"$storeDir/bands")
+    val candidates = (0 until NBands).map { b =>
+      store.filter(col("band") === b &&
+        col("k1") === probeMins(2 * b) && col("k2") === probeMins(2 * b + 1))
+        .select(col("doc_id"), col("mins"))
+    }.reduce(_ union _)
+    val nMatch = (0 until NHashes).map(j =>
+      when(element_at(col("mins"), j + 1) === probeMins(j), 1)
+        .otherwise(0)).reduce(_ + _)
+    candidates
+      .select(col("doc_id"), nMatch.as("n_match"))
+      .distinct() // a doc can share several bands with the probe
+      .filter(col("n_match") * 2 >= NHashes)
+      .select(col("doc_id"), col("n_match"),
+        round(col("n_match") / lit(NHashes.toDouble), 4).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
 
   private val SimBits = 60 // md5-derived token hash width (15 hex chars)
   private val SimChunks = 4 // banding: 4 chunks of 15 bits
@@ -402,26 +475,37 @@ object Dedup {
     * rounds (4 on that same graph). Each round is two shuffles of the
     * label table (|V| rows) plus one of the edge list (2|E| rows) —
     * at 100 TB both are orders of magnitude smaller than the corpus the
-    * pairs came from, and the edge list is materialized ONCE
-    * (localCheckpoint) so the upstream near-dup pipeline never re-runs
-    * across iterations. Iterative-algorithm hygiene: localCheckpoint
-    * also truncates lineage each round, keeping plan size constant (on a
-    * cluster you'd use reliable checkpoint()/a table write instead).
+    * pairs came from, and the edge list is materialized ONCE so the
+    * upstream near-dup pipeline never re-runs
+    * across iterations. Iterative-algorithm hygiene: the per-round
+    * materialization also truncates lineage, keeping plan size constant
+    * — localCheckpoint by default, reliable checkpoint() when
+    * spark.graft.cc.checkpointDir is set.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    // Iterative-materialization mode (SCALE.md "iterative checkpoints"):
+    // local runs truncate lineage with executor-memory localCheckpoint
+    // (fast, but lost on executor death); a cluster job sets
+    // spark.graft.cc.checkpointDir to a reliable location (HDFS/S3) and
+    // every per-round materialization becomes a fault-tolerant
+    // checkpoint() instead. Same plans either way — only the
+    // materialization primitive changes.
+    val ss = pairs.sparkSession
+    val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(ss.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
+      .repartition(col("src")))
     // Initial labels carry round 1's relaxation for free: the edge list
     // is symmetric, so every node occurs as dst and min(id, min(src))
     // over its group IS label_1 — same single shuffle that a bare
     // node-set distinct would cost.
-    var labels = edges
+    var labels = materialize(edges
       .groupBy(col("dst").as("id"))
-      .agg(least(col("dst"), min(col("src"))).as("label"))
-      .localCheckpoint()
+      .agg(least(col("dst"), min(col("src"))).as("label")))
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
 
     /** label(x) <- label(label(x)). Sound because every label is a node
@@ -465,7 +549,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"))
-      val next = jump(relaxed).localCheckpoint()
+      val next = materialize(jump(jump(relaxed)))
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -46,7 +46,16 @@ object Streams {
   }
 
   /** Streaming read of the events table (O-48: the file source tracks
-    * per-file offsets in the checkpoint — the `sha..HEAD` analog). */
+    * per-file offsets in the checkpoint — the `sha..HEAD` analog).
+    *
+    * SINGLE-DATA-BATCH ASSUMPTION: the fixture is one parquet file and no
+    * maxFilesPerTrigger is set, so an AvailableNow replay processes it as
+    * exactly one data micro-batch. s07/s08/s09 lean on this — their
+    * per-batch append emission (one row per key per DATA batch) matches a
+    * one-row-per-key batch oracle only under it. If the source ever
+    * splits the replay (multi-file fixture, maxFilesPerTrigger), those
+    * queries emit one row per key per batch and need a trailing max-by
+    * aggregation to stay oracle-equivalent. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source requires a directory: scan the sf dir but admit

@@ -3,7 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only: stage-by-stage timing of the q36e prefix-filter pipeline. */
+/** Dev-only: stage-by-stage timing of the q36e prefix-filter pipeline,
+  * plus an A/B/C of the hashed-shingle exchange placement feeding it
+  * (none vs repartition(h) vs repartition(doc_id)) — the round-3
+  * repartition(h) pre-satisfied q36's join but cost q36e a full
+  * shingle-row exchange its consumers never needed. */
 object ProfileQ36e {
   def time(name: String)(body: => Long): Unit = {
     val t0 = System.nanoTime()
@@ -30,36 +34,20 @@ object ProfileQ36e {
       explode(array_distinct(
         transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
 
-    for (_ <- 1 to 2) {
-      time("sh")(sh.count())
-      val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      time("freq")(freq.count())
-      val docAgg = sh.join(broadcast(freq), "h")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-          .as("arr"))
-        .select(col("doc_id"),
-          transform(col("arr"), x => x.getField("h")).as("set"),
-          size(col("arr")).cast("long").as("c"))
-      time("docAgg")(docAgg.count())
-      val prefix = docAgg.select(col("doc_id"), col("c"),
-        posexplode(slice(col("set"), lit(1),
-          (size(col("set")).cast("long") / lit(2L)).cast("int") + 1))
-          .as(Seq("p", "h")))
-      time("prefix")(prefix.count())
-      val rawPairs = prefix.as("a").hint("shuffle_hash")
-        .join(prefix.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-      time("rawPairRows")(rawPairs.count())
-      val cand = rawPairs
-        .filter(
-          greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2 &&
-          (lit(1) + least(col("a.c") - col("a.p") - 1,
-            col("b.c") - col("b.p") - 1)) * 3 >= col("a.c") + col("b.c"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      time("cand")(cand.count())
-      time("full")(graft.SparkEntry.queries("q36e_near_dup_prefix")(spark, d).count())
+    for (round <- 1 to 2) {
+      println(s"--- round $round ---")
+      time("q36e[sh raw]")(
+        graft.ops.Dedup.nearDupPairsPrefixFrom(sh).count())
+      time("q36e[sh repartition(h)]")(
+        graft.ops.Dedup.nearDupPairsPrefixFrom(
+          sh.repartition(col("h"))).count())
+      time("q36e[sh repartition(doc_id)]")(
+        graft.ops.Dedup.nearDupPairsPrefixFrom(
+          sh.repartition(col("doc_id"))).count())
+      time("q36 (for the 2x target)")(
+        graft.SparkEntry.queries("q36_near_dup")(spark, d).count())
+      time("q36e (shipped)")(
+        graft.SparkEntry.queries("q36e_near_dup_prefix")(spark, d).count())
     }
     spark.stop()
   }

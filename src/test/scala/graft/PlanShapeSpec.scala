@@ -86,12 +86,24 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
-  test("q36e: the signature aggregation is shared, not re-aggregated") {
-    val plan = formatted("q36e_near_dup_prefix")
-    // one collect_list aggregation pair (partial+final) in the whole
-    // plan: every consumer reads the materializing exchange above it
-    val aggs = "collect_list".r.findAllIn(plan).size
-    assert(aggs > 0, plan)
-    assert(plan.contains("sorted_long_array_intersect_size"), plan)
+  test("q36e: one shingling pass — shingle exchanges shared via AQE reuse") {
+    // The sharing property is a RUNTIME one (AQE exchange reuse), so
+    // assert on the executed adaptive plan, not the static formatted one
+    // (which legitimately prints one subtree copy per consumer). The
+    // executed plan must contain exactly ONE scan-parallelism RoundRobin
+    // exchange and ONE doc_id repartition — every other consumer of the
+    // hashed-shingle table reads them as ReusedExchange, i.e. the
+    // scan+shingling+digest pass physically runs once.
+    val df = SparkEntry.queries("q36e_near_dup_prefix")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def computed(marker: String): Int =
+      finalPlan.linesIterator
+        .count(l => l.contains(marker) && !l.contains("ReusedExchange"))
+    assert(computed("REPARTITION_BY_NUM") === 1, finalPlan)
+    assert(computed("REPARTITION_BY_COL") === 1, finalPlan)
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 4, finalPlan)
+    assert(finalPlan.contains("sorted_long_array_intersect_size"), finalPlan)
   }
 }
