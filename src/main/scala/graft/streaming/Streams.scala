@@ -171,7 +171,16 @@ object Streams {
   // `write_points`, rg.py:33-41) appending parquet; result is read back
   // from the sink files — proving the write path, not just the plan.
   def s04Foreachbatch(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_sink_").toString
+    // throwaway sink files follow the checkpoint's tmpfs policy: the
+    // result is read back and compared, never kept, so there is no
+    // reason to put its parquet + _SUCCESS churn on a real disk (here
+    // the page cache hides it; on a loaded driver box it would not)
+    val dir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, "graft_sink_").toString
+      else Files.createTempDirectory("graft_sink_").toString
+    }
     val q = eventsStream(s, d)
       .select(col("event_id"), col("ts"), col("event_type"),
         cents(col("value")).as("value_cents"))
