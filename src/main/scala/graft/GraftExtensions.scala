@@ -1,9 +1,12 @@
 package graft
 
-import graft.functions.{LongArrayDot, SortedLongArrayIntersectSize}
+import graft.functions.{LongArrayDot, SignLshSignature, SortedLongArrayIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** SparkSessionExtensions wiring: exposes the engine's custom Catalyst
   * expressions to SQL users, so `spark.sql("SELECT long_array_dot(a, b)")`
@@ -39,6 +42,32 @@ object GraftExtensions {
         "> SELECT _FUNC_(array(1L, 3L, 5L), array(3L, 4L, 5L));\n  2"),
       (children: Seq[Expression]) =>
         SortedLongArrayIntersectSize(children(0), children(1)): Expression),
+    (new FunctionIdentifier("sign_lsh_signature"),
+      new ExpressionInfo(classOf[SignLshSignature].getName,
+        null, "sign_lsh_signature",
+        "_FUNC_(qe, masks) - Packed sign-LSH signature of a quantized " +
+          "ARRAY<BIGINT> vector: bit p of the result is set iff the " +
+          "projection of qe onto the +-1 hyperplane encoded by masks[p] " +
+          "(mask bit i set = +1 component at dim i, else -1) is >= 0. " +
+          "masks must be a foldable ARRAY<BIGINT> literal of 1..64 " +
+          "masks; the hyperplanes compile into the generated code.",
+        "> SELECT _FUNC_(array(5L, -3L), array(1L));\n  1"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sign_lsh_signature takes (qe ARRAY<BIGINT>, masks ARRAY<BIGINT>)")
+        require(children(1).foldable,
+          "sign_lsh_signature masks must be a literal array " +
+            "(the planes are baked into the codegen'd expression)")
+        val arr = children(1).eval(InternalRow.empty).asInstanceOf[ArrayData]
+        val masks = children(1).dataType match {
+          case ArrayType(LongType, _) => arr.toLongArray().toSeq
+          case ArrayType(IntegerType, _) =>
+            arr.toIntArray().toSeq.map(_.toLong)
+          case t => throw new IllegalArgumentException(
+            s"sign_lsh_signature masks must be ARRAY<BIGINT>, got $t")
+        }
+        SignLshSignature(children(0), masks): Expression
+      }),
   )
 
   /** Register on an already-built session (test/REPL convenience):

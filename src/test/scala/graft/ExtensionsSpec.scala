@@ -19,6 +19,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === 2L)
   }
 
+  test("sign_lsh_signature callable from SQL; masks must be literal") {
+    GraftExtensions.install(spark)
+    // qe=[5,-3], mask bit0 set => plane (+1,-1): proj = 5+3 = 8 >= 0 ->
+    // bit0; mask 0 => plane (-1,-1): proj = -2 < 0 -> bit1 clear
+    val got = spark.sql(
+      "SELECT sign_lsh_signature(array(5L, -3L), array(1L, 0L)) AS s")
+      .collect().head.getLong(0)
+    assert(got === 1L)
+    // INT mask literals widen
+    val gotInt = spark.sql(
+      "SELECT sign_lsh_signature(array(5L, -3L), array(1, 0)) AS s")
+      .collect().head.getLong(0)
+    assert(gotInt === 1L)
+    // non-literal masks are rejected at analysis time
+    val err = intercept[Exception] {
+      spark.sql("SELECT sign_lsh_signature(array(1L), array(rand()::BIGINT))")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("registerTables exposes the full surface to spark.sql") {
     GraftExtensions.registerTables(spark, sf)
     val n = spark.sql(

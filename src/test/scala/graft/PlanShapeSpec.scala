@@ -86,6 +86,28 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
+  test("q37b/q36f: sign-LSH runs as the codegen expression, not HOF trees") {
+    // the round-3 regression shipped one interpreted aggregate(zip_with)
+    // per plane; the signature must stay a single codegen'd expression
+    for (q <- Seq("q37b_similarity_lsh", "q36f_embedding_neardup_lsh")) {
+      val plan = formatted(q)
+      assert(plan.contains("sign_lsh_signature"), s"$q:\n$plan")
+      assert(!plan.contains("aggregate(zip_with"), s"$q:\n$plan")
+      assert(plan.contains("long_array_dot"), s"$q:\n$plan")
+    }
+  }
+
+  test("q36f: band self-join reuses one exchange of the banded table") {
+    val df = SparkEntry.queries("q36f_embedding_neardup_lsh")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the join's two sides are the same banded plan: one computed
+    // exchange on (band, bkey), the second side a ReusedExchange
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 1, finalPlan)
+    assert(finalPlan.contains("ShuffledHashJoin"), finalPlan)
+  }
+
   test("q36e: one shingling pass — shingle exchanges shared via AQE reuse") {
     // The sharing property is a RUNTIME one (AQE exchange reuse), so
     // assert on the executed adaptive plan, not the static formatted one
