@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, SignLshSignature, SortedLongArrayIntersectSize}
+import graft.functions.{LongArrayDot, RollingHashMin, SignLshSignature, SortedLongArrayIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
@@ -68,6 +68,16 @@ object GraftExtensions {
         }
         SignLshSignature(children(0), masks): Expression
       }),
+    (new FunctionIdentifier("rolling_hash_min"),
+      new ExpressionInfo(classOf[RollingHashMin].getName,
+        null, "rolling_hash_min",
+        "_FUNC_(str, window) - Minimum Rabin-Karp polynomial hash over " +
+          "every window-byte UTF-8 substring of str, in one O(n) pass " +
+          "(winnowing-style document fingerprint). NULL if str is " +
+          "shorter than window bytes.",
+        "> SELECT _FUNC_('abcabc', 3) = _FUNC_('xxabcyy', 3);\n  true"),
+      (children: Seq[Expression]) =>
+        RollingHashMin(children(0), children(1)): Expression),
   )
 
   /** Register on an already-built session (test/REPL convenience):

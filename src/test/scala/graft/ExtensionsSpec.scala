@@ -40,6 +40,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("literal"), err.getMessage)
   }
 
+  test("rolling_hash_min callable from SQL after install") {
+    GraftExtensions.install(spark)
+    // both strings contain the 3-byte run "abc"; a shared window run
+    // makes the shared min plausible — here asserted exactly via the
+    // Scala Column API twin
+    val row = spark.sql(
+      "SELECT rolling_hash_min('abcabc', 3) AS a," +
+        " rolling_hash_min('xy', 3) AS b").collect().head
+    import org.apache.spark.sql.functions._
+    val want = spark.range(1)
+      .select(graft.functions.RollingHashMin(lit("abcabc"), 3))
+      .collect().head.getLong(0)
+    assert(row.getLong(0) === want)
+    assert(row.isNullAt(1)) // shorter than the window -> NULL
+  }
+
   test("registerTables exposes the full surface to spark.sql") {
     GraftExtensions.registerTables(spark, sf)
     val n = spark.sql(
