@@ -40,6 +40,27 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       warm(fn(spark, warmDir).count())
     }
+    // Second warmup pass for the JIT-heavy dedup/similarity pipelines:
+    // their generated methods (the 60-lane SimHash aggregate, shingle
+    // digest loops, LSH signatures, CC rounds) need thousands of row
+    // invocations before HotSpot tiers them up, and one sf0.001 pass
+    // (~50 docs) leaves them interpreted — measured 2-6x JIT cost on
+    // their first sf0.1 run (q36c 3.5s first vs 1.3s steady). sf0.01
+    // has enough rows to compile them; still untimed, still not the
+    // measured sf.
+    val heavyWarmDir = sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM_DIR", {
+      val sibling = new java.io.File(sfDir).getParentFile match {
+        case null => null
+        case p => new java.io.File(p, "sf0.01")
+      }
+      if (sibling != null && sibling.isDirectory) sibling.toString else ""
+    })
+    if (heavyWarmDir.nonEmpty && heavyWarmDir != sfDir) {
+      val heavy = Seq("q35", "q36", "q37", "q47", "q58", "q61")
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => heavy.exists(n.startsWith) }
+        .foreach { case (_, fn) => warm(fn(spark, heavyWarmDir).count()) }
+    }
     if (warmFailures > 0)
       System.err.println(s"[graft.Bench] $warmFailures warmup run(s) on " +
         s"$warmDir failed; first error: $firstWarmError")
