@@ -112,6 +112,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SignLshSignature equals the per-plane lambda fold on random input") {
+    import spark.implicits._
+    val caseGen = Gen.zip(
+      Gen.listOfN(10, Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))),
+      Gen.listOfN(6, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    forAll(caseGen) { case (vecs, masks) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "qe")
+      // reference: one aggregate(zip_with) projection per plane — the
+      // exact formulation the codegen expression replaced
+      val planeSig = masks.zipWithIndex.map { case (m, p) =>
+        val planeLit = array((0 until 16).map(i =>
+          lit(if (((m >>> i) & 1L) == 1L) 1L else -1L)): _*)
+        val proj = aggregate(
+          zip_with(col("qe"), planeLit, (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val lambda = df.select(col("id"), planeSig.as("s")).orderBy(col("id"))
+      val native = df.select(col("id"),
+        graft.functions.SignLshSignature(col("qe"), masks).as("s"))
+        .orderBy(col("id"))
+      assert(native.collect().toSeq === lambda.collect().toSeq)
+    }
+  }
+
   test("SortedLongArrayIntersectSize equals array_intersect on sorted sets") {
     import spark.implicits._
     val setGen = Gen.listOfN(12,
