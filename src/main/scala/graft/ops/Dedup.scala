@@ -503,9 +503,6 @@ object Dedup {
     // is symmetric, so every node occurs as dst and min(id, min(src))
     // over its group IS label_1 — same single shuffle that a bare
     // node-set distinct would cost.
-    var labels = materialize(edges
-      .groupBy(col("dst").as("id"))
-      .agg(least(col("dst"), min(col("src"))).as("label")))
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
 
     /** label(x) <- label(label(x)). Sound because every label is a node
@@ -519,6 +516,14 @@ object Dedup {
       l.join(parent, col("label") === col("jp"))
         .select(col("id"), least(col("label"), col("jl")).as("label"))
     }
+
+    // (Measured, not shipped: double-jumping THIS initial table, or a
+    // third jump per round, both cost a round instead of saving one on
+    // the sf0.1 SimHash graph — 6 and 5 rounds respectively vs 5. The
+    // jump count is an empirical knob, not monotone.)
+    var labels = materialize(edges
+      .groupBy(col("dst").as("id"))
+      .agg(least(col("dst"), min(col("src"))).as("label")))
 
     /** Exact label-sum; strict monotone decrease while any label changes,
       * so an unchanged sum IS convergence. DECIMAL(38,0): a 100 TB edge
