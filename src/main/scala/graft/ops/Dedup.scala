@@ -456,6 +456,52 @@ object Dedup {
   def q36cSimhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(documents(s, d))
 
+  // O-70: benchmark decontamination — the check a training-data pipeline
+  // runs before shipping a corpus: flag every training document that
+  // shares >= minShared distinct word-3-gram shingles with ANY document
+  // of a benchmark/eval set (here: one source column value standing in
+  // for the eval suite). Contaminated docs leak eval answers into
+  // training data; shingle overlap is the standard detector (n-gram
+  // collision, not exact match, so paraphrased leakage is caught too).
+  //
+  // Scale shape: an eval suite is small and fixed, so its distinct
+  // shingle hashes BROADCAST; the corpus side is one scan + a broadcast
+  // hash join + a partially-aggregated per-doc count — the 100 TB corpus
+  // is never shuffled. Same xxhash64 long keys as q36 (collision
+  // reasoning at hashedShingles); the DuckDB oracle stays on strings.
+  /** Generic decontamination over any (doc_id, source, text) table:
+    * training docs (source != benchmarkSource) sharing >= minShared
+    * distinct 3-gram shingles with the benchmark set. */
+  def decontaminate(docs: DataFrame, benchmarkSource: String,
+      minShared: Long): DataFrame = {
+    val toks = docs
+      .filter(col("doc_id").isNotNull)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+    val sh = toks.select(col("doc_id"), col("source"),
+      explode(array_distinct(
+        transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select(col("h")).distinct()
+    // per-doc shingles are already distinct (array_distinct above) and
+    // bench is distinct, so count(*) after the join IS the distinct
+    // shared-shingle count
+    sh.filter(col("source") =!= benchmarkSource)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  // Fixture binding: src0 plays the benchmark suite; >= 10 shared
+  // shingles separates the planted near-dups of benchmark docs from the
+  // 1-9-shingle background coincidence of the shared synthetic vocab.
+  def q65Decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminate(documents(s, d), "src0", 10L)
+
   /** Connected components over an undirected near-dup edge list
     * (doc_a, doc_b): every document gets the MIN doc_id reachable from it
     * as its cluster_id. This is the step that turns pairwise near-dup
@@ -584,6 +630,7 @@ object Dedup {
     "q36c_simhash" -> (q36cSimhash _),
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
+    "q65_decontaminate" -> (q65Decontaminate _),
   )
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
@@ -622,6 +669,26 @@ object Dedup {
        |  FROM sigs, UNNEST(generate_series(0, ${SimChunks - 1})) AS t(c))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // String-shingle twin of the xxhash64 formulation (same reasoning
+    // as q36/q36e): DISTINCT per-doc shingles x distinct benchmark
+    // shingles => count(*) is the distinct shared count.
+    "q65_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+        |  FROM toks, UNNEST(generate_series(0, len(w)-3)) AS t(i)),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, s.source, count(*) AS n_shared
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.source != 'src0'
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 10
+        |ORDER BY doc_id""".stripMargin,
     "q36c_simhash" ->
       s"""WITH $simhashCtesSql
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -57,6 +57,25 @@ class GenericApiSpec extends SparkSpec {
     assert(q1.map(_.getInt(2)).forall(_ === 1))
   }
 
+  test("decontaminate flags only docs overlapping the benchmark set") {
+    import spark.implicits._
+    // doc 2 shares 4 shingles with the benchmark doc ("the quick brown",
+    // "quick brown fox", "brown fox jumps", "fox jumps over"); doc 3
+    // shares none
+    val sdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "bench"),
+      (2L, "the quick brown fox jumps over a sleepy cat", "train"),
+      (3L, "completely different words here nothing shared at all", "train")
+    ).toDF("doc_id", "text", "source")
+    val out = ops.Dedup.decontaminate(sdocs, "bench", minShared = 3L)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((2L, 4L)))
+    // raising the threshold above the overlap clears the flag
+    assert(ops.Dedup.decontaminate(sdocs, "bench", minShared = 5L)
+      .count() === 0)
+  }
+
   test("connectedComponents resolves transitive chains and singleton pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (min label must travel 3 hops -> exercises the
