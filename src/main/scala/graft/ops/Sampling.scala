@@ -115,17 +115,88 @@ object Sampling {
   def q64SequencePack(s: SparkSession, d: String): DataFrame =
     sequencePack(documents(s, d))
 
+  // O-71 data-mixture resampling: resample sources to TARGET weights —
+  // the mixture step of an LLM data pipeline ("3 parts src0 to 2 parts
+  // src1 to 1 part everything else"). Exact integer construction, no
+  // rand(), no floats: with per-source weights w_i (summing to W over
+  // the sources present) and counts n_i, the largest feasible mixture
+  // is T = min_i(n_i * W DIV w_i) rows, and source i contributes
+  // k_i = w_i * T DIV W docs chosen in stable hash order. The counts,
+  // W, T, and k_i tables are all at most |sources| rows (broadcast
+  // scalars); the corpus pays exactly one shuffle — the per-source rank
+  // window — so the shape is q60's with data-derived quotas.
+  /** Generic mixture resampling over any (doc_id, source) table:
+    * integer target weights per source (defaultWeight for unlisted
+    * sources; weight <= 0 drops the source entirely). */
+  def sourceMix(docs: DataFrame, weights: Map[String, Int],
+      defaultWeight: Int = 1): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col("source") === src, wt).otherwise(acc)
+    }
+    val weighted = docs
+      .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
+      .withColumn("w", wExpr)
+      .filter(col("w") > 0)
+    val counts = weighted.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val wSum = counts.agg(sum(col("w")).as("wsum"))
+    val tVal = counts.crossJoin(broadcast(wSum))
+      .agg(min(expr("n * wsum DIV w")).as("t"))
+    val quota = counts
+      .crossJoin(broadcast(tVal)).crossJoin(broadcast(wSum))
+      .select(col("source"), expr("w * t DIV wsum").as("k"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+    weighted
+      .withColumn("rn", row_number().over(bySource))
+      .join(broadcast(quota), "source")
+      .filter(col("rn") <= col("k"))
+      .select(col("doc_id"), col("source"), col("rn"), col("k"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  // Fixture binding: upweight src0 3x and src1 2x against a unit
+  // baseline. At sf0.01 (25 docs/source, 20 sources): W=23, T=191,
+  // quotas 24/16/8 -> a 184-row mixture at the exact 3:2:1 ratios the
+  // integer floors allow.
+  def q66SourceMix(s: SparkSession, d: String): DataFrame =
+    sourceMix(documents(s, d), Map("src0" -> 3, "src1" -> 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
     "q63_stratified_sample" -> (q63StratifiedSample _),
     "q64_sequence_pack" -> (q64SequencePack _),
+    "q66_source_mix" -> (q66SourceMix _),
   )
 
   private val bucketSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
   val oracles: Map[String, String] = Map(
+    // Integer mixture twin: same weights, same stable hash order, same
+    // floor divisions.
+    "q66_source_mix" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $bucketSql AS bucket,
+         |    CASE WHEN source = 'src0' THEN 3
+         |         WHEN source = 'src1' THEN 2 ELSE 1 END AS w
+         |  FROM documents),
+         |counts AS (SELECT source, w, count(*) AS n FROM b GROUP BY 1, 2),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
+         |tv AS (SELECT CAST(min(n * wsum // w) AS BIGINT) AS t
+         |  FROM counts, ws),
+         |ki AS (SELECT source, CAST(w * t // wsum AS BIGINT) AS k
+         |  FROM counts, tv, ws),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id) AS INT) AS rn
+         |  FROM b)
+         |SELECT r.doc_id, r.source, r.rn, ki.k
+         |FROM ranked r JOIN ki USING (source)
+         |WHERE r.rn <= ki.k
+         |ORDER BY source, rn""".stripMargin,
     "q59_hash_split" ->
       s"""SELECT doc_id, source, $bucketSql AS bucket,
          |  CASE WHEN $bucketSql < 80 THEN 'train'

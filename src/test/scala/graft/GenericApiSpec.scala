@@ -57,6 +57,21 @@ class GenericApiSpec extends SparkSpec {
     assert(q1.map(_.getInt(2)).forall(_ === 1))
   }
 
+  test("sourceMix resamples to exact integer target ratios") {
+    import spark.implicits._
+    // 6 docs of a, 6 of b, weights 2:1 -> W=3, T=min(6*3/2, 6*3/1)=9,
+    // quotas k_a = 2*9/3 = 6, k_b = 9/3 = 3
+    val sdocs = (1L to 6L).map((_, "a")) ++ (11L to 16L).map((_, "b"))
+    val df = sdocs.toDF("doc_id", "source")
+    val out = ops.Sampling.sourceMix(df, Map("a" -> 2), defaultWeight = 1)
+      .collect()
+    val perSource = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perSource.toMap === Map("a" -> 6, "b" -> 3))
+    // zero weight drops the source entirely
+    val dropped = ops.Sampling.sourceMix(df, Map("a" -> 0)).collect()
+    assert(dropped.forall(_.getString(1) == "b"))
+  }
+
   test("decontaminate flags only docs overlapping the benchmark set") {
     import spark.implicits._
     // doc 2 shares 4 shingles with the benchmark doc ("the quick brown",
