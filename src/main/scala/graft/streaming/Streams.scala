@@ -314,6 +314,72 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** s10 output row: timer-fired per-series summary. */
+  case class TimerSummary(event_type: String, n_events: Long,
+    fired_at_micros: Long)
+
+  /** EVENT-TIME TIMERS in transformWithState — the one arbitrary-state
+    * facility s07/s09 don't exercise. Per key the processor registers a
+    * single timer at (first event ts + 10 min) and emits NOTHING from
+    * the data path; the AvailableNow replay's trailing no-data batch
+    * advances the watermark to max(ts) - 1h, which expires every timer
+    * (the fixture spans weeks), and only the timer callback emits — one
+    * summary per key carrying the state accumulated by firing time
+    * (== all of the key's rows: they all arrived in the single data
+    * batch, see eventsStream's single-batch note). Timer registration
+    * is in epoch millis (the API's unit); the emitted fired_at carries
+    * the exact micros from state so no ms truncation leaks into the
+    * oracle compare. */
+  private class TimerSummaryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), TimerSummary] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _ // (n, min ts us)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("acc",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[TimerSummary] = {
+      val first = !st.exists()
+      var (n, minTs) = if (first) (0L, Long.MaxValue) else st.get()
+      rows.foreach { case (_, tsUs) =>
+        n += 1
+        if (tsUs < minTs) minTs = tsUs
+      }
+      if (first) getHandle.registerTimer(minTs / 1000 + 600000L)
+      st.update((n, minTs))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TimerSummary] = {
+      val (n, minTs) = st.get()
+      Iterator.single(TimerSummary(key, n, minTs + 600000000L))
+    }
+  }
+
+  def s10EventTimer(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val typed = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+      .as[(String, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new TimerSummaryProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[TimerSummary])
+      .toDF()
+      .select(col("event_type"), col("n_events"),
+        timestamp_micros(col("fired_at_micros")).as("fired_at"))
+    // noDataBatch = true is LOAD-BEARING here: the timers only expire in
+    // the trailing watermark-advancing batch
+    runToMemory(s, out, "append", forceRocksDb = true)
+      .orderBy(col("event_type"))
+  }
+
   // Stream-stream interval join: click events matched to error events of
   // the same user within the preceding 10 minutes — both sides
   // watermarked so the join state is bounded (rows older than watermark
@@ -353,6 +419,7 @@ object Streams {
     "s04_foreachbatch" -> (s04Foreachbatch _),
     "s05_session_window" -> (s05SessionWindow _),
     "s09_transform_with_state" -> (s09TransformWithState _),
+    "s10_event_timer" -> (s10EventTimer _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -365,6 +432,16 @@ object Streams {
     * twins. These mirror that closed-form in SQL — upgrading all eight
     * s-queries from rows-only checks to full value-hash oracles. */
   val oracles: Map[String, String] = Map(
+    // event-time timers: one row per key whose (first ts + 10 min)
+    // timer the final watermark (max ts - 1h) expired; the count is the
+    // key's full row count (everything arrived before any timer fired)
+    "s10_event_timer" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) + INTERVAL 10 MINUTE AS fired_at
+        |FROM events GROUP BY 1
+        |HAVING min(ts) + INTERVAL 10 MINUTE <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY event_type""".stripMargin,
     // complete mode => every 03:00Z-anchored daily window (== q33 shape)
     "s01_stream_tumbling" ->
       """SELECT
