@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the caller guarantees it (enforced upstream by array_distinct +
   * sort_array); unsorted input silently undercounts. NULL array yields
   * NULL; a NULL ELEMENT yields NULL only if the merge scan visits it —
-  * elements past the point where one pointer exhausts are never
-  * inspected (e.g. intersect([5], [1, NULL]) is 0, not NULL). Unlike
+  * elements past the point where one pointer EXHAUSTS are never
+  * inspected (e.g. intersect([0], [1, NULL]) is 0 — the left side
+  * exhausts before b[1] is read — while intersect([5], [1, NULL]) is
+  * NULL, because advancing past 1 visits the NULL). Unlike
   * LongArrayDot, which scans every index, this is a short-circuiting
   * merge; interpreted and codegen paths agree.
   */
