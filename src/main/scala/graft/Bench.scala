@@ -55,7 +55,12 @@ object Bench {
       }
       if (sibling != null && sibling.isDirectory) sibling.toString else ""
     })
-    if (heavyWarmDir.nonEmpty && heavyWarmDir != sfDir) {
+    // canonical-path compare: a trailing slash or symlink in
+    // SPARK_GRAFT_SF_DIR must not defeat the guard and warm the
+    // MEASURED scale factor (that would flatter the benchmark)
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
+    if (heavyWarmDir.nonEmpty && canon(heavyWarmDir) != canon(sfDir)) {
       val heavy = Seq("q35", "q36", "q37", "q47", "q58", "q61")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => heavy.exists(n.startsWith) }

@@ -58,14 +58,24 @@ object GraftExtensions {
         require(children(1).foldable,
           "sign_lsh_signature masks must be a literal array " +
             "(the planes are baked into the codegen'd expression)")
-        val arr = children(1).eval(InternalRow.empty).asInstanceOf[ArrayData]
-        val masks = children(1).dataType match {
-          case ArrayType(LongType, _) => arr.toLongArray().toSeq
-          case ArrayType(IntegerType, _) =>
-            arr.toIntArray().toSeq.map(_.toLong)
+        // validate the TYPE before touching the value, and the value
+        // before unboxing: a NULL literal, a non-array, or a NULL mask
+        // element must all surface as the contract error, not an
+        // NPE/ClassCastException from the cast below
+        val elemType = children(1).dataType match {
+          case ArrayType(t, _) if t == LongType || t == IntegerType => t
           case t => throw new IllegalArgumentException(
             s"sign_lsh_signature masks must be ARRAY<BIGINT>, got $t")
         }
+        val value = children(1).eval(InternalRow.empty)
+        require(value != null,
+          "sign_lsh_signature masks must be a non-NULL literal array")
+        val arr = value.asInstanceOf[ArrayData]
+        require((0 until arr.numElements()).forall(i => !arr.isNullAt(i)),
+          "sign_lsh_signature masks must not contain NULL elements")
+        val masks =
+          if (elemType == LongType) arr.toLongArray().toSeq
+          else arr.toIntArray().toSeq.map(_.toLong)
         SignLshSignature(children(0), masks): Expression
       }),
     (new FunctionIdentifier("rolling_hash_min"),

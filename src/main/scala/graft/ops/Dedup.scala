@@ -32,7 +32,7 @@ object Dedup {
     * magnitude cheaper than serializing the compute; on a many-file
     * 100 TB table the scan parallelism is already there and this shuffle
     * is a no-op cost next to the digest work it balances. */
-  private def docTokens(docs: DataFrame): DataFrame =
+  private def docTokens(docs: DataFrame, extraCols: Column*): DataFrame =
     docs
       // explicit isnotnull(doc_id), not left to constraint inference:
       // q36e's doc-frequency subtree never joins on doc_id, so inference
@@ -45,7 +45,8 @@ object Dedup {
       // and makes all consumers share one exchange.
       .filter(col("doc_id").isNotNull)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id") +: extraCols :+
+        split(trim(col("text")), "\\s+").as("w"): _*)
       .filter(size(col("w")) >= 3)
 
   /** Word-3-gram shingle array over a bound token-array attribute.
@@ -108,11 +109,16 @@ object Dedup {
     * (P < 1e-9 at 100 TB shingle cardinality ~2^40 per pair; the DuckDB
     * oracle — which stays on strings — would catch one deterministically
     * at test scale). */
+  /** Per-doc DISTINCT shingle hashes as an array expression over the
+    * bound token array (shared by every hashed-shingle consumer so the
+    * tokenize/shingle/digest contract has exactly one definition). */
+  private def hashedShingleExpr(w: Column): Column =
+    array_distinct(transform(shingleExpr(w), h => xxhash64(h)))
+
   private def hashedShingles(docs: DataFrame): DataFrame =
     docTokens(docs)
       .select(col("doc_id"),
-        explode(array_distinct(
-          transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
+        explode(hashedShingleExpr(col("w"))).as("h"))
 
   // O-59: exact 3-gram Jaccard near-dup pairs at threshold 0.5.
   // Shingle self-join -> pairwise intersection counts -> |A|+|B|-inter.
@@ -373,8 +379,14 @@ object Dedup {
   def minhashProbe(s: SparkSession, storeDir: String, text: String)
       : DataFrame = {
     import s.implicits._
-    val probeMins = q36bSig(Seq((0L, text)).toDF("doc_id", "text"))
-      .collect()(0).getSeq[Long](1)
+    val sigRows = q36bSig(Seq((0L, text)).toDF("doc_id", "text")).collect()
+    // a probe shorter than one shingle (< 3 tokens, or null) has no
+    // signature: it can near-dup with nothing — empty result, not a crash
+    if (sigRows.isEmpty)
+      return s.read.parquet(s"$storeDir/bands").filter(lit(false))
+        .select(col("doc_id"), lit(0).as("n_match"),
+          lit(0.0).as("est_jaccard"))
+    val probeMins = sigRows(0).getSeq[Long](1)
     val store = s.read.parquet(s"$storeDir/bands")
     val candidates = (0 until NBands).map { b =>
       store.filter(col("band") === b &&
@@ -474,15 +486,9 @@ object Dedup {
     * distinct 3-gram shingles with the benchmark set. */
   def decontaminate(docs: DataFrame, benchmarkSource: String,
       minShared: Long): DataFrame = {
-    val toks = docs
-      .filter(col("doc_id").isNotNull)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = docTokens(docs, col("source"))
       .select(col("doc_id"), col("source"),
-        split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-    val sh = toks.select(col("doc_id"), col("source"),
-      explode(array_distinct(
-        transform(shingleExpr(col("w")), h => xxhash64(h)))).as("h"))
+        explode(hashedShingleExpr(col("w"))).as("h"))
     val bench = sh.filter(col("source") === benchmarkSource)
       .select(col("h")).distinct()
     // per-doc shingles are already distinct (array_distinct above) and
@@ -535,7 +541,14 @@ object Dedup {
     // spark.graft.cc.checkpointDir to a reliable location (HDFS/S3) and
     // every per-round materialization becomes a fault-tolerant
     // checkpoint() instead. Same plans either way — only the
-    // materialization primitive changes.
+    // materialization primitive changes. Operational notes for the
+    // reliable mode: each round leaves its rdd-* directory behind (Spark
+    // only deletes superseded checkpoints when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true and the old
+    // DataFrame is GC'd — set it, or treat the dir as job-scoped scratch
+    // and delete it after the run), and setCheckpointDir is
+    // SparkContext-global, so later checkpoint() calls in the same
+    // session also land there.
     val ss = pairs.sparkSession
     val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
     ckptDir.foreach(ss.sparkContext.setCheckpointDir)

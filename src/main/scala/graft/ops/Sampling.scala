@@ -134,6 +134,11 @@ object Sampling {
       case (acc, (src, wt)) => when(col("source") === src, wt).otherwise(acc)
     }
     val weighted = docs
+      // NULL sources are excluded UP FRONT: they would otherwise take the
+      // default weight, participate in W and the mixture cap T, and then
+      // silently vanish at the inner quota join (null never equi-joins) —
+      // shrinking every real source's quota for rows that can't appear
+      .filter(col("source").isNotNull)
       .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
       .withColumn("w", wExpr)
       .filter(col("w") > 0)

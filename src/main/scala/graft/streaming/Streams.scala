@@ -332,9 +332,15 @@ object Streams {
     * summary per key carrying the state accumulated by firing time
     * (== all of the key's rows: they all arrived in the single data
     * batch, see eventsStream's single-batch note). Timer registration
-    * is in epoch millis (the API's unit); the emitted fired_at carries
-    * the exact micros from state so no ms truncation leaks into the
-    * oracle compare. */
+    * is in epoch millis (the API's unit); the emitted fired_at VALUE
+    * carries the exact micros from state, so the compared column is
+    * truncation-free. The ms unit does still decide WHICH timers expire:
+    * a key whose (min ts + 10 min) lands within 1 ms of the final
+    * watermark could fire on one side of the oracle's micro-precision
+    * <= and not the other. The fixture keeps those quantities days
+    * apart (events span weeks), so the boundary is unreachable there;
+    * a production pipeline comparing engines at the boundary would pin
+    * both sides to ms precision. */
   private class TimerSummaryProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long), TimerSummary] {

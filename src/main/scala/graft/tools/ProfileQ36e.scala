@@ -22,7 +22,11 @@ object ProfileQ36e {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // mirrors Dedup.docTokens EXACTLY (including the isnotnull(doc_id)
+    // that enables AQE exchange reuse) — a drifted copy here would A/B a
+    // plan that differs from the shipped one in the property under test
     def docTokens: DataFrame = graft.ops.Tables.documents(spark, d)
+      .filter(col("doc_id").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)

@@ -38,6 +38,23 @@ class ExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // malformed masks surface the contract error, not NPE/CCE
+    val errNull = intercept[Exception] {
+      spark.sql(
+        "SELECT sign_lsh_signature(array(1L), CAST(NULL AS ARRAY<BIGINT>))")
+        .collect()
+    }
+    assert(errNull.getMessage.contains("non-NULL"), errNull.getMessage)
+    val errElem = intercept[Exception] {
+      spark.sql(
+        "SELECT sign_lsh_signature(array(1L), array(1L, CAST(NULL AS BIGINT)))")
+        .collect()
+    }
+    assert(errElem.getMessage.contains("NULL elements"), errElem.getMessage)
+    val errType = intercept[Exception] {
+      spark.sql("SELECT sign_lsh_signature(array(1L), 'xyz')").collect()
+    }
+    assert(errType.getMessage.contains("ARRAY<BIGINT>"), errType.getMessage)
   }
 
   test("rolling_hash_min callable from SQL after install") {

@@ -70,6 +70,15 @@ class GenericApiSpec extends SparkSpec {
     // zero weight drops the source entirely
     val dropped = ops.Sampling.sourceMix(df, Map("a" -> 0)).collect()
     assert(dropped.forall(_.getString(1) == "b"))
+    // NULL sources must not participate in the weight sum / mixture cap
+    // (they can never pass the quota equi-join): quotas are unchanged
+    val withNull = sdocs.map { case (id, s) => (id, Option(s)) } ++
+      Seq((100L, Option.empty[String]), (101L, Option.empty[String]))
+    val dfNull = withNull.toDF("doc_id", "source")
+    val outNull = ops.Sampling.sourceMix(dfNull, Map("a" -> 2)).collect()
+    val perSourceNull = outNull.groupBy(_.getString(1)).view
+      .mapValues(_.length)
+    assert(perSourceNull.toMap === Map("a" -> 6, "b" -> 3))
   }
 
   test("decontaminate flags only docs overlapping the benchmark set") {

@@ -44,6 +44,14 @@ class MinhashStoreSpec extends SparkSpec {
       .isDefined, s"k1 equality not pushed:\n$plan")
   }
 
+  test("probe of a sub-shingle-length text returns empty, not a crash") {
+    val docs = Tables.documents(spark, sf)
+    val store = java.nio.file.Files.createTempDirectory("mh2_").toString
+    Dedup.minhashWrite(docs, store)
+    assert(Dedup.minhashProbe(spark, store, "foo bar").count() === 0)
+    assert(Dedup.minhashProbe(spark, store, "").count() === 0)
+  }
+
   test("connectedComponents honors spark.graft.cc.checkpointDir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
