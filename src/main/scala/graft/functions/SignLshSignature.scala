@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: sign-LSH signature of a quantized
   * ARRAY<BIGINT> vector against a set of +-1 hyperplanes.
@@ -35,10 +35,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * construction, no ANSI-mode dependence.
   */
 case class SignLshSignature(child: Expression, masks: Seq[Long])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(masks.nonEmpty && masks.length <= 64,
     s"sign-LSH supports 1..64 planes, got ${masks.length}")
 
+  // Analysis-time contract (ADVICE r4): a non-ARRAY<BIGINT> first
+  // argument — e.g. sign_lsh_signature('abc', ...) from the SQL surface
+  // — fails with a typed AnalysisException instead of a runtime
+  // ClassCastException, matching the masks argument's error quality.
+  override def inputTypes: Seq[TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "sign_lsh_signature"

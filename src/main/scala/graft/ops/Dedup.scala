@@ -405,6 +405,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Declared write-then-probe binding of the stored MinHash layout
+    * (VERDICT r4 #3: put the flagship 100 TB ingest shape under the
+    * driver's own correctness gate, not only MinhashStoreSpec). Builds
+    * the band-partitioned signature store from the corpus in run-scoped
+    * tmpfs scratch (Ephemeral: deleted on JVM exit — the returned
+    * DataFrame reads the store lazily, so the dir must outlive this
+    * call), then probes it with the text of the corpus's smallest
+    * qualifying doc_id (>= 3 tokens — the same qualification the store
+    * applies), a choice that is deterministic at every scale factor.
+    * The two driver-side head() calls are the probe's documented
+    * point-read shape: one row each, independent of corpus size. */
+  def q67MinhashProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val store = graft.util.Ephemeral.dir("graft_mh_store_")
+    minhashWrite(docs, store)
+    val probeText = docs
+      .filter(col("doc_id").isNotNull)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+      .orderBy(col("doc_id"))
+      .select(col("text"))
+      .head().getString(0)
+    minhashProbe(s, store, probeText)
+  }
+
   private val SimBits = 60 // md5-derived token hash width (15 hex chars)
   private val SimChunks = 4 // banding: 4 chunks of 15 bits
 
@@ -483,7 +507,15 @@ object Dedup {
   // reasoning at hashedShingles); the DuckDB oracle stays on strings.
   /** Generic decontamination over any (doc_id, source, text) table:
     * training docs (source != benchmarkSource) sharing >= minShared
-    * distinct 3-gram shingles with the benchmark set. */
+    * distinct 3-gram shingles with the benchmark set.
+    *
+    * CONTRACT (ADVICE r4): rows with NULL doc_id are excluded from BOTH
+    * sides — a NULL-id row has no identity to flag on the training side,
+    * and on the benchmark side its shingles are deliberately not
+    * treated as eval content (an eval suite with unidentifiable rows is
+    * a data bug upstream of this check, not something to silently
+    * include). The q65 oracle states the same doc_id IS NOT NULL
+    * exclusion, so the generic API and the oracle agree off-fixture. */
   def decontaminate(docs: DataFrame, benchmarkSource: String,
       minShared: Long): DataFrame = {
     val sh = docTokens(docs, col("source"))
@@ -644,6 +676,7 @@ object Dedup {
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q65_decontaminate" -> (q65Decontaminate _),
+    "q67_minhash_probe" -> (q67MinhashProbe _),
   )
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
@@ -689,7 +722,8 @@ object Dedup {
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |  WHERE doc_id IS NOT NULL
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
         |sh AS (
         |  SELECT DISTINCT doc_id, source,
         |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
@@ -808,5 +842,31 @@ object Dedup {
          |  round(CAST(n_match AS DOUBLE) / $NHashes, 4) AS est_jaccard
          |FROM scored WHERE n_match * 2 >= $NHashes
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Stored-probe twin: the probe doc is the min qualifying doc_id; a
+    // candidate must share at least one FULL band (k1 AND k2) with it —
+    // the store's pruned-read condition — then pass the same
+    // >= NHashes/2 match rule as q36b. The probe doc itself passes
+    // trivially (16/16), exactly as the Spark probe returns it.
+    "q67_minhash_probe" ->
+      s"""WITH $shinglesSql,
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${minExprs("m")}
+         |  FROM sh GROUP BY doc_id),
+         |probe AS (
+         |  SELECT * FROM sig WHERE doc_id = (SELECT min(doc_id) FROM sig)),
+         |scored AS (
+         |  SELECT s.doc_id,
+         |    ${(0 until NHashes).map(j =>
+              s"(CASE WHEN s.m$j = p.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |  FROM sig s, probe p
+         |  WHERE ${(0 until NBands).map(b =>
+              s"(s.m${2 * b} = p.m${2 * b} AND " +
+                s"s.m${2 * b + 1} = p.m${2 * b + 1})").mkString(" OR ")})
+         |SELECT doc_id, CAST(n_match AS INT) AS n_match,
+         |  round(CAST(n_match AS DOUBLE) / $NHashes, 4) AS est_jaccard
+         |FROM scored WHERE n_match * 2 >= $NHashes
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -204,6 +204,17 @@ object Relational {
   // property of the data (verified at all three SFs), not a flaky bound.
   // The exact countDistinct here is test scaffolding — production callers
   // use the sketch alone (that is the operator's point at 100 TB).
+  // ADVICE r4 weighed moving the exact count to a verify-only variant so
+  // the bench measures the sketch alone: rejected, because a declared
+  // query without the in-query cross-check would be rows-only under the
+  // driver's gate (re-opening the hole q14b closed), and the measured
+  // cost of the extra exact branch is ~0.1s at sf0.1 — CheckQ14b times
+  // the sketch-only form for the record. The within_2pct oracle's
+  // dependence on HLL++ estimate stability across Spark upgrades is
+  // accepted and documented: a changed estimate that still lands within
+  // 2% keeps the oracle green (the assertion is the bound, not the
+  // estimate), so only an accuracy REGRESSION in Spark would flag it —
+  // which is exactly what we'd want flagged.
   def q14bApproxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))

@@ -185,6 +185,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Declared write-then-probe binding of the stored IVF layout
+    * (VERDICT r4 #3, the Similarity twin of q67): lay the corpus out
+    * partition-by-cell in run-scoped tmpfs scratch (Ephemeral — the
+    * probe reads it lazily, deletion happens at JVM exit), then answer
+    * vec_id 0's query through `ivfProbe`'s centroid-rank + pruned
+    * partition reads. Produces exactly q37c's rows (IvfStoreSpec asserts
+    * the parity and the pruned plan shape), so the oracle is q37c's —
+    * which is the point: the STORED path now sits under the driver's
+    * hash gate, not only under ScalaTest. */
+  def q68IvfProbe(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.dir("graft_ivf_store_")
+    ivfWrite(s, d, store)
+    val queryVec = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfProbe(s, store, queryVec, nprobe = 4, k = 10, excludeVecId = Some(0L))
+  }
+
   // O-59/O-60 scale path for PAIRWISE embedding near-dup: BANDED
   // sign-LSH (round-3 keyed the pairwise join on one FULL 8-bit bucket —
   // 256 possible keys forever, so at 100x corpus the within-bucket pair
@@ -281,6 +299,7 @@ object Similarity {
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
     "q37c_similarity_ivf" -> (q37cSimilarityIvf _),
+    "q68_ivf_probe" -> (q68IvfProbe _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
     "q36f_embedding_neardup_lsh" -> (q36fEmbeddingNeardupLsh _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
@@ -311,6 +330,33 @@ object Similarity {
     s"CAST(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, len($a))])" +
       " AS BIGINT)"
 
+  /** IVF result in SQL (coarse assignment by max centroid dot, probe =
+    * the 4 cells nearest the query, exact re-rank inside them) — the
+    * oracle of BOTH q37c (in-query IVF) and q68 (stored-layout probe). */
+  private val ivfOracleSql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
+       |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+       |  WHERE vec_id < 16),
+       |dots AS (
+       |  SELECT q.vec_id, q.label, q.qe, cent.cell_id,
+       |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+       |  FROM q, cent),
+       |assigned AS (
+       |  SELECT vec_id, label, qe, cell_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+       |    FROM dots) WHERE rn = 1),
+       |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell_id FROM cent, qv
+       |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4)
+       |SELECT a.vec_id, a.label, a.cell_id,
+       |  ${qdotSql("a.qe", "qv.qq")} AS dot_e12
+       |FROM assigned a JOIN probe USING (cell_id), qv
+       |WHERE a.vec_id != 0
+       |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q37b_similarity_lsh" ->
       s"""WITH q AS (
@@ -328,29 +374,12 @@ object Similarity {
          |FROM b, qv
          |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
          |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
-    "q37c_similarity_ivf" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
-         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
-         |  WHERE vec_id < 16),
-         |dots AS (
-         |  SELECT q.vec_id, q.label, q.qe, cent.cell_id,
-         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
-         |  FROM q, cent),
-         |assigned AS (
-         |  SELECT vec_id, label, qe, cell_id FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
-         |    FROM dots) WHERE rn = 1),
-         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT cell_id FROM cent, qv
-         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4)
-         |SELECT a.vec_id, a.label, a.cell_id,
-         |  ${qdotSql("a.qe", "qv.qq")} AS dot_e12
-         |FROM assigned a JOIN probe USING (cell_id), qv
-         |WHERE a.vec_id != 0
-         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q37c_similarity_ivf" -> ivfOracleSql,
+    // q68 computes the SAME rows through the stored layout (write-time
+    // cell assignment + pruned partition reads), so its oracle IS
+    // q37c's: identical results via a different physical path is the
+    // property under test.
+    "q68_ivf_probe" -> ivfOracleSql,
     "q37_similarity_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -36,14 +34,11 @@ object Streams {
     * Their checkpoint is throwaway by construction (the query ends with
     * the batch), so it goes on tmpfs when available: the offset/commit
     * logs and state snapshots are dozens of small fsync'd files whose
-    * disk IO dominated these queries' bench time. A long-lived query
-    * (TimeSeriesStore, StreamResumeSpec) keeps a durable location. */
-  private[graft] def ephemeralCheckpointDir(): String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      Files.createTempDirectory(shm.toPath, "graft_ckpt_").toString
-    else Files.createTempDirectory("graft_ckpt_").toString
-  }
+    * disk IO dominated these queries' bench time. Deleted on JVM exit
+    * (graft.util.Ephemeral). A long-lived query (TimeSeriesStore,
+    * StreamResumeSpec) keeps a durable location. */
+  private[graft] def ephemeralCheckpointDir(): String =
+    graft.util.Ephemeral.dir("graft_ckpt_")
 
   /** Streaming read of the events table (O-48: the file source tracks
     * per-file offsets in the checkpoint — the `sha..HEAD` analog).
@@ -179,13 +174,11 @@ object Streams {
     // throwaway sink files follow the checkpoint's tmpfs policy: the
     // result is read back and compared, never kept, so there is no
     // reason to put its parquet + _SUCCESS churn on a real disk (here
-    // the page cache hides it; on a loaded driver box it would not)
-    val dir = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
-        Files.createTempDirectory(shm.toPath, "graft_sink_").toString
-      else Files.createTempDirectory("graft_sink_").toString
-    }
+    // the page cache hides it; on a loaded driver box it would not).
+    // Ephemeral.dir registers exit-time deletion — the read-back below
+    // is lazy, so deleting any earlier would race the consumer
+    // (ADVICE r4: this sink previously accumulated in /dev/shm).
+    val dir = graft.util.Ephemeral.dir("graft_sink_")
     val q = eventsStream(s, d)
       .select(col("event_id"), col("ts"), col("event_type"),
         cents(col("value")).as("value_cents"))

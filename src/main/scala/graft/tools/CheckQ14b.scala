@@ -18,6 +18,22 @@ object CheckQ14b {
       val allIn = rows.forall(_.getBoolean(2))
       println(s"[q14b] $sf rows=${rows.length} all_within_2pct=$allIn")
       rows.foreach(r => println(s"[q14b]   $r"))
+      // sketch-only timing (ADVICE r4): what production pays without the
+      // declared query's exact-count cross-check branch
+      import org.apache.spark.sql.functions._
+      for (run <- 1 to 2) {
+        val t0 = System.nanoTime()
+        graft.ops.Tables.events(spark, d)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.005)
+            .as("approx_users"))
+          .count()
+        val t1 = System.nanoTime()
+        graft.SparkEntry.queries("q14b_approx_distinct")(spark, d).count()
+        val t2 = System.nanoTime()
+        println(f"[q14b] $sf run$run sketch_only=${(t1 - t0) / 1e9}%.3f " +
+          f"declared=${(t2 - t1) / 1e9}%.3f sec")
+      }
     }
     spark.stop()
   }

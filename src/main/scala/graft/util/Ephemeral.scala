@@ -1,0 +1,52 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** Run-scoped scratch directories (throwaway checkpoints, sink dirs,
+  * stored-layout fixtures). Created on tmpfs when available — their
+  * contents are written, read back once, and never kept, so there is no
+  * reason to pay real-disk fsync churn for them — and deleted on JVM
+  * exit by a single shutdown hook.
+  *
+  * Deletion CANNOT happen at call-return: callers hand the directory to
+  * a lazy DataFrame (`spark.read.parquet(dir)`) whose consumer — Verify's
+  * parquet dump, Bench's count, a spec assertion — executes after the
+  * producing function has returned. The JVM-exit hook is the earliest
+  * point that is safely after every consumer. (ADVICE r4: the s04 sink
+  * previously leaked its parquet churn into /dev/shm across runs; the
+  * ephemeral checkpoint dirs leaked the same way, just smaller.)
+  */
+object Ephemeral {
+
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Path]
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = tracked.poll()
+      while (p != null) { deleteRecursively(p); p = tracked.poll() }
+    }, "graft-ephemeral-cleanup"))
+  }
+
+  /** New empty scratch dir (tmpfs-backed when /dev/shm is writable),
+    * deleted recursively on JVM exit. */
+  def dir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val p =
+      if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, prefix)
+      else Files.createTempDirectory(prefix)
+    tracked.add(p)
+    p.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    try {
+      val f = p.toFile
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        if (children != null) children.foreach(c => deleteRecursively(c.toPath))
+      }
+      f.delete(): Unit
+    } catch { case _: Exception => () } // best-effort: exit-time cleanup
+  }
+}

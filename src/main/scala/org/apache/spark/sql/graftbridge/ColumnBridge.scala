@@ -14,3 +14,10 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]`, so a
+  * library-package Expression cannot name it in an `inputTypes` override
+  * signature directly; this public alias is the same one-hop bridge. */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}
