@@ -21,3 +21,13 @@ object ColumnBridge {
 object TypeBridge {
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
+
+/** `StateStore.unloadAll()` is `private[sql]`; the finite-replay runner
+  * (graft.streaming.Streams.runToMemory) needs it to close each query's
+  * throwaway state providers eagerly instead of letting native RocksDB
+  * handles accumulate until JVM exit (where their teardown raced
+  * shutdown and could SIGABRT). */
+object StateStoreBridge {
+  def unloadAll(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+}

@@ -38,6 +38,19 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming decontamination (s11) == batch decontaminate (q65)") {
+    // identical rows through the stream-static topology (the broadcast
+    // of the static eval-shingle side is declared with an explicit
+    // broadcast() hint in s11 itself; this test pins the semantics)
+    val batch = ops.Dedup.decontaminate(
+        ops.Tables.documents(spark, sf), "src0", 10L)
+      .collect().map(_.toSeq).toSeq
+    val streamDf = Streams.s11StreamDecontaminate(spark, sf)
+    val stream = streamDf.collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stateful counter (s07) == batch per-user aggregate") {
     import org.apache.spark.sql.functions._
     val batch = ops.Tables.events(spark, sf)

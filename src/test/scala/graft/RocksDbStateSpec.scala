@@ -69,4 +69,36 @@ class RocksDbStateSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(rocks.toSeq === raw.toSeq)
   }
+
+  test("all stateful queries on RocksDB exit 0 in one JVM") {
+    // The r4 wart: with every s-query RocksDB-backed in one short-lived
+    // JVM, dozens of live native handles raced JVM exit and teardown
+    // could SIGABRT (exit 134) after all results were written.
+    // runToMemory now unloads state providers after each finished
+    // replay; this drives a REAL child JVM through all nine stateful
+    // queries under SPARK_GRAFT_STATE_STORE=rocksdb and asserts the
+    // process-level contract (exit 0) that an operator's scheduler sees.
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // reuse this test JVM's --add-opens set (the Spark-on-JDK17 flags
+    // from build.sbt) rather than duplicating the list here
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(_.startsWith("--add-opens")).toSeq
+    val stateful = Seq("s01_stream_tumbling", "s02_watermark",
+      "s03_stream_dedup", "s05_session_window", "s06_stream_sliding",
+      "s07_stateful_counter", "s08_stream_stream_join",
+      "s09_transform_with_state", "s10_event_timer")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g", "-cp",
+      System.getProperty("java.class.path"), "graft.tools.TimeOne",
+      "/root/testdata/sf0.001", "1") ++ stateful
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    pb.environment().put("SPARK_GRAFT_CPUS", "8")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val exit = proc.waitFor()
+    assert(exit === 0, s"child JVM exited $exit; tail:\n${out.takeRight(2000)}")
+    assert(out.linesIterator.count(_.contains("[timeone]")) === stateful.size)
+  }
 }
