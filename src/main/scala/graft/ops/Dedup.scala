@@ -643,6 +643,40 @@ object Dedup {
       .observe("cc_sum_init", sumCol)
     var labels = materialize(labels0)
 
+    /** One propagation step: edge relaxation (one shuffle — the
+      * min-aggregation over neighbor labels) followed by two pointer
+      * jumps over the freshly relaxed table. Measured on the sf0.1
+      * SimHash giant component (3721 nodes, min-node eccentricity 8):
+      * relax-only needs 9 materialized rounds, relax+jump 7,
+      * relax+jump+jump 5; each extra jump is a broadcast probe while
+      * each saved round is a full checkpoint cycle. */
+    def relaxJump(l: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("nbr"))
+      val relaxed = l
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+      jump(jump(relaxed))
+    }
+
+    // Steps per MATERIALIZED round. The amortize-the-scheduler-floor
+    // idea (chain several relax+jump+jump steps into one job so fewer
+    // materializations pay the ~0.4s fixed cost) is MEASURED NEGATIVE
+    // on the sf0.1 graph: steps=1 4.2-4.8s, steps=2 5.0-5.9s, steps=3
+    // 57-76s (!) — each unmaterialized step stacks three more
+    // self-joins onto a plan Catalyst must re-optimize whole, and past
+    // ~2 steps optimizer time dwarfs the saved scheduling; wasted
+    // overshoot steps after convergence also grow with the block size.
+    // Convergence stays sound at any setting (the sum is compared per
+    // block; an unchanged block sum means no step inside it changed
+    // anything), so the knob remains for bigger graphs where relaxation
+    // work could dominate fixed cost — default 1.
+    val stepsPerRound =
+      math.max(1, sys.env.getOrElse("GRAFT_CC_STEPS", "1").toInt)
+
     var round = 0
     var prevSum = observedSum(labels0, "cc_sum_init")
     // No up-front isEmpty action: an empty label table sums to ZERO and
@@ -652,22 +686,9 @@ object Dedup {
     var converged = false
     while (!converged) {
       val t0 = System.nanoTime()
-      // Edge relaxation (one shuffle: the min-aggregation over neighbor
-      // labels) followed by two pointer jumps over the freshly relaxed
-      // table — measured on the sf0.1 SimHash giant component (3721
-      // nodes, min-node eccentricity 8), relax-only needs 9 rounds,
-      // relax+jump 7, relax+jump+jump 5; each extra jump is a broadcast
-      // probe while each saved round is a full checkpoint cycle.
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label").as("nl")),
-          "src")
-        .groupBy(col("dst").as("id")).agg(min(col("nl")).as("nbr"))
-      val relaxed = labels
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"))
-      val jumped = jump(jump(relaxed)).observe(s"cc_sum_$round", sumCol)
+      val stepped = (1 to stepsPerRound).foldLeft(labels)((l, _) =>
+        relaxJump(l))
+      val jumped = stepped.observe(s"cc_sum_$round", sumCol)
       val next = materialize(jumped)
       val newSum = observedSum(jumped, s"cc_sum_$round")
       converged = newSum.compareTo(prevSum) == 0
