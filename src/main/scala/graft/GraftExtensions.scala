@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, RollingHashMin, SignLshSignature, SortedLongArrayIntersectSize}
+import graft.functions.{LongArrayDot, RollingHashMin, SignLshSignature, SimhashSignature, SortedLongArrayIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
@@ -77,6 +77,20 @@ object GraftExtensions {
           if (elemType == LongType) arr.toLongArray().toSeq
           else arr.toIntArray().toSeq.map(_.toLong)
         SignLshSignature(children(0), masks): Expression
+      }),
+    (new FunctionIdentifier("simhash_signature"),
+      new ExpressionInfo(classOf[SimhashSignature].getName,
+        null, "simhash_signature",
+        "_FUNC_(tokens) - 60-bit frequency-weighted SimHash signature " +
+          "of an ARRAY<STRING> token column in one pass: per non-empty " +
+          "token the top 60 bits of md5 feed 60 bit-majority counters " +
+          "(== CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT) per " +
+          "token). NULL/empty tokens are skipped; NULL if no tokens.",
+        "> SELECT _FUNC_(split('a b a', ' ')) IS NOT NULL;\n  true"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "simhash_signature takes one ARRAY<STRING> argument")
+        SimhashSignature(children.head): Expression
       }),
     (new FunctionIdentifier("rolling_hash_min"),
       new ExpressionInfo(classOf[RollingHashMin].getName,

@@ -451,36 +451,21 @@ object Dedup {
     * (doc_id, text) table. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     // repartition: same single-row-group scan-parallelism fix as
-    // docTokens (the 60 bit-sum aggregates are the heavy stage here)
-    val toks = docs
+    // docTokens (the per-doc signature digests are the heavy stage).
+    // The signature itself is ONE codegen pass per document
+    // (SimhashSignature): no token explode, no aggregation, no hex
+    // round-trip — the round-4 shape (explode + 20 lane-packed bit-sum
+    // aggregates) was correct and partial-agg'd but paid row-pipeline
+    // overhead plus an md5-hex materialization + string->long conv per
+    // token; the expression form halved the signature stage (A/B in
+    // NOTES round-5). NULL signature = doc with no tokens (the explode
+    // form dropped those docs by construction).
+    val sigs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("h",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // Lane-packed bit counting: 20 sums of longs carrying three 20-bit
-    // counter lanes each (bits 3g, 3g+1, 3g+2 at offsets 0/20/40)
-    // instead of 60 separate +-1 sums — a third of the aggregate
-    // buffers and a much smaller generated update method. Lanes can't
-    // carry into each other below 2^20 = 1M tokens per document (these
-    // are <= ~1k). bit_b of the signature: majority test
-    // 2*count_b > n_toks == the +-1 sum being positive (ties -> 0).
-    val lanes = (0 until SimBits / 3).map { g =>
-      sum((0 until 3).map { j =>
-        shiftright(col("h"), 3 * g + j).bitwiseAND(lit(1L)) *
-          lit(1L << (20 * j))
-      }.reduce(_ + _)).as(s"lane$g")
-    }
-    val bitSums = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"), lanes: _*)
-    val simhash = (0 until SimBits).map { b =>
-      val (g, j) = (b / 3, b % 3)
-      when(shiftright(col(s"lane$g"), 20 * j)
-        .bitwiseAND(lit(0xFFFFFL)) * 2 > col("n_toks"),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+        graft.functions.SimhashSignature(
+          split(trim(col("text")), "\\s+")).as("simhash"))
+      .filter(col("simhash").isNotNull)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimChunks).map(c => struct(lit(c).as("chunk"),
         shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7FFFL))

@@ -138,6 +138,47 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SimhashSignature equals the explode + lane-aggregate formulation") {
+    import spark.implicits._
+    // token strings including empties (skipped) and repeats (frequency
+    // counts); some docs all-empty (NULL signature expected)
+    val tokGen = Gen.oneOf(Gen.const(""), Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "a", "und", "ma"))
+    val docsGen = Gen.listOfN(12, Gen.listOfN(20, tokGen))
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("doc_id", "toks")
+      // reference: the exact round-4 shape the expression replaced —
+      // explode to token rows, hex-md5 -> conv -> 20 lane-packed bit
+      // sums -> majority test (docs with no tokens drop out)
+      val toks = df.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val lanes = (0 until 20).map { g =>
+        sum((0 until 3).map { j =>
+          shiftright(col("h"), 3 * g + j).bitwiseAND(lit(1L)) *
+            lit(1L << (20 * j))
+        }.reduce(_ + _)).as(s"lane$g")
+      }
+      val bitSums = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), lanes: _*)
+      val simhash = (0 until 60).map { b =>
+        val (g, j) = (b / 3, b % 3)
+        when(shiftright(col(s"lane$g"), 20 * j)
+          .bitwiseAND(lit(0xFFFFFL)) * 2 > col("n_toks"),
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val reference = bitSums
+        .select(col("doc_id"), simhash.as("sig")).orderBy(col("doc_id"))
+      val native = df.select(col("doc_id"),
+          graft.functions.SimhashSignature(col("toks")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .orderBy(col("doc_id"))
+      assert(native.collect().toSeq === reference.collect().toSeq)
+    }
+  }
+
   test("SortedLongArrayIntersectSize equals array_intersect on sorted sets") {
     import spark.implicits._
     val setGen = Gen.listOfN(12,
