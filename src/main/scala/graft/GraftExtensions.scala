@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, RollingHashMin, SignLshSignature, SimhashSignature, SortedLongArrayIntersectSize}
+import graft.functions.{LongArrayDot, MinhashSignature, RollingHashMin, SignLshSignature, SimhashSignature, SortedLongArrayIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
@@ -77,6 +77,22 @@ object GraftExtensions {
           if (elemType == LongType) arr.toLongArray().toSeq
           else arr.toIntArray().toSeq.map(_.toLong)
         SignLshSignature(children(0), masks): Expression
+      }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName,
+        null, "minhash_signature",
+        "_FUNC_(tokens) - 16-min MinHash signature of an ARRAY<STRING> " +
+          "token column in one pass: word-3-gram shingles, two salted " +
+          "sha256 digests per shingle, element j = min over shingles of " +
+          "the (j%8)-th 4-byte slice of digest j/8 (== CAST(conv(" +
+          "substring(sha2(concat('sN:', shingle), 256), 1+8*(j%8), 8), " +
+          "16, 10) AS BIGINT)). NULL if tokens is NULL, has fewer than " +
+          "3 elements, or contains NULL.",
+        "> SELECT size(_FUNC_(split('a b c d', ' ')));\n  16"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "minhash_signature takes one ARRAY<STRING> argument")
+        MinhashSignature(children.head): Expression
       }),
     (new FunctionIdentifier("simhash_signature"),
       new ExpressionInfo(classOf[SimhashSignature].getName,

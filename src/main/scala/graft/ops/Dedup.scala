@@ -287,30 +287,22 @@ object Dedup {
   // counts ~40x). min() over fixed-width lowercase hex == numeric min of
   // the 32-bit slice.
   //
-  // Deliberately explode + project + groupBy rather than per-row array
-  // lambdas: digests and slices are computed ONCE per shingle row in a
-  // whole-stage-codegen projection (subexpression elimination shares the
-  // two sha256 calls across their 8 slices — putting them inside the 16
-  // min() aggregates instead re-ran the digest per aggregate), and the
-  // slices are LONGS so the groupBy is a codegen'd HashAggregate over
-  // mutable primitive buffers (string mins fall back to SortAggregate).
-  // Partial aggregation collapses the shingle rows to one 16-min row per
-  // doc per partition before the exchange — the shuffle carries ~|docs|
-  // rows, never ~|shingles|. The lambda formulation (transform/aggregate/
-  // zip_with) is CodegenFallback: interpreted eval made it 4x slower.
-  // Duplicate shingles within a doc are NOT removed: min() is
-  // duplicate-insensitive, and per-doc dedup of a *string* array is
-  // O(len^2) generic-compare.
-  private def q36bSig(docs: DataFrame): DataFrame = {
-    val digests = (0 until 2).map(g =>
-      sha2(concat(lit(s"s$g:"), col("shingle")).cast("binary"), 256))
-    val sliced = shingles(docs).select(
-      col("doc_id") +: (0 until NHashes).map(j =>
-        conv(substring(digests(j / 8), 1 + 8 * (j % 8), 8), 16, 10)
-          .cast("long").as(s"x$j")): _*)
-    sliced.groupBy(col("doc_id")).agg(
-      array((0 until NHashes).map(j => min(col(s"x$j"))): _*).as("mins"))
-  }
+  // The signature is ONE codegen pass per document (MinhashSignature:
+  // shingle bytes -> two salted sha256 digests -> 16 running minima in
+  // registers, no hex round-trip). History of this stage, in order:
+  // per-row HOF lambdas (CodegenFallback, interpreted, 4x slower) ->
+  // explode + 16-min HashAggregate over long slices (digests shared by
+  // subexpression elimination, partial agg before the exchange — the
+  // best AGGREGATE formulation) -> the custom expression, which drops
+  // the per-shingle row pipeline, the sha256-hex materialization and
+  // the string->long conv entirely (A/B in NOTES round-5). Duplicate
+  // shingles within a doc are NOT removed: min() is
+  // duplicate-insensitive.
+  private def q36bSig(docs: DataFrame): DataFrame =
+    docTokens(docs)
+      .select(col("doc_id"),
+        graft.functions.MinhashSignature(col("w")).as("mins"))
+      .filter(col("mins").isNotNull)
 
   /** Band rows of a (doc_id, mins) signature table: one (band, k1, k2)
     * row per band per doc, the mins array carried through (shared by the

@@ -179,6 +179,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("MinhashSignature equals the explode + min-aggregate formulation") {
+    import spark.implicits._
+    // non-empty tokens (split(trim, \s+) never yields empties past the
+    // >=3 filter), small alphabet so shingles repeat across docs
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "the", "x1")
+    val docsGen = Gen.listOfN(10,
+      Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, tokGen)))
+    forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("doc_id", "w")
+      // reference: the exact shape the expression replaced — explode to
+      // shingle rows, salted sha256 hex -> conv slices -> 16 min aggs
+      // (docs with < 3 tokens produce no shingle rows and drop out)
+      val shingled = df.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
+          .as("shingle"))
+      val digests = (0 until 2).map(g =>
+        sha2(concat(lit(s"s$g:"), col("shingle")).cast("binary"), 256))
+      val sliced = shingled.select(
+        col("doc_id") +: (0 until 16).map(j =>
+          conv(substring(digests(j / 8), 1 + 8 * (j % 8), 8), 16, 10)
+            .cast("long").as(s"x$j")): _*)
+      val reference = sliced.groupBy(col("doc_id"))
+        .agg(array((0 until 16).map(j => min(col(s"x$j"))): _*).as("mins"))
+        .orderBy(col("doc_id"))
+      val native = df.select(col("doc_id"),
+          graft.functions.MinhashSignature(col("w")).as("mins"))
+        .filter(col("mins").isNotNull)
+        .orderBy(col("doc_id"))
+      assert(native.collect().toSeq.map(_.toSeq) ===
+        reference.collect().toSeq.map(_.toSeq))
+    }
+  }
+
   test("SortedLongArrayIntersectSize equals array_intersect on sorted sets") {
     import spark.implicits._
     val setGen = Gen.listOfN(12,
