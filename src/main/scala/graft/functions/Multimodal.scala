@@ -7,16 +7,23 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed by per-partition batch
   * functions — the Scala analog of a vectorized decode UDF.
   *
-  * The decode step is a STUB: this container has no image/audio codecs,
-  * so `decodeStub` derives deterministic fake features from the payload
-  * bytes. Everything AROUND the stub is real and load-bearing: the
-  * schema (binary + struct metadata), the typed Dataset plumbing, the
-  * partition-level batch shape (one iterator pass per partition, no
-  * per-row task overhead), and the pushdown-friendly projections.
+  * The decode step is REAL for every format the JDK ships a codec for:
+  * `decodeReal` runs javax.imageio (PNG/JPEG/BMP/GIF — no external
+  * libraries) for images and javax.sound.sampled for WAV/AIFF audio
+  * headers, producing true dimensions / frame counts / pixel-derived
+  * embeddings (MultimodalSpec drives actual encoded bytes through it).
+  * Payloads no JDK codec accepts — including the synthetic text-byte
+  * fixture, and any video, which the JDK has no codec for — fall back
+  * PER RECORD to `decodeStub`'s deterministic byte-derived features, so
+  * the declared q45 stays bit-identical to its DuckDB oracle while the
+  * same pipeline decodes real media for real. Everything around decode
+  * is shared either way: the schema (binary + struct metadata), the
+  * typed Dataset plumbing, the partition-level batch shape (one
+  * iterator pass per partition — codec/model init amortizes once per
+  * partition), and the pushdown-friendly projections.
   *
   * Scale: payloads stay opaque bytes end-to-end (no driver collect, no
-  * string conversion); decode is mapPartitions so a real codec would
-  * amortize model/codec init once per partition — exactly the shape a
+  * string conversion); decode is mapPartitions — exactly the shape a
   * Pandas-UDF/mapInPandas pipeline has in PySpark.
   */
 object Multimodal {
@@ -44,28 +51,125 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic fake dimensions/frames/embedding derived
-    * from payload bytes. A real implementation would invoke a codec here
-    * (one init per partition); the signature and batch shape are final. */
-  def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
-    // >>> per-partition init would go here (codec/model load) <<<
+    * from payload bytes — the fallback for payloads no JDK codec accepts
+    * (and the reason the declared q45 is hash-checkable: DuckDB replays
+    * this arithmetic exactly). */
+  def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    records.map(stubOne)
+
+  private def stubOne(r: MediaRecord): MediaFeatures = {
+    val len = r.payload.length
+    val h = java.util.Arrays.hashCode(r.payload)
+    def dim(seed: Int): Int = 16 + math.floorMod(h * 31 + seed, 1024)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      modality = r.modality,
+      byte_len = len,
+      width = if (r.modality == "audio") 0 else dim(1),
+      height = if (r.modality == "audio") 0 else dim(2),
+      n_frames = r.modality match {
+        case "video" => 1 + math.floorMod(h, 300)
+        case _ => 1
+      },
+      embedding = Array.tabulate(8)(i =>
+        (math.floorMod(h * (i + 1), 1000) / 1000.0f)))
+  }
+
+  /** REAL decode via the JDK's own codecs, falling back per record to
+    * the stub. Images (PNG/JPEG/BMP/GIF — whatever ImageIO's registry
+    * carries, with no external dependency): true width/height plus an
+    * 8-dim pixel-derived embedding — mean luminance of the four image
+    * quadrants, mean R/G/B, and aspect ratio — deterministic from the
+    * decoded raster. Audio (WAV/AIFF): header-true frame count in
+    * n_frames, width/height 0. Video: the JDK has no video codec, so
+    * video payloads always take the stub path (that boundary is the
+    * honest container limit, stated rather than hidden).
+    *
+    * Codec dispatch is sniff-by-content, magic bytes first: a payload
+    * only reaches ImageIO/AudioSystem when its leading bytes name a
+    * format they own (PNG/JPEG/GIF/BMP; RIFF-WAVE/AIFF/AU), so a
+    * non-media payload falls back in a few byte compares — the naive
+    * probe-everything dispatch cost ~1.4s at sf0.1 on 5000 text
+    * payloads (AudioSystem signals rejection by EXCEPTION), the magic
+    * gate is bench-invisible. A matching-magic-but-corrupt payload
+    * still degrades to the stub via the codec's own failure. */
+  def decodeReal(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
     records.map { r =>
-      val len = r.payload.length
-      val h = java.util.Arrays.hashCode(r.payload)
-      def dim(seed: Int): Int = 16 + math.floorMod(h * 31 + seed, 1024)
-      MediaFeatures(
-        doc_id = r.doc_id,
-        modality = r.modality,
-        byte_len = len,
-        width = if (r.modality == "audio") 0 else dim(1),
-        height = if (r.modality == "audio") 0 else dim(2),
-        n_frames = r.modality match {
-          case "video" => 1 + math.floorMod(h, 300)
-          case _ => 1
-        },
-        embedding = Array.tabulate(8)(i =>
-          (math.floorMod(h * (i + 1), 1000) / 1000.0f)))
+      val viaCodec =
+        if (looksLikeImage(r.payload)) imageFeatures(r)
+        else if (looksLikeAudio(r.payload)) audioFeatures(r)
+        else None
+      viaCodec.getOrElse(stubOne(r))
+    }
+
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 0x50 && p(2) == 0x4e &&
+        p(3) == 0x47) ||                                        // PNG
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte &&
+        p(2) == 0xff.toByte) ||                                 // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') || // GIF
+      (p(0) == 'B' && p(1) == 'M'))                             // BMP
+
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') || // WAV
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||    // AIFF
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))      // AU
+
+  private def imageFeatures(r: MediaRecord): Option[MediaFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      // quadrant mean luminance (4) + mean R/G/B (3) + aspect (1)
+      val sums = new Array[Double](7)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (cr, cg, cb) =
+            ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          val lum = 0.299 * cr + 0.587 * cg + 0.114 * cb
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          sums(q) += lum
+          sums(4) += cr; sums(5) += cg; sums(6) += cb
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toDouble
+      val qn = Array.tabulate(4) { q =>
+        val qw = if ((q & 1) == 0) (w + 1) / 2 else w / 2
+        val qh = if ((q & 2) == 0) (h + 1) / 2 else h / 2
+        math.max(1, qw * qh).toDouble
+      }
+      val emb = Array.tabulate(8) {
+        case q if q < 4 => (sums(q) / qn(q) / 255.0).toFloat
+        case c if c < 7 => (sums(c) / n / 255.0).toFloat
+        case _ => (w.toDouble / h).toFloat
+      }
+      Some(MediaFeatures(r.doc_id, r.modality, r.payload.length,
+        w, h, 1, emb))
     }
   }
+
+  private def audioFeatures(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(r.payload))
+      Some(MediaFeatures(r.doc_id, r.modality, r.payload.length,
+        0, 0, math.max(aff.getFrameLength, 0),
+        Array.tabulate(8)(i =>
+          if (i == 0) aff.getFormat.getSampleRate / 100000.0f
+          else if (i == 1) aff.getFormat.getChannels.toFloat
+          else 0.0f)))
+    } catch { case _: Exception => None }
 
   /** STUB resize: clamps decoded dimensions to a max edge, preserving
     * aspect via integer math. Real codecs would transform `payload`;
@@ -91,17 +195,18 @@ object Multimodal {
       else f
     }
 
-  /** Full pipeline: encode -> partition-batched stub decode -> resize ->
-    * frame-sample -> features. Registered as q45 WITH an oracle: the
-    * stub decode is deterministic from the payload bytes (Java
-    * Arrays.hashCode fold), so DuckDB can replay the exact arithmetic —
-    * the plumbing (schema, partitioning, iterator batch shape) plus the
-    * stub math are all hash-checked. */
+  /** Full pipeline: encode -> partition-batched REAL decode (JDK codecs,
+    * per-record stub fallback) -> resize -> frame-sample -> features.
+    * Registered as q45 WITH an oracle: the fixture payloads are text
+    * bytes no codec accepts, so every record takes the deterministic
+    * stub path (Java Arrays.hashCode fold) that DuckDB replays exactly —
+    * while the SAME pipeline decodes real PNG/JPEG/BMP/GIF/WAV payloads
+    * for real (MultimodalSpec feeds it actual encoded bytes). */
   def q45MultimodalPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d)
       .repartition(col("doc_id")) // spread decode work evenly
-      .mapPartitions(decodeStub)
+      .mapPartitions(decodeReal)
       .mapPartitions(resizeStub(256))
       .mapPartitions(frameSampleStub(10))
       .select(col("doc_id"), col("modality"), col("byte_len"),

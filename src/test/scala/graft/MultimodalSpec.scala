@@ -28,4 +28,65 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(m(0L) === "image" && m(1L) === "audio" && m(2L) === "video")
   }
+
+  /** Real 5x3 PNG: red left half, blue right half. */
+  private def pngBytes(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, if (x < 3) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real 100-frame mono 8-bit 8kHz WAV. */
+  private def wavBytes(): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val data = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeReal decodes actual PNG and WAV payloads via JDK codecs") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(), "s"),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(), "s"),
+      Multimodal.MediaRecord(3L, "image", "just text".getBytes("UTF-8"), "s"))
+    val out = Multimodal.decodeReal(recs.iterator).toSeq
+    val img = out.find(_.doc_id == 1L).get
+    // true raster dimensions, not stub arithmetic
+    assert(img.width === 5 && img.height === 3 && img.n_frames === 1)
+    // pixel-derived embedding: left-half red, right-half blue => mean R
+    // (slot 4) is 3/5 of full red, mean B (slot 6) is 2/5 of full blue
+    assert(math.abs(img.embedding(4) - 0.6f) < 0.01f)
+    assert(math.abs(img.embedding(6) - 0.4f) < 0.01f)
+    assert(math.abs(img.embedding(5)) < 0.01f) // no green anywhere
+    val wav = out.find(_.doc_id == 2L).get
+    // header-true frame count; sample rate and channels in the embedding
+    assert(wav.n_frames === 100 && wav.width === 0 && wav.height === 0)
+    assert(math.abs(wav.embedding(0) - 0.08f) < 1e-4f)
+    assert(wav.embedding(1) === 1.0f)
+    // non-media payload falls back to the deterministic stub, exactly
+    val stub = Multimodal.decodeStub(Iterator(recs(2))).next()
+    val fb = out.find(_.doc_id == 3L).get
+    assert((fb.byte_len, fb.width, fb.height, fb.n_frames) ===
+      (stub.byte_len, stub.width, stub.height, stub.n_frames))
+    assert(fb.embedding.toSeq === stub.embedding.toSeq)
+  }
+
+  test("decodeReal is deterministic and partition-shape preserving") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(), "s"),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(), "s"))
+    val a = Multimodal.decodeReal(recs.iterator).toSeq
+    val b = Multimodal.decodeReal(recs.iterator).toSeq
+    assert(a.map(_.embedding.toSeq) === b.map(_.embedding.toSeq))
+    assert(a.map(f => (f.doc_id, f.width, f.height, f.n_frames)) ===
+      b.map(f => (f.doc_id, f.width, f.height, f.n_frames)))
+  }
 }
