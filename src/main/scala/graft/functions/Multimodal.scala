@@ -118,7 +118,15 @@ object Multimodal {
       (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||    // AIFF
       (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))      // AU
 
+  // ImageIO's default read path spools every InputStream through a
+  // FileCacheImageInputStream TEMP FILE before decoding — per-record
+  // disk I/O for payloads that are already fully in memory. Disable the
+  // file cache once per JVM so decoding stays in-memory end-to-end.
+  private lazy val imageioNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def imageFeatures(r: MediaRecord): Option[MediaFeatures] = {
+    imageioNoCache
     val img =
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))

@@ -70,12 +70,17 @@ object Dedup {
     docTokens(docs)
       .select(col("doc_id"), explode(shingleExpr(col("w"))).as("shingle"))
 
-  /** Shared oracle CTE producing the same distinct shingles in DuckDB. */
+  /** Shared oracle CTE producing the same distinct shingles in DuckDB.
+    * doc_id IS NOT NULL mirrors docTokens' explicit filter (the Spark
+    * side of every consumer — q36/q36b/q36e/q67 — excludes NULL-id rows
+    * there, so the oracle must too; same latent-divergence class ADVICE
+    * r4 flagged on q65, unreachable on the NULL-free fixtures). */
   private val shinglesSql =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       |  FROM documents
-      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+      |  WHERE doc_id IS NOT NULL
+      |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
@@ -419,7 +424,10 @@ object Dedup {
     * point-read shape: one row each, independent of corpus size. */
   def q67MinhashProbe(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val store = graft.util.Ephemeral.dir("graft_mh_store_")
+    // fixedDir + overwrite-mode write: repeated invocations (bench warm
+    // + 2 measured passes) replace the store instead of accumulating
+    // fresh corpus-sized tmpfs dirs until JVM exit
+    val store = graft.util.Ephemeral.fixedDir("graft_mh_store_q67")
     minhashWrite(docs, store)
     val probeText = docs
       .filter(col("doc_id").isNotNull)

@@ -195,7 +195,9 @@ object Similarity {
     * which is the point: the STORED path now sits under the driver's
     * hash gate, not only under ScalaTest. */
   def q68IvfProbe(s: SparkSession, d: String): DataFrame = {
-    val store = graft.util.Ephemeral.dir("graft_ivf_store_")
+    // fixedDir + overwrite-mode writes: see q67 — one store resident
+    // per query key, not one per invocation
+    val store = graft.util.Ephemeral.fixedDir("graft_ivf_store_q68")
     ivfWrite(s, d, store)
     val queryVec = embeddings(s, d).filter(col("vec_id") === 0)
       .select(quantize(col("embedding")).as("qe"))

@@ -411,12 +411,22 @@ object Streams {
   // eval-shingle store); the live document stream explodes to hashed
   // shingles (stateless, so the exact batch code path — Dedup.
   // sourcedShingleRows — runs unchanged on the stream), joins the
-  // broadcast set, and a complete-mode streaming aggregation keeps one
-  // (doc, n_shared) row per CONTAMINATED doc. Streaming state is the
-  // flagged set only — bounded by true contamination, not corpus size;
-  // the corpus itself is never shuffled (same plan invariant as q65,
-  // whose oracle this query shares verbatim: the one-batch replay of
-  // the whole table must equal the batch check row-for-row).
+  // broadcast set, and a complete-mode streaming aggregation counts
+  // shared shingles per doc; the >= threshold filter runs DOWNSTREAM
+  // of the state store. Streaming state is therefore one counter row
+  // per (doc, source) with AT LEAST ONE shared shingle — bounded by
+  // eval-vocab overlap, not by the flagged set (the fixture's shared
+  // synthetic vocab makes that distinction visible: most docs carry a
+  // 1-9-shingle background match). On a real corpus an exact word-3-
+  // gram collision with a fixed eval suite is rare for non-leaked
+  // text, and a production deployment screens bounded ingest batches
+  // (per-batch state, reset between batches), so the state stays far
+  // below corpus size — but it is NOT "flagged docs only", and a
+  // pre-state threshold is not expressible (the count doesn't exist
+  // until the aggregation). The corpus itself is never shuffled (same
+  // plan invariant as q65, whose oracle this query shares verbatim:
+  // the one-batch replay of the whole table must equal the batch
+  // check row-for-row).
   def s11StreamDecontaminate(s: SparkSession, d: String): DataFrame = {
     val bench = graft.ops.Dedup
       .sourcedShingleRows(graft.ops.Tables.documents(s, d))

@@ -39,6 +39,20 @@ object Ephemeral {
     p.toString
   }
 
+  private val fixed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** STABLE scratch dir for a given key: the same path for the life of
+    * the JVM, created once, deleted at exit. For write-then-read stores
+    * that a benchmark re-creates on every invocation (q67/q68): writers
+    * use mode("overwrite"), so reusing one dir per query caps tmpfs
+    * residency at ONE store per key instead of one per invocation —
+    * Bench calls each query 3+ times (warm + two measured passes), and
+    * at a larger scale factor the per-invocation fresh dirs would
+    * accumulate corpus-sized RAM-backed garbage mid-run. */
+  def fixedDir(key: String): String =
+    fixed.computeIfAbsent(key, k => dir(k))
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       val f = p.toFile

@@ -75,8 +75,8 @@ class RocksDbStateSpec extends SparkSpec {
     // JVM, dozens of live native handles raced JVM exit and teardown
     // could SIGABRT (exit 134) after all results were written.
     // runToMemory now unloads state providers after each finished
-    // replay; this drives a REAL child JVM through all nine stateful
-    // queries under SPARK_GRAFT_STATE_STORE=rocksdb and asserts the
+    // replay; this drives a REAL child JVM through every stateful
+    // s-query under SPARK_GRAFT_STATE_STORE=rocksdb and asserts the
     // process-level contract (exit 0) that an operator's scheduler sees.
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -87,7 +87,8 @@ class RocksDbStateSpec extends SparkSpec {
     val stateful = Seq("s01_stream_tumbling", "s02_watermark",
       "s03_stream_dedup", "s05_session_window", "s06_stream_sliding",
       "s07_stateful_counter", "s08_stream_stream_join",
-      "s09_transform_with_state", "s10_event_timer")
+      "s09_transform_with_state", "s10_event_timer",
+      "s11_stream_decontaminate")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g", "-cp",
       System.getProperty("java.class.path"), "graft.tools.TimeOne",
       "/root/testdata/sf0.001", "1") ++ stateful
