@@ -111,12 +111,19 @@ object Multimodal {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') || // GIF
       (p(0) == 'B' && p(1) == 'M'))                             // BMP
 
+  // NO AU ('.snd') here, deliberately: its magic is four printable ASCII
+  // chars and its header is permissive enough that a TEXT payload starting
+  // with ".snd" can parse successfully via AudioSystem — breaking the q45
+  // invariant that non-media payloads deterministically take the stub
+  // path the DuckDB oracle replays (ADVICE r5). Every other magic either
+  // contains non-printable bytes or is backed by a codec that validates
+  // deeper structure and rejects text by exception (AIFF checks
+  // "AIFF"/"AIFC" at offset 8; WAVE is pinned at offset 8 right here).
   private def looksLikeAudio(p: Array[Byte]): Boolean =
     p.length >= 12 && (
       (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') || // WAV
-      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||    // AIFF
-      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))      // AU
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M'))      // AIFF
 
   // ImageIO's default read path spools every InputStream through a
   // FileCacheImageInputStream TEMP FILE before decoding — per-record

@@ -615,7 +615,24 @@ object Dedup {
       * ONE job, not two — at this scale a round is ~0.4s of scheduler
       * floor, so the removed per-round labelSum job is a direct ~0.4s/
       * round saving. observedMetrics is read post-hoc from the executed
-      * QueryExecution (non-blocking; the checkpoint already ran). */
+      * QueryExecution (non-blocking; the checkpoint already ran).
+      *
+      * RELIABLE-CHECKPOINT CAVEAT (ADVICE r5): with
+      * spark.graft.cc.checkpointDir set, `df.checkpoint()` executes the
+      * plan TWICE (the eager materializing count, then the checkpoint
+      * job recomputing the unpersisted RDD), so the CollectMetrics
+      * accumulator sums two passes and observedSum reports ~2x the true
+      * label sum in that mode. Convergence is unaffected — both sides
+      * of every compare are equally scaled, and the compare is exact
+      * equality of a deterministic sum — but the GRAFT_CC_DEBUG sums
+      * are execution-count-scaled, and any future ABSOLUTE use of the
+      * metric must divide by the execution count. Asserted by
+      * MinhashStoreSpec's reliable-checkpoint case, whose long-chain
+      * graph drives several rounds of the compare in that mode.
+      * (Persisting before
+      * checkpoint would de-scale it at the cost of caching every
+      * round's labels; the metric is only ever compared, so the
+      * documented scale is the cheaper contract.) */
     def sumCol = sum(col("label").cast("decimal(38,0)")).as("s")
     def observedSum(df: DataFrame, name: String): java.math.BigDecimal = {
       val row = df.queryExecution.observedMetrics(name)
@@ -659,8 +676,10 @@ object Dedup {
     // block; an unchanged block sum means no step inside it changed
     // anything), so the knob remains for bigger graphs where relaxation
     // work could dominate fixed cost — default 1.
-    val stepsPerRound =
-      math.max(1, sys.env.getOrElse("GRAFT_CC_STEPS", "1").toInt)
+    // malformed env values fall back to the default instead of failing
+    // q61 with a NumberFormatException (ADVICE r5)
+    val stepsPerRound = math.max(1, scala.util.Try(
+      sys.env.getOrElse("GRAFT_CC_STEPS", "1").toInt).getOrElse(1))
 
     var round = 0
     var prevSum = observedSum(labels0, "cc_sum_init")

@@ -57,11 +57,18 @@ class MinhashStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
     spark.conf.set("spark.graft.cc.checkpointDir", dir)
     try {
-      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      // a 12-node path forces several materialized rounds, so the
+      // convergence compare runs repeatedly under reliable mode's 2x
+      // observed-metric scale (see observedSum scaladoc): both sides of
+      // each compare are equally scaled, so the loop must still stop
+      // exactly at the true fixpoint
+      val pairs = ((1L to 11L).map(i => (i, i + 1)) ++ Seq((20L, 21L)))
+        .toDF("doc_a", "doc_b")
       val out = Dedup.connectedComponents(pairs)
         .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
-      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
-        11L -> 10L))
+      val expected =
+        (1L to 12L).map(_ -> 1L).toMap ++ Map(20L -> 20L, 21L -> 20L)
+      assert(out === expected)
       // reliable checkpoint() writes rdd-N directories under the dir
       val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       val wroteRdd =

@@ -79,6 +79,24 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.embedding.toSeq === stub.embedding.toSeq)
   }
 
+  test("text payload with a permissive-magic prefix still takes the stub") {
+    // ADVICE r5: '.snd' (AU) is four printable ASCII chars and the AU
+    // header is permissive enough that text CAN parse via AudioSystem;
+    // AU is therefore excluded from the sniff list. 'FORM' (AIFF) stays
+    // sniffed but the codec itself rejects text (no 'AIFF' at offset 8).
+    val texts = Seq(".snd followed by ordinary prose, long enough to span",
+      "FORMatted text that is not an AIFF container at all, honest")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val rec = Multimodal.MediaRecord(i.toLong, "audio",
+        t.getBytes("UTF-8"), "s")
+      val real = Multimodal.decodeReal(Iterator(rec)).next()
+      val stub = Multimodal.decodeStub(Iterator(rec)).next()
+      assert((real.byte_len, real.width, real.height, real.n_frames) ===
+        (stub.byte_len, stub.width, stub.height, stub.n_frames), t)
+      assert(real.embedding.toSeq === stub.embedding.toSeq, t)
+    }
+  }
+
   test("decodeReal is deterministic and partition-shape preserving") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "image", pngBytes(), "s"),
