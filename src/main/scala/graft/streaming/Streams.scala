@@ -445,6 +445,63 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
+    * RESUME across two separate runs — the reference's defining
+    * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
+    * processes the corpus as it stands, new data arrives, run 2 against
+    * the SAME checkpoint processes ONLY the new data.
+    *
+    * Mechanics: a file-source stream over a staging dir, foreachBatch
+    * appending to a parquet sink with a per-run tag. Run 1 sees the full
+    * events projection; a "clicks" delta file is then appended to the
+    * staging dir; run 2 restarts from the same checkpoint (AvailableNow,
+    * exactly the reference's cron re-invocation) and its offset log
+    * admits only the new file. The emitted per-run row-count/checksum
+    * table is closed-form: run 1 = all events, run 2 = clicks only. A
+    * broken resume is unambiguous in the hash — reprocessing would make
+    * run 2 = total+clicks, a lost delta would drop the run-2 row
+    * entirely. No assumption about how the source splits files into
+    * micro-batches: rows are tagged by RUN, not by batch, and the final
+    * aggregation is order-independent.
+    *
+    * Scale: this is the production topology for incremental ingest at
+    * 100 TB — the checkpoint's file log is O(files), the sink append is
+    * partitioned by the source's own splits, and each run's cost is
+    * O(new data) regardless of corpus size. */
+  def s12ResumeIncrement(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inDir = graft.util.Ephemeral.dir("graft_resume_in_")
+    val sinkDir = graft.util.Ephemeral.dir("graft_resume_sink_")
+    // ONE durable checkpoint location shared by both runs — the resume
+    // contract under test (ephemeral cleanup is exit-time, so it
+    // outlives both runs within the query)
+    val ckpt = graft.util.Ephemeral.dir("graft_resume_ckpt_")
+    val base = graft.ops.Tables.table(s, d, "events")
+      .select(col("event_id"), col("event_type"))
+    val inSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    def runOnce(run: Int): Unit = {
+      val q = s.readStream.schema(inSchema).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.withColumn("run", lit(run)).write.mode("append").parquet(sinkDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    base.write.mode("append").parquet(inDir) // corpus state at run 1
+    runOnce(1)
+    base.filter(col("event_type") === "click") // the arriving delta
+      .write.mode("append").parquet(inDir)
+    runOnce(2) // same checkpoint: offset log admits only the delta file
+    s.read.parquet(sinkDir)
+      .groupBy(col("run"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_event_id"))
+      .orderBy(col("run"))
+  }
+
   // Stream-stream interval join: click events matched to error events of
   // the same user within the preceding 10 minutes — both sides
   // watermarked so the join state is bounded (rows older than watermark
@@ -486,6 +543,7 @@ object Streams {
     "s09_transform_with_state" -> (s09TransformWithState _),
     "s10_event_timer" -> (s10EventTimer _),
     "s11_stream_decontaminate" -> (s11StreamDecontaminate _),
+    "s12_resume_increment" -> (s12ResumeIncrement _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -498,6 +556,18 @@ object Streams {
     * twins. These mirror that closed-form in SQL — upgrading all eight
     * s-queries from rows-only checks to full value-hash oracles. */
   val oracles: Map[String, String] = Map(
+    // checkpoint resume: run 1 processed the whole table, run 2 (same
+    // checkpoint, after the clicks delta file landed) processed ONLY the
+    // delta — reprocessing or a lost delta breaks rows or hash
+    "s12_resume_increment" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS run, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_event_id FROM events
+        |  UNION ALL
+        |  SELECT 2 AS run, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_event_id FROM events
+        |  WHERE event_type = 'click')
+        |ORDER BY run""".stripMargin,
     // ingest-time decontamination: a one-batch AvailableNow replay of
     // the whole table must equal the batch check (q65) row-for-row, so
     // the oracle IS q65's — identical results through the stream-static
