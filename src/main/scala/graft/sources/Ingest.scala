@@ -42,6 +42,37 @@ object Ingest {
         (col("f.bss") + col("f.text") + col("f.data")).as("dec"),
         coalesce(col("f.count"), lit(0L)).as("count"))
 
+  /** Adapter from a fetcher's lazy result stream to a DataFrame —
+    * the missing piece between [[Fetcher.fetchAll]] and the engine
+    * (VERDICT r5 #2). Columns: (url, payload, artifact_ts).
+    *
+    * The iterator is consumed ON THE DRIVER in batches of `batchSize`
+    * and parallelized — correct here because the fetch set is the
+    * reference's control-plane payload (one small JSON per commit,
+    * fetched through one HTTP client regardless of engine), NOT corpus
+    * data. Batching bounds driver memory to one batch of bodies; the
+    * union tree stays shallow (one union per batch). */
+  def fromFetched(s: SparkSession,
+      fetched: Iterator[Fetcher.FetchResult],
+      batchSize: Int = 1000): DataFrame = {
+    import s.implicits._
+    val empty = Seq.empty[Fetcher.FetchResult]
+      .toDF("url", "payload", "artifact_ts")
+    fetched.grouped(batchSize)
+      .map(_.toDF("url", "payload", "artifact_ts"))
+      .foldLeft(empty)(_ unionAll _)
+  }
+
+  /** Shape fetched sizes.json artifacts for [[Pipeline.backfill]]:
+    * the commit hash is embedded in the artifact URL (the reference
+    * builds `.../{hash}/sizes.json`, rg.py:96-99) — extract it and
+    * project the (hash, payload, artifact_ts) contract. */
+  def artifactsFromFetched(fetched: DataFrame,
+      hashPattern: String = "/([0-9a-f]{7,40})/[^/]*$"): DataFrame =
+    fetched.select(
+      regexp_extract(col("url"), hashPattern, 1).as("hash"),
+      col("payload"), col("artifact_ts"))
+
   /** Parse `git log --merges --format=%H%x1f%cd%x1f%s` lines
     * (ref rg.py:182-223): unit-separator split, `%Y-%m-%d %H:%M:%S %z`
     * timestamp, and the first digit-run as PR number. A subject with no

@@ -65,6 +65,69 @@ class IngestSpec extends SparkSpec {
     wrapped.split("<br>").foreach(line => assert(line.length <= 32))
   }
 
+  test("fetcher golden path: localhost HTTP -> fromFetched -> backfill") {
+    import graft.sources.{Fetcher, Pipeline}
+    import spark.implicits._
+    // a real HTTP round-trip with zero egress: the JDK's own HttpServer
+    // serves the reference's artifact layout ({hash}/sizes.json with a
+    // Last-Modified header, rg.py:96-104) on a loopback port, and the
+    // real java.net.http client fetches it
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body =
+      """{"sizes":{"t1":{"b1":{"bss":1,"text":2,"data":3,"count":4}}}}"""
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      if (path.endsWith("/sizes.json") && !path.contains("missing")) {
+        exchange.getResponseHeaders.set("Last-Modified",
+          "Sat, 01 Aug 2026 10:05:00 GMT")
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // one good artifact, one 404 probe (skipped, rg.py:75-82 semantics)
+      val fetched = Fetcher.fetchAll(Iterator(
+        s"$base/aaa111f/sizes.json", s"$base/missing0/sizes.json"))
+      val artifacts = Ingest.artifactsFromFetched(
+        Ingest.fromFetched(spark, fetched))
+      val us = ""
+      val lines = Seq(
+        s"aaa111f${us}2026-08-01 10:00:00 +0000${us}Merge #7 x"
+      ).toDF("value")
+      val prDim = Seq((7L, "seven")).toDF("pr_num", "title")
+      val (builds, events) = Pipeline.backfill(lines, artifacts, prDim)
+      val rows = builds
+        .select(col("ts").cast("string"), col("test"), col("board"),
+          col("dec"), col("count"))
+        .as[(String, String, String, Long, Long)].collect().toSeq
+      // Last-Modified header became artifact_ts; the 404 never surfaced
+      assert(rows === Seq(("2026-08-01 10:05:00", "t1", "b1", 6L, 4L)))
+      assert(events.count() === 1L)
+    } finally server.stop(0)
+  }
+
+  test("fromFetched batches without losing order-independent content") {
+    import graft.sources.Fetcher
+    val ts = new Timestamp(1000L)
+    val many = (0 until 25).map(i => (s"u$i", s"p$i", ts))
+    val df = Ingest.fromFetched(spark, many.iterator, batchSize = 10)
+    assert(df.count() === 25L)
+    assert(df.select("url").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet === many.map(_._1).toSet)
+    assert(Ingest.fromFetched(spark, Iterator.empty).count() === 0L)
+    // RFC-1123 parse + epoch fallback
+    assert(Fetcher.parseLastModified(
+      Some("Sat, 01 Aug 2026 10:05:00 GMT")).getTime ===
+      java.time.Instant.parse("2026-08-01T10:05:00Z").toEpochMilli)
+    assert(Fetcher.parseLastModified(Some("garbage")).getTime === 0L)
+    assert(Fetcher.parseLastModified(None).getTime === 0L)
+  }
+
   test("prEvents: html anchors + left join keeps PR-less commits") {
     import spark.implicits._
     val commits = Seq(
