@@ -120,7 +120,7 @@ object Dedup {
   private def hashedShingleExpr(w: Column): Column =
     array_distinct(transform(shingleExpr(w), h => xxhash64(h)))
 
-  private def hashedShingles(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
     docTokens(docs)
       .select(col("doc_id"),
         explode(hashedShingleExpr(col("w"))).as("h"))
@@ -148,12 +148,12 @@ object Dedup {
     // pass a single shared stage AND pre-satisfies the join distribution
     // (EnsureRequirements adds no further exchange on h). q36e does NOT
     // share this: see nearDupPairsPrefix.
+    val saltBuckets = scala.util.Try(docs.sparkSession.conf
+      .get("spark.graft.neardup.saltBuckets", "1").toInt).getOrElse(1)
     val sh = hashedShingles(docs).repartition(col("h"))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val pairs = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = shingleSelfJoin(sh, saltBuckets)
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("n_a")), "doc_a")
@@ -164,6 +164,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The shingle self-join at the heart of q36, with an explicit SKEW
+    * treatment (VERDICT r5 #3). Returns matched candidate rows
+    * (doc_a, doc_b), one per shared shingle occurrence, doc_a < doc_b.
+    *
+    * Why a salt knob and not AQE: Spark's OptimizeSkewedJoin cannot
+    * touch this join shape — the shuffle under both sides originates
+    * from the user `repartition(h)` (only ENSURE_REQUIREMENTS-origin
+    * shuffles are splittable), and both sides REUSE one exchange (the
+    * whole point of the shared-stage design), so there is no per-side
+    * shuffle read to split. Verified empirically by DedupSkewSpec: a
+    * corpus with one shingle in 30% of docs keeps its entire candidate
+    * fan-out in a single task either way.
+    *
+    * The treatment (`spark.graft.neardup.saltBuckets` = S > 1): side A
+    * keeps one deterministic salt per doc, side B replicates each
+    * shingle row to all S salts, the join adds `salt` to the key — the
+    * hot shingle's candidate work spreads across S reducers at the
+    * cost of replicating side B's shuffle S-fold. Exact same matched
+    * multiset (each (a,b) pair meets at exactly one salt). Default off:
+    * at q36's declared exact-baseline scale the fan-out is small, and
+    * the true 100 TB near-dup paths (q36e's PPJoin prefix filter, which
+    * structurally EXCLUDES high-df shingles from candidate prefixes;
+    * q36b's banded MinHash) don't have this hot-key shape at all. */
+  private[graft] def shingleSelfJoin(sh: DataFrame,
+      saltBuckets: Int): DataFrame = {
+    val matched =
+      if (saltBuckets <= 1)
+        sh.as("a").hint("shuffle_hash")
+          .join(sh.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
+      else {
+        // the explicit repartition(h, salt) on BOTH sides is
+        // load-bearing: ClusteredDistribution(h, salt) is already
+        // satisfied by the upstream HashPartitioning(h) (a subset of
+        // the keys clusters them), so without it EnsureRequirements
+        // adds NO exchange and the salt never reaches the partitioner
+        // — measured: identical max-task fan-out to unsalted. Forcing
+        // the (h, salt) co-partitioning is exactly the extra shuffle
+        // salting always costs.
+        val a = sh.withColumn("salt",
+            pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int"))
+          .repartition(col("h"), col("salt"))
+        val b = sh.withColumn("salt",
+            explode(array((0 until saltBuckets).map(lit): _*)))
+          .repartition(col("h"), col("salt"))
+        a.as("a").hint("shuffle_hash")
+          .join(b.as("b").hint("shuffle_hash"),
+            col("a.h") === col("b.h") && col("a.salt") === col("b.salt"))
+      }
+    matched
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
   def q36NearDup(s: SparkSession, d: String): DataFrame =
