@@ -501,8 +501,15 @@ object Dedup {
   // distance <= 8. Token multiplicity intentionally counts (frequency-
   // weighted SimHash), hence no dedup anywhere.
   /** Generic frequency-weighted SimHash near-dup pairs over any
-    * (doc_id, text) table. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+    * (doc_id, text) table, in the deterministic (doc_a, doc_b) output
+    * order the oracle compares. Consumers that re-shuffle the pairs
+    * anyway (q61's connected components) use the Unordered variant —
+    * the global sort is a range-partitioning sample pass + exchange
+    * the edge builder would immediately destroy. */
+  def simhashPairs(docs: DataFrame): DataFrame =
+    simhashPairsUnordered(docs).orderBy(col("doc_a"), col("doc_b"))
+
+  private[graft] def simhashPairsUnordered(docs: DataFrame): DataFrame = {
     // repartition: same single-row-group scan-parallelism fix as
     // docTokens (the per-doc signature digests are the heavy stage).
     // The signature itself is ONE codegen pass per document
@@ -533,7 +540,6 @@ object Dedup {
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def q36cSimhash(s: SparkSession, d: String): DataFrame =
@@ -629,18 +635,54 @@ object Dedup {
     val ss = pairs.sparkSession
     val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
     ckptDir.foreach(ss.sparkContext.setCheckpointDir)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (debug) System.err.println(s"[graft.cc] $what " +
+        s"${(System.nanoTime() - t0) / 1000000} ms")
+      r
+    }
     def materialize(df: DataFrame): DataFrame =
       if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = materialize(pairs
+    val edgesPlan = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src")))
+      .repartition(col("src"))
+      .observe("cc_edge_count", count(lit(1)).as("n"))
+    var edges = timed("edges")(materialize(edgesPlan))
+    val edgeCount = {
+      val row = edgesPlan.queryExecution.observedMetrics("cc_edge_count")
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    // LOOP-SCOPED SHUFFLE WIDTH, auto-sized from the observed edge
+    // count (free: the metric fills during the edges materialization
+    // job). The iterative stages only ever shuffle the edge and label
+    // tables — bounded by the PAIR GRAPH, typically orders smaller
+    // than the corpus that produced it — so running them at the
+    // session's corpus-sized width just pays 32-way task launch +
+    // AQE bookkeeping per round for KB-sized partitions (measured at
+    // sf0.1: 8-way loop beats 32-way by ~0.3s over 5 rounds). Sizing:
+    // ~4M edge rows (~128MB) per reducer, floor 8, capped at the
+    // session width so a 100 TB pair graph (billions of edges) keeps
+    // full parallelism. Reliable-checkpoint mode observes 2x the true
+    // count (see observedSum caveat) — only ever widens, harmless.
+    // The narrowed edge re-checkpoint is one tiny extra job, skipped
+    // entirely when the widths already agree (tests at 4, clusters at
+    // scale).
+    val sessionSp = ss.conf.get("spark.sql.shuffle.partitions")
+    val loopSp = math.min(
+      scala.util.Try(sessionSp.toLong).getOrElse(Long.MaxValue),
+      math.max(8L, edgeCount / 4000000L + 1L)).toString
+    if (loopSp != sessionSp) {
+      edges = timed("edges-narrow")(materialize(
+        edges.repartition(loopSp.toInt, col("src"))))
+      ss.conf.set("spark.sql.shuffle.partitions", loopSp)
+    }
     // Initial labels carry round 1's relaxation for free: the edge list
     // is symmetric, so every node occurs as dst and min(id, min(src))
     // over its group IS label_1 — same single shuffle that a bare
     // node-set distinct would cost.
-    val debug = sys.env.contains("GRAFT_CC_DEBUG")
-
     /** label(x) <- label(label(x)). Sound because every label is a node
       * id of the same component and label(y) <= y monotonically; the
       * shortcut compresses label chains so propagation distance
@@ -692,11 +734,15 @@ object Dedup {
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
 
+    // labels0 + the loop run under the narrowed width; restored below
+    // before returning (the final window/sort plan is lazy and executes
+    // at the caller's session width)
+    val labels = try {
     val labels0 = edges
       .groupBy(col("dst").as("id"))
       .agg(least(col("dst"), min(col("src"))).as("label"))
       .observe("cc_sum_init", sumCol)
-    var labels = materialize(labels0)
+    var labels = timed("labels0")(materialize(labels0))
 
     /** One propagation step: edge relaxation (one shuffle — the
       * min-aggregation over neighbor labels) followed by two pointer
@@ -756,6 +802,9 @@ object Dedup {
         s"sum=$newSum ${(System.nanoTime() - t0) / 1000000} ms")
     }
     labels
+    } finally if (loopSp != sessionSp)
+      ss.conf.set("spark.sql.shuffle.partitions", sessionSp)
+    labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
@@ -767,7 +816,7 @@ object Dedup {
   // near-dup graph (the hairiest pair graph the engine produces: at
   // sf0.1 it contains a 3721-node component of diameter ~12).
   def q61DedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(simhashPairs(documents(s, d)))
+    connectedComponents(simhashPairsUnordered(documents(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
