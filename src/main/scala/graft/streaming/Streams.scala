@@ -490,10 +490,14 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    base.write.mode("append").parquet(inDir) // corpus state at run 1
+    // coalesce(1): each run's input is ONE file — the resume contract
+    // is about FILES, so fewer, bigger files mean less offset-log and
+    // listing floor in both runs (the projection is 2 narrow columns;
+    // a real deployment's delta is however many files landed)
+    base.coalesce(1).write.mode("append").parquet(inDir) // run-1 corpus
     runOnce(1)
     base.filter(col("event_type") === "click") // the arriving delta
-      .write.mode("append").parquet(inDir)
+      .coalesce(1).write.mode("append").parquet(inDir)
     runOnce(2) // same checkpoint: offset log admits only the delta file
     s.read.parquet(sinkDir)
       .groupBy(col("run"))
