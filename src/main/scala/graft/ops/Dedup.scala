@@ -222,6 +222,54 @@ object Dedup {
   def q36NearDup(s: SparkSession, d: String): DataFrame =
     nearDupPairs(documents(s, d))
 
+  // O-74: asymmetric shingle CONTAINMENT — partial-copy detection.
+  // containment(B in A) = |A ∩ B| / |B| ignores the container's size,
+  // so a short doc quoted wholesale inside a long one scores 1.0 where
+  // Jaccard (|A∩B| / |A∪B| ≈ |B|/|A|) misses it entirely — the
+  // training-data case is boilerplate/license blocks and excerpt-
+  // duplication that symmetric near-dup never flags.
+  /** Containment pairs at threshold 0.8 over any (doc_id, text) table:
+    * each unordered near pair is evaluated in BOTH directions and a
+    * row (container, contained) is emitted per direction that clears
+    * the threshold (an exact duplicate pair emits both). Reuses the
+    * q36 shingle infrastructure including the skew salt knob; scale
+    * shape identical to q36 (the directional explode is row-local on
+    * the tiny pair table). */
+  def containmentPairs(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val saltBuckets = scala.util.Try(docs.sparkSession.conf
+      .get("spark.graft.neardup.saltBuckets", "1").toInt).getOrElse(1)
+    val sh = hashedShingles(docs).repartition(col("h"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val pairs = shingleSelfJoin(sh, saltBuckets)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("n_a")),
+        "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("n_b")),
+        "doc_b")
+    pairs
+      .select(col("inter"), explode(array(
+        struct(col("doc_a").as("container_id"),
+          col("doc_b").as("contained_id"),
+          col("n_a").as("n_container"), col("n_b").as("n_contained")),
+        struct(col("doc_b").as("container_id"),
+          col("doc_a").as("contained_id"),
+          col("n_b").as("n_container"), col("n_a").as("n_contained"))))
+        .as("d"))
+      .select(col("d.container_id").as("container_id"),
+        col("d.contained_id").as("contained_id"), col("inter"),
+        col("d.n_container").as("n_container"),
+        col("d.n_contained").as("n_contained"))
+      .filter(col("inter") / col("n_contained") >= threshold)
+      .withColumn("containment",
+        round(col("inter") / col("n_contained"), 4))
+      .orderBy(col("container_id"), col("contained_id"))
+  }
+
+  def q36gContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d))
+
   // O-59 scale variant: PPJoin-style PREFIX FILTERING. A full shingle
   // self-join explodes on frequent tokens in heavy-tailed corpora, so
   // candidates come only from each doc's first (n - ceil(t*n) + 1)
@@ -824,6 +872,7 @@ object Dedup {
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
+    "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q65_decontaminate" -> (q65Decontaminate _),
     "q67_minhash_probe" -> (q67MinhashProbe _),
@@ -945,6 +994,31 @@ object Dedup {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // directional re-read of the same pair table: one row per
+    // (container, contained) direction clearing containment >= 0.8
+    "q36g_containment" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT doc_a, doc_b, inter, ca.c AS n_a, cb.c AS n_b
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id),
+         |dirs AS (
+         |  SELECT doc_a AS container_id, doc_b AS contained_id, inter,
+         |    n_a AS n_container, n_b AS n_contained FROM wide
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, inter, n_b, n_a FROM wide)
+         |SELECT container_id, contained_id, inter, n_container,
+         |  n_contained,
+         |  round(CAST(inter AS DOUBLE) / n_contained, 4) AS containment
+         |FROM dirs
+         |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.8
+         |ORDER BY container_id, contained_id""".stripMargin,
     // q36e must produce EXACTLY the naive formulation's answer — the
     // whole point of prefix filtering being a lossless optimization —
     // so its oracle IS the naive SQL.

@@ -240,6 +240,87 @@ object TextAnalysis {
   def q62QualityFilter(s: SparkSession, d: String): DataFrame =
     qualityFilter(documents(s, d))
 
+  // O-75: repetition/boilerplate filter — the Gopher repetition class
+  // q62's distinct-ratio doesn't cover: a doc dominated by ONE token or
+  // ONE bigram is template/boilerplate even when its length, mean token
+  // length, and distinct ratio all pass. Signals are MODAL counts (the
+  // most frequent token's and bigram's occurrence counts); thresholds
+  // are integer cross-multiplied (drop when the top token exceeds 12%
+  // of tokens or the top bigram exceeds 5% of bigrams — on the fixture
+  // this keeps 356/500 with both rules exercised). Emits every doc
+  // with its counts and per-rule flags (audit view), keep = AND.
+  /** Generic repetition filter over any (doc_id, text) table. Modal
+    * counts are higher-order array expressions (distinct x filter-count,
+    * O(distinct*n) per ~100-token row) — one parallel scan, no shuffle
+    * at any corpus size. */
+  def repetitionFilter(docs: DataFrame): DataFrame = {
+    def modal(arr: Column): Column =
+      coalesce(array_max(transform(array_distinct(arr),
+        t => size(filter(arr, x => x === t)))), lit(0))
+    docsParallel(docs)
+      .withColumn("toks", toks)
+      .withColumn("bigrams", when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        modal(col("toks")).as("top_token_n"),
+        size(col("bigrams")).as("n_bigrams"),
+        modal(col("bigrams")).as("top_bigram_n"))
+      .withColumn("pass_token",
+        col("top_token_n") * 100 <= col("n_tokens") * 12)
+      .withColumn("pass_bigram",
+        col("top_bigram_n") * 100 <= col("n_bigrams") * 5)
+      .withColumn("keep", col("pass_token") && col("pass_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q62bRepetitionFilter(s: SparkSession, d: String): DataFrame =
+    repetitionFilter(documents(s, d))
+
+  /** PII regexes shared by the Spark and oracle sides: no lookarounds,
+    * no backreferences — the subset Java regex and RE2 (DuckDB) match
+    * identically on. */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  // O-76: PII detection/redaction — the scrub step a training corpus
+  // runs before anything else: count and replace email addresses and
+  // NANP-style phone numbers. Row-local regexp_count/regexp_replace in
+  // one parallel scan; the patterns live in the Java-regex/RE2 common
+  // subset so the DuckDB oracle replays them byte-identically.
+  /** Generic PII scrub over any (doc_id, text) table: per-doc match
+    * counts plus the redacted text. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docsParallel(docs)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** q69: piiScrub over a deterministically PII-injected view of the
+    * documents table — the fixture corpus carries no PII (synthetic
+    * word salad), so the declared query plants emails on doc_id % 3
+    * and phone numbers on doc_id % 4 (both sides of the oracle build
+    * the identical view) and scrubs them back out; the uninjected docs
+    * prove the no-match path leaves text untouched. */
+  def q69PiiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrub(documents(s, d).withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_text_analysis" -> (q38TextAnalysis _),
     "q44b_rolling_fingerprint" -> (q44bRollingFingerprint _),
@@ -249,6 +330,8 @@ object TextAnalysis {
     "q44_fingerprint" -> (q44Fingerprint _),
     "q58_tfidf_topk" -> (q58TfidfTopk _),
     "q62_quality_filter" -> (q62QualityFilter _),
+    "q62b_repetition_filter" -> (q62bRepetitionFilter _),
+    "q69_pii_scrub" -> (q69PiiScrub _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -271,6 +354,57 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // modal token/bigram counts via the classic group-by formulation
+    // (the oracle needn't mirror Spark's array expressions, only the
+    // result); bigram construction matches the shingle oracle pattern
+    "q62b_repetition_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents),
+         |t1 AS (SELECT doc_id, t.tok FROM toks, UNNEST(w) AS t(tok)),
+         |tmodal AS (SELECT doc_id, max(c) AS ttop FROM (
+         |  SELECT doc_id, tok, count(*) AS c FROM t1 GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bg AS (SELECT doc_id, concat_ws(' ', w[i+1], w[i+2]) AS b
+         |  FROM toks, UNNEST(generate_series(0, len(w)-2)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |bmodal AS (SELECT doc_id, max(c) AS btop FROM (
+         |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |j AS (
+         |  SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+         |    CAST(coalesce(ttop, 0) AS INT) AS top_token_n,
+         |    CAST(greatest(len(w) - 1, 0) AS INT) AS n_bigrams,
+         |    CAST(coalesce(btop, 0) AS INT) AS top_bigram_n
+         |  FROM toks t
+         |  LEFT JOIN tmodal USING (doc_id)
+         |  LEFT JOIN bmodal USING (doc_id))
+         |SELECT doc_id, n_tokens, top_token_n, n_bigrams, top_bigram_n,
+         |  top_token_n * 100 <= n_tokens * 12 AS pass_token,
+         |  top_bigram_n * 100 <= n_bigrams * 5 AS pass_bigram,
+         |  (top_token_n * 100 <= n_tokens * 12)
+         |    AND (top_bigram_n * 100 <= n_bigrams * 5) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+    // identical deterministic PII injection on both sides; DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q69_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact doc' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "q62_quality_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,
