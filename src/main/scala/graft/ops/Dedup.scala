@@ -270,6 +270,33 @@ object Dedup {
   def q36gContainment(s: SparkSession, d: String): DataFrame =
     containmentPairs(documents(s, d))
 
+  // O-77: cross-source duplication matrix — the governance view over
+  // near-dup pairs: how much does each source pair duplicate each
+  // other (licensing exposure, crawl overlap, mixture double-counting).
+  // Source pairs are canonicalized (least/greatest) to an unordered
+  // upper-triangular matrix; the diagonal is within-source duplication.
+  /** Near-dup pair counts per unordered source pair, over any
+    * (doc_id, source, text) table. The matrix is |sources|^2 rows at
+    * most — driver-readable at any corpus scale; the cost is the pair
+    * detection itself (shared q36 infra). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    nearDupPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  def q70SourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(documents(s, d))
+
   // O-59 scale variant: PPJoin-style PREFIX FILTERING. A full shingle
   // self-join explodes on frequent tokens in heavy-tailed corpora, so
   // candidates come only from each doc's first (n - ceil(t*n) + 1)
@@ -874,6 +901,7 @@ object Dedup {
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
+    "q70_source_overlap" -> (q70SourceOverlap _),
     "q65_decontaminate" -> (q65Decontaminate _),
     "q67_minhash_probe" -> (q67MinhashProbe _),
   )
@@ -1019,6 +1047,27 @@ object Dedup {
          |FROM dirs
          |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.8
          |ORDER BY container_id, contained_id""".stripMargin,
+    // near-dup pairs (the q36 set) rolled up to unordered source pairs
+    "q70_source_overlap" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |m AS (
+         |  SELECT least(sa.source, sb.source) AS source_lo,
+         |    greatest(sa.source, sb.source) AS source_hi
+         |  FROM nd
+         |  JOIN documents sa ON nd.doc_a = sa.doc_id
+         |  JOIN documents sb ON nd.doc_b = sb.doc_id)
+         |SELECT source_lo, source_hi, count(*) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
     // q36e must produce EXACTLY the naive formulation's answer — the
     // whole point of prefix filtering being a lossless optimization —
     // so its oracle IS the naive SQL.

@@ -78,6 +78,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan)
   }
 
+  test("q62b: repetition filter is row-local — no hash shuffle") {
+    val plan = formatted("q62b_repetition_filter")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("q69: pii scrub is row-local — no hash shuffle") {
+    val plan = formatted("q69_pii_scrub")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("q63: both windows share the single lang shuffle") {
     val plan = formatted("q63_stratified_sample")
     val shuffles = "hashpartitioning".r.findAllIn(plan).size
