@@ -893,6 +893,81 @@ object Dedup {
   def q61DedupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(simhashPairsUnordered(documents(s, d)))
 
+  // O-78: canonical-corpus materialization — the deliverable the whole
+  // dedup family exists to produce: pairs (q36c) -> transitive clusters
+  // (q61) -> the corpus actually shipped to training, keeping exactly
+  // one representative (the min doc_id, q61's is_canonical) per cluster
+  // plus every unclustered doc.
+  /** Generic keep-one-per-cluster filter: `clusters` is
+    * connectedComponents output (doc_id, cluster_id, ...); every doc
+    * listed there with doc_id != cluster_id is dropped, everything else
+    * survives untouched.
+    *
+    * Scale shape: the cluster table is bounded by the NEAR-DUP GRAPH
+    * (nodes that had at least one pair), orders of magnitude smaller
+    * than the corpus that produced it — so the non-canonical id set
+    * broadcasts and the corpus side is one scan + broadcast LEFT ANTI
+    * join; the 100 TB corpus never shuffles and never rescans.
+    * doc_id IS NOT NULL on the corpus side keeps the Spark/SQL
+    * NULL-semantics identical (anti join would retain NULL-id rows,
+    * NOT IN would drop them) and matches docTokens' id contract. */
+  def canonicalCorpus(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dropIds = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.filter(col("doc_id").isNotNull)
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q61bCanonicalCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    canonicalCorpus(docs,
+      connectedComponents(simhashPairsUnordered(docs)))
+  }
+
+  // O-79: corpus-global boilerplate fraction — per-doc share of
+  // shingles that are CORPUS-WIDE common (doc-frequency >= minDf).
+  // This is the inter-document repetition signal the pairwise family
+  // can't see: nav bars / license headers / templating spread across
+  // MANY documents never push any single pair over a Jaccard
+  // threshold, but they dominate a doc's shingle mass. Distinct from
+  // q62b (intra-doc repetition) and q65 (overlap vs one fixed eval
+  // set): the reference set here is the corpus itself.
+  /** Per-doc boilerplate stats over any (doc_id, text) table: distinct
+    * shingle count, count with corpus doc-frequency >= minDf, their
+    * ratio, and an integer-threshold keep flag (drop when boilerplate
+    * exceeds 30% of the doc's shingles).
+    *
+    * Scale shape: one partially-aggregated groupBy over 8-byte shingle
+    * hashes builds the doc-frequency table; only the df >= minDf slice
+    * (the boilerplate dictionary — small by construction, it's the
+    * heavy-tail head) survives to BROADCAST back against the shingle
+    * rows, so the corpus-sized side sees one scan + one broadcast probe
+    * + one per-doc aggregate. Both shingle consumers hang off
+    * docTokens' one exchange (the q36e reuse finding). */
+  def boilerplateFraction(docs: DataFrame, minDf: Long = 3L): DataFrame = {
+    val sh = hashedShingles(docs)
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(1).as("is_hot"))
+    sh.join(broadcast(hot), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("is_hot")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+      .withColumn("keep",
+        col("n_boiler") * 10 <= col("n_shingles") * 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        col("boiler_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q71BoilerplateFraction(s: SparkSession, d: String): DataFrame =
+    boilerplateFraction(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
     "q36_near_dup" -> (q36NearDup _),
@@ -901,7 +976,9 @@ object Dedup {
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
+    "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
     "q70_source_overlap" -> (q70SourceOverlap _),
+    "q71_boilerplate_fraction" -> (q71BoilerplateFraction _),
     "q65_decontaminate" -> (q65Decontaminate _),
     "q67_minhash_probe" -> (q67MinhashProbe _),
   )
@@ -997,6 +1074,30 @@ object Dedup {
          |    AS cluster_size,
          |  id = cluster_id AS is_canonical
          |FROM comp ORDER BY cluster_id, doc_id""".stripMargin,
+    // same component CTE stack as q61; survivors = corpus minus the
+    // non-canonical cluster members (doc_id IS NOT NULL mirrors the
+    // Spark side's explicit filter — see canonicalCorpus scaladoc)
+    "q61b_canonical_corpus" ->
+      s"""WITH RECURSIVE $simhashCtesSql,
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |noncanon AS (SELECT id FROM comp WHERE id <> cluster_id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IS NOT NULL
+         |  AND doc_id NOT IN (SELECT id FROM noncanon)
+         |ORDER BY doc_id""".stripMargin,
     "q35_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash
@@ -1047,6 +1148,22 @@ object Dedup {
          |FROM dirs
          |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.8
          |ORDER BY container_id, contained_id""".stripMargin,
+    // doc-frequency head (df >= 3) re-probed per doc; the oracle stays
+    // on shingle strings (the Spark side's xxhash64 collision reasoning
+    // at hashedShingles applies unchanged)
+    "q71_boilerplate_fraction" ->
+      s"""WITH $shinglesSql,
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |hot AS (SELECT shingle FROM df WHERE df >= 3),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    count(h.shingle) AS n_boiler
+         |  FROM sh s LEFT JOIN hot h ON s.shingle = h.shingle
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_boiler,
+         |  round(CAST(n_boiler AS DOUBLE) / n_shingles, 4) AS boiler_frac,
+         |  n_boiler * 10 <= n_shingles * 3 AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
     // near-dup pairs (the q36 set) rolled up to unordered source pairs
     "q70_source_overlap" ->
       s"""WITH $shinglesSql,

@@ -303,6 +303,51 @@ object TextAnalysis {
           PhoneRe, "[PHONE]").as("redacted"))
       .orderBy(col("doc_id"))
 
+  // O-80: corpus-frequency quality score — the two-pass shape every
+  // model-based quality filter reduces to: TRAIN statistics on the
+  // corpus itself (here a unigram frequency table — the degenerate but
+  // structurally identical case of a KenLM-style LM), broadcast the
+  // model, SCORE every doc against it in one pass. Signals: the share
+  // of token positions carrying a corpus-rare token (garbage/OOV
+  // detector) and the doc's mean relative token frequency (how
+  // "typical" its vocabulary is). All arithmetic is exact-integer until
+  // one final double division per output column, so the DuckDB oracle
+  // reproduces the values bit-identically.
+  /** Generic corpus-frequency score over any (doc_id, text) table;
+    * a token is rare when its corpus count is below rarePct% of all
+    * positions. Scale shape: pass 1 is one partially-aggregated
+    * groupBy(token) (the unigram model — millions of rows against
+    * trillions of positions, the q58 broadcast asymmetry); pass 2 is
+    * scan + broadcast join + per-doc aggregate. The corpus is scanned
+    * twice and shuffled never (the position->doc aggregate shuffles
+    * per-doc partial sums, not positions). */
+  def corpusFreqScore(docs: DataFrame, rarePct: Int = 1): DataFrame = {
+    val pos = docsParallel(docs)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val tf = pos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("total"))
+    pos.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("c") * 100 < col("total") * rarePct, lit(1)))
+          .as("n_rare"),
+        sum(col("c")).as("c_sum"),
+        first(col("total")).as("total"))
+      .withColumn("rare_frac",
+        round(col("n_rare").cast("double") / col("n_tok"), 4))
+      .withColumn("mean_tf_permille",
+        round((col("c_sum") * 1000).cast("double") /
+          (col("n_tok") * col("total")), 4))
+      .select(col("doc_id"), col("n_tok"), col("n_rare"),
+        col("rare_frac"), col("mean_tf_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q72CorpusFreqScore(s: SparkSession, d: String): DataFrame =
+    corpusFreqScore(documents(s, d))
+
   /** q69: piiScrub over a deterministically PII-injected view of the
     * documents table — the fixture corpus carries no PII (synthetic
     * word salad), so the declared query plants emails on doc_id % 3
@@ -332,6 +377,7 @@ object TextAnalysis {
     "q62_quality_filter" -> (q62QualityFilter _),
     "q62b_repetition_filter" -> (q62bRepetitionFilter _),
     "q69_pii_scrub" -> (q69PiiScrub _),
+    "q72_corpus_freq_score" -> (q72CorpusFreqScore _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -354,6 +400,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // two-pass corpus-frequency score: unigram counts -> per-doc
+    // position stats; exact-integer arithmetic until the final rounded
+    // double divisions (mirrors the Spark side operation-for-operation)
+    "q72_corpus_freq_score" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |pos AS (SELECT doc_id, t.tok FROM tk, UNNEST(w) AS t(tok)),
+         |tf AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pos
+         |  GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+         |per AS (
+         |  SELECT doc_id, total, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(count(CASE WHEN c * 100 < total * 1 THEN 1 END)
+         |      AS BIGINT) AS n_rare,
+         |    CAST(sum(c) AS BIGINT) AS c_sum
+         |  FROM pos JOIN tf USING (tok) CROSS JOIN tot
+         |  GROUP BY doc_id, total)
+         |SELECT doc_id, n_tok, n_rare,
+         |  round(CAST(n_rare AS DOUBLE) / n_tok, 4) AS rare_frac,
+         |  round(CAST(c_sum * 1000 AS DOUBLE) / (n_tok * total), 4)
+         |    AS mean_tf_permille
+         |FROM per ORDER BY doc_id""".stripMargin,
     // modal token/bigram counts via the classic group-by formulation
     // (the oracle needn't mirror Spark's array expressions, only the
     // result); bigram construction matches the shingle oracle pattern

@@ -142,4 +142,30 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(finalPlan).size >= 4, finalPlan)
     assert(finalPlan.contains("sorted_long_array_intersect_size"), finalPlan)
   }
+
+  test("q71: boilerplate dictionary broadcasts against the corpus side") {
+    val plan = formatted("q71_boilerplate_fraction")
+    // the df>=K head joins back as a broadcast — the corpus-sized
+    // shingle table must never sort-merge on the shingle hash
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
+  test("q72: unigram model broadcasts; corpus positions never shuffle") {
+    val plan = formatted("q72_corpus_freq_score")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only hash shuffles are the two aggregates (token model,
+    // per-doc stats) — position rows reach them as partial aggregates
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q61b: non-canonical id set anti-joins as a broadcast") {
+    val plan = formatted("q61b_canonical_corpus")
+    assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight")
+      || plan.contains("BroadcastHashJoin [doc_id"), plan)
+    assert(!plan.contains("SortMergeJoin LeftAnti"), plan)
+  }
 }

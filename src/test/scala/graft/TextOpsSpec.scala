@@ -46,6 +46,64 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L)._2 === 0 && out(5L)._3 === 0)
   }
 
+  test("canonical corpus keeps one representative per cluster") {
+    import spark.implicits._
+    // docs 1 and 2 are byte-identical (SimHash hamming 0 -> a pair ->
+    // one cluster with min-id representative 1); doc 3 is unrelated
+    val dup = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "s1", 10L, dup), (2L, "en", "s2", 10L, dup),
+      (3L, "en", "s1", 6L, "p q r s t u v")
+    ).toDF("doc_id", "lang", "source", "n_chars", "text")
+    val clusters = Dedup.connectedComponents(
+      Dedup.simhashPairs(docs.select(col("doc_id"), col("text"))))
+    val out = Dedup.canonicalCorpus(docs, clusters)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 3L))
+    // generic contract: NULL-id corpus rows are excluded (matches the
+    // oracle's NOT IN semantics), untouched docs survive
+    val withNull = docs.union(Seq(
+      (null.asInstanceOf[java.lang.Long], "en", "s3", 5L, "n n n n")
+    ).toDF("doc_id", "lang", "source", "n_chars", "text")
+      .select(col("doc_id").cast("long"), col("lang"), col("source"),
+        col("n_chars"), col("text")))
+    assert(Dedup.canonicalCorpus(withNull, clusters).count() === 2)
+  }
+
+  test("boilerplate fraction flags corpus-wide repeated shingles") {
+    import spark.implicits._
+    // "x y z" occurs in 3 docs (df=3 >= minDf); each carrier has 3
+    // shingles of which 1 is boilerplate -> frac 0.3333 -> drop at the
+    // 30% integer threshold; the clean doc keeps
+    val docs = Seq(
+      (1L, "x y z a1 a2"), (2L, "x y z b1 b2"), (3L, "x y z c1 c2"),
+      (4L, "d1 d2 d3 d4 d5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateFraction(docs)
+      .select("doc_id", "n_shingles", "n_boiler", "boiler_frac", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 1L, 0.3333, false)))
+    assert(out(4L) === ((4L, 3L, 0L, 0.0, true)))
+    assert(Seq(2L, 3L).forall(id => out(id)._3 === 1L && !out(id)._5))
+  }
+
+  test("corpus-freq score: rare-token ratio and mean frequency") {
+    import spark.implicits._
+    // corpus: 19 positions of "a", 1 of "rare" (5% of 20) -> rare at
+    // the <20% threshold, "a" (95%) is not
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),
+      (2L, "a a a a a a a a a rare")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusFreqScore(docs, rarePct = 20)
+      .select("doc_id", "n_tok", "n_rare", "rare_frac", "mean_tf_permille")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 10L, 0L, 0.0, 950.0)))
+    assert(out(2L) === ((2L, 10L, 1L, 0.1, 860.0)))
+  }
+
   test("pii scrub redacts emails and phones, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
