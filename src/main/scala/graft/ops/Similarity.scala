@@ -297,6 +297,164 @@ object Similarity {
   def q47CentroidUdaf(s: SparkSession, d: String): DataFrame =
     labelCentroids(embeddings(s, d))
 
+  // O-81: product-quantization encoding — the compression half of the
+  // canonical 100 TB ANN layout (IVF-PQ): each vector becomes M
+  // sub-space codebook indices (here 8 codes over 8-dim sub-vectors =
+  // 8 small ints replacing 256 bytes of float32), so a memory-resident
+  // index holds billions of vectors. Codebook = the sub-vectors of the
+  // first K vectors by id (deterministic sampled init — the k-means++
+  // seeding step of a real trainer, which is exactly the part that must
+  // be reproducible); assignment = exact argmin of quantized squared L2
+  // via the identity |a-b|^2 = aa - 2ab + bb on the integer domain, so
+  // the DuckDB oracle replays every code bit-for-bit.
+  /** Generic PQ encode over any (vec_id, embedding) table: per-vector
+    * space-joined code string (codes are engine-portable as text — the
+    * driver compare stringifies columns) plus the total quantized
+    * squared reconstruction-proxy error (sum of per-sub-space argmin
+    * distances; 0 for the codebook's own vectors).
+    *
+    * Deterministic tie-break without engine-specific arg_min: pack
+    * (dist, seed) into one BIGINT as dist*64+seed (dist <= ~2^42 at
+    * unit norm, seed < K <= 64) and take the integer MIN — a plain
+    * partially-aggregated min that both engines order identically.
+    *
+    * Scale shape: codebook = K*M tiny rows (broadcast); corpus side is
+    * one scan fanned out M-fold, a broadcast join, codegen'd integer
+    * dots (LongArrayDot — no interpreted zip_with in the hot path), and
+    * two partial-agg'd groupBys whose keys are (vec_id, m) then vec_id
+    * — the vectors themselves never shuffle, only M packed longs per
+    * vector. */
+  /** (m, seed, cv): the deterministic sampled codebook — sub-vectors of
+    * the first k vectors by id. Tiny (k*m rows) at any corpus size. */
+  private def pqSubVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("m"),
+          slice(col("q"), i * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("aa", LongArrayDot(col("sv"), col("sv")))
+
+  /** (vec_id, m, packed): per-sub-space argmin vs the codebook, packed
+    * as dist*64+seed (the integer tie-break both engines agree on) —
+    * shared by the declared encoder (q74's store writer consumes the
+    * same codes). */
+  private def pqPacked(emb: DataFrame, m: Int, k: Int,
+      dim: Int): DataFrame = {
+    val sub = pqSubVectors(emb, m, dim / m)
+    val seeds = sub.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"),
+        col("aa").as("bb"))
+    sub.join(broadcast(seeds), "m")
+      .withColumn("dist", col("aa") -
+        LongArrayDot(col("sv"), col("cv")) * 2 + col("bb"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dist") * 64 + col("seed")).as("packed"))
+  }
+
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16,
+      dim: Int = 64): DataFrame =
+    pqPacked(emb, m, k, dim)
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("m"), col("packed")))),
+          x => (x.getField("packed") % 64).cast("string"))).as("codes"),
+        sum(expr("packed DIV 64")).as("err"))
+      .orderBy(col("vec_id"))
+
+  def q73PqEncode(s: SparkSession, d: String): DataFrame =
+    pqEncode(embeddings(s, d))
+
+  // O-82: IVF-PQ stored layout + ADC probe — the combination that IS
+  // the industry-standard billion-vector index: coarse cells prune the
+  // corpus (O-72's IVF layout), PQ codes (O-81) replace the vectors
+  // inside each cell, and a probe scans CODES, never raw vectors,
+  // against a per-query lookup table (asymmetric distance computation:
+  // the query stays full-precision, the corpus is 8 bytes/vector).
+  /** Write-time layout: vectors partitioned by coarse cell, each row
+    * carrying ONLY (vec_id, label, codes) — the raw embedding is not
+    * stored in the cells; plus the two tiny model tables (codebook,
+    * centroids). Write cost: the assignment pass and the encode pass
+    * share the one corpus scan's exchange; the (vec_id)-keyed join that
+    * zips them shuffles ids+codes, not vectors. */
+  def ivfPqWrite(s: SparkSession, d: String, storeDir: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64): Unit = {
+    val emb = embeddings(s, d)
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell_id"))
+    val assigned = quantized.crossJoin(broadcast(centroids))
+      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("cell_id"))
+    val codes = pqPacked(emb, m, k, dim)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("packed")))),
+        x => x.getField("packed") % 64).as("codes"))
+    assigned.join(codes, "vec_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$storeDir/vectors")
+    pqSubVectors(emb, m, dim / m).filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"))
+      .write.mode("overwrite").parquet(s"$storeDir/codebook")
+    centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
+  }
+
+  /** ADC probe: rank centroids (tiny scan + driver point-read of nprobe
+    * ids, same documented shape as ivfProbe), build the k*m-entry
+    * lookup table of dot(query-sub, codebook-entry) — once per QUERY,
+    * independent of corpus size — then scan only the probed cells'
+    * parquet partitions: posexplode codes, broadcast-join the table,
+    * partial-agg'd per-vector sum. The corpus-sized side touches
+    * nprobe/k of the table and never a raw vector. */
+  def ivfPqProbe(s: SparkSession, storeDir: String, queryVec: Array[Long],
+      nprobe: Int = 4, k: Int = 10, m: Int = 8,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val subDim = queryVec.length / m
+    val qv = array(queryVec.map(lit(_)).toIndexedSeq: _*)
+    val cells = s.read.parquet(s"$storeDir/centroids")
+      .select(col("cell_id"), LongArrayDot(col("ce"), qv).as("qdot"))
+      .orderBy(col("qdot").desc, col("cell_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)) // nprobe ids: tiny, driver-side
+    val qsubs = array((0 until m).map(i => array(queryVec
+      .slice(i * subDim, (i + 1) * subDim).map(lit(_)).toIndexedSeq: _*)): _*)
+    val lut = s.read.parquet(s"$storeDir/codebook")
+      .select(col("m"), col("seed").as("code"),
+        LongArrayDot(col("cv"), element_at(qsubs, col("m") + 1)).as("ld"))
+    val hits = s.read.parquet(s"$storeDir/vectors")
+      .filter(col("cell_id").isin(cells.toIndexedSeq: _*)) // partition prune
+    excludeVecId.foldLeft(hits)((df, id) => df.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"), col("label"), col("cell_id"))
+      .agg(sum(col("ld")).as("est_dot_e12"))
+      .orderBy(col("est_dot_e12").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Declared write-then-probe binding (the q67/q68 pattern): lay the
+    * corpus out as IVF cells of PQ codes in run-scoped tmpfs scratch,
+    * then answer vec_id 0's query via the ADC path. The honest benched
+    * cost is the corpus-wide write + the code-only probe. */
+  def q74IvfPqProbe(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
+    ivfPqWrite(s, d, store)
+    val queryVec = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfPqProbe(s, store, queryVec, nprobe = 4, k = 10,
+      excludeVecId = Some(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
@@ -305,6 +463,8 @@ object Similarity {
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
     "q36f_embedding_neardup_lsh" -> (q36fEmbeddingNeardupLsh _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
+    "q73_pq_encode" -> (q73PqEncode _),
+    "q74_ivfpq_probe" -> (q74IvfPqProbe _),
   )
 
   private val dotSql =
@@ -360,6 +520,95 @@ object Similarity {
        |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quantization, sub-slicing, aa-2ab+bb distance, and packed
+    // (dist*64+seed) integer argmin as the Spark side; codes join to a
+    // string via ORDER BY m (mirrors the sorted-collect_list transform)
+    "q73_pq_encode" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $qeSql AS qv FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |sub AS (
+         |  SELECT vec_id, m, qv[m*8+1 : m*8+8] AS sv
+         |  FROM q, UNNEST(generate_series(0, 7)) AS t(m)),
+         |wa AS (
+         |  SELECT vec_id, m, sv,
+         |    CAST(list_sum([sv[i]*sv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) AS aa
+         |  FROM sub),
+         |seeds AS (
+         |  SELECT m, vec_id AS seed, sv AS cv, aa AS bb
+         |  FROM wa WHERE vec_id < 16),
+         |best AS (
+         |  SELECT s.vec_id, s.m,
+         |    min((s.aa - 2*CAST(list_sum(
+         |      [s.sv[i]*c.cv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) + c.bb) * 64 + c.seed) AS packed
+         |  FROM wa s JOIN seeds c USING (m)
+         |  GROUP BY s.vec_id, s.m)
+         |SELECT vec_id,
+         |  string_agg(CAST(packed % 64 AS VARCHAR), ' ' ORDER BY m)
+         |    AS codes,
+         |  CAST(sum(packed // 64) AS BIGINT) AS err
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
+    // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
+    // — the oracle replays the approximation itself, not the exact dot
+    "q74_ivfpq_probe" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+         |  WHERE vec_id < 16),
+         |dots AS (
+         |  SELECT q.vec_id, cent.cell_id,
+         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+         |  FROM q, cent),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell_id FROM cent, qv
+         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4),
+         |sub AS (
+         |  SELECT vec_id, m, qe[m*8+1 : m*8+8] AS sv
+         |  FROM q, UNNEST(generate_series(0, 7)) AS t(m)),
+         |wa AS (
+         |  SELECT vec_id, m, sv,
+         |    CAST(list_sum([sv[i]*sv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) AS aa
+         |  FROM sub),
+         |seeds AS (
+         |  SELECT m, vec_id AS seed, sv AS cv, aa AS bb
+         |  FROM wa WHERE vec_id < 16),
+         |best AS (
+         |  SELECT s.vec_id, s.m,
+         |    min((s.aa - 2*CAST(list_sum(
+         |      [s.sv[i]*c.cv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) + c.bb) * 64 + c.seed) AS packed
+         |  FROM wa s JOIN seeds c USING (m)
+         |  GROUP BY s.vec_id, s.m),
+         |qsub AS (
+         |  SELECT m, qq[m*8+1 : m*8+8] AS qs
+         |  FROM qv, UNNEST(generate_series(0, 7)) AS t(m)),
+         |lut AS (
+         |  SELECT c.m, c.seed AS code,
+         |    CAST(list_sum([qs[i]*c.cv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) AS ld
+         |  FROM seeds c JOIN qsub USING (m)),
+         |est AS (
+         |  SELECT b.vec_id, CAST(sum(l.ld) AS BIGINT) AS est_dot_e12
+         |  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.packed % 64
+         |  GROUP BY b.vec_id)
+         |SELECT a.vec_id, q.label, a.cell_id, e.est_dot_e12
+         |FROM assigned a
+         |JOIN probe USING (cell_id)
+         |JOIN est e ON e.vec_id = a.vec_id
+         |JOIN q ON q.vec_id = a.vec_id
+         |WHERE a.vec_id != 0
+         |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin,
     "q37b_similarity_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),

@@ -162,6 +162,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q73: PQ codebook broadcasts; distances run as LongArrayDot") {
+    val plan = formatted("q73_pq_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the argmin is a plain partial-agg'd integer min, and the distance
+    // kernel is the codegen expression, not an interpreted HOF tree
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("long_array_dot"), plan)
+    assert(!plan.contains("aggregate(zip_with"), plan)
+  }
+
   test("q61b: non-canonical id set anti-joins as a broadcast") {
     val plan = formatted("q61b_canonical_corpus")
     assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight")

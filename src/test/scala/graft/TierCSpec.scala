@@ -104,6 +104,52 @@ class TierCSpec extends SparkSpec {
       s"LSH emitted non-near-dup pairs: ${found.diff(exact)}")
   }
 
+  test("PQ codes: seeds encode to themselves; mix-and-match hits err 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // seed 0
+      (1L, Array(0f, 1f, 0f, 1f)), // seed 1
+      (2L, Array(1f, 0f, 0f, 0f)), // = seed 0 -> codes "0 0", err 0
+      // sub0 matches seed 1, sub1 matches seed 0: PQ reconstructs it
+      // exactly from MIXED codebook entries even though it equals no seed
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f)) // nothing exact -> err > 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(emb, m = 2, k = 2, dim = 4)
+      .select("vec_id", "codes", "err")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, "0 0", 0L)))
+    assert(out(1L) === ((1L, "1 1", 0L)))
+    assert(out(2L) === ((2L, "0 0", 0L)))
+    assert(out(3L) === ((3L, "1 0", 0L)))
+    assert(out(4L)._3 > 0L)
+    assert(out.size === 5)
+  }
+
+  test("IVF-PQ probe: codebook vectors score their exact dot via ADC") {
+    import spark.implicits._
+    val adc = Similarity.q74IvfPqProbe(spark, sf)
+      .select("vec_id", "est_dot_e12")
+      .as[(Long, Long)].collect().toSeq
+    assert(adc.size === 10, s"adc returned ${adc.size} rows")
+    // determinism: a second write+probe round-trip returns identical rows
+    val again = Similarity.q74IvfPqProbe(spark, sf)
+      .select("vec_id", "est_dot_e12").as[(Long, Long)].collect().toSeq
+    assert(adc === again)
+    // a codebook vector's sub-vectors all encode to themselves, so its
+    // ADC estimate IS the exact quantized dot — the zero-quantization-
+    // error fixpoint of the approximation
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("qe"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val qv = emb(0L)
+    val seedsInTop = adc.filter(_._1 < 16)
+    assert(seedsInTop.forall { case (id, est) =>
+      est === emb(id).zip(qv).map { case (a, b) => a * b }.sum
+    }, s"seed rows deviated from exact: $seedsInTop")
+  }
+
   test("simhash pairs include the true near-dup pairs") {
     import spark.implicits._
     val exact = Dedup.q36NearDup(spark, sf)
