@@ -55,4 +55,30 @@ class IvfStoreSpec extends SparkSpec {
     assert(scanned.head > 0 && scanned.head < allFiles,
       s"probe scanned ${scanned.head} of $allFiles files — no pruning")
   }
+
+  test("stored IVF-PQ probe prunes partitions and stores no vectors") {
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_").toString
+    Similarity.ivfPqWrite(spark, sf, store)
+
+    // the cells persist codes only — the raw/quantized embedding never
+    // reaches the vectors table (the whole point of PQ compression)
+    val cols = spark.read.parquet(s"$store/vectors").columns.toSet
+    assert(cols === Set("vec_id", "label", "codes", "cell_id"), cols)
+
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .collect().head.getSeq[Long](0).toArray
+    val probe = Similarity.ivfPqProbe(spark, store, qv,
+      excludeVecId = Some(0L))
+    assert(probe.count() === 10)
+
+    // cell predicate pushed as a partition filter, same as the IVF store
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"cell_id not pushed as a partition filter:\n$plan")
+    // the ADC lookup table joins as a broadcast (the corpus side never
+    // shuffles before its per-vector partial-agg sum)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
