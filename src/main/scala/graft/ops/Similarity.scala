@@ -341,6 +341,11 @@ object Similarity {
     * same codes). */
   private def pqPacked(emb: DataFrame, m: Int, k: Int,
       dim: Int): DataFrame = {
+    // the *64 packing reserves 6 bits for the seed id; a wider codebook
+    // needs a wider pack factor, so fail loudly instead of colliding
+    require(k >= 1 && k <= 64, s"pq codebook size $k not in [1,64]")
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim not divisible into $m sub-spaces")
     val sub = pqSubVectors(emb, m, dim / m)
     val seeds = sub.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"),
@@ -417,6 +422,8 @@ object Similarity {
   def ivfPqProbe(s: SparkSession, storeDir: String, queryVec: Array[Long],
       nprobe: Int = 4, k: Int = 10, m: Int = 8,
       excludeVecId: Option[Long] = None): DataFrame = {
+    require(m >= 1 && queryVec.length % m == 0,
+      s"query dim ${queryVec.length} not divisible into $m sub-spaces")
     val subDim = queryVec.length / m
     val qv = array(queryVec.map(lit(_)).toIndexedSeq: _*)
     val cells = s.read.parquet(s"$storeDir/centroids")
