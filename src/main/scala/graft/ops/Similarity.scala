@@ -323,7 +323,12 @@ object Similarity {
     * dots (LongArrayDot — no interpreted zip_with in the hot path), and
     * two partial-agg'd groupBys whose keys are (vec_id, m) then vec_id
     * — the vectors themselves never shuffle, only M packed longs per
-    * vector. */
+    * vector.
+    *
+    * Input contract: embeddings must be non-null, dim-length vectors
+    * (the fixture guarantee). A wrong-length vector yields NULL
+    * sub-space distances (LongArrayDot's unequal-length semantics),
+    * which drop out of the min/sum rather than failing the job. */
   /** (m, seed, cv): the deterministic sampled codebook — sub-vectors of
     * the first k vectors by id. Tiny (k*m rows) at any corpus size. */
   private def pqSubVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =

@@ -334,6 +334,8 @@ object TextAnalysis {
         count(when(col("c") * 100 < col("total") * rarePct, lit(1)))
           .as("n_rare"),
         sum(col("c")).as("c_sum"),
+        // first() is deterministic here: total is the same cross-joined
+        // scalar on every row of the group
         first(col("total")).as("total"))
       .withColumn("rare_frac",
         round(col("n_rare").cast("double") / col("n_tok"), 4))
