@@ -949,7 +949,14 @@ object Dedup {
     * docTokens' one exchange (the q36e reuse finding). */
   def boilerplateFraction(docs: DataFrame, minDf: Long = 3L): DataFrame = {
     val sh = hashedShingles(docs)
-    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // count(doc_id), not count(1): doc_id is non-null by docTokens'
+    // filter so the value is identical, but the reference keeps doc_id
+    // in this subtree's column pruning — without it the df aggregate's
+    // scan+shingle subtree projects only [text], canonically differs
+    // from the probe side's [doc_id, text], and AQE cannot reuse the
+    // exchange (the shingling pass runs twice; the q36e trap in
+    // column-pruning form, caught by PlanShapeSpec's runtime assert)
+    val hot = sh.groupBy(col("h")).agg(count(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h"), lit(1).as("is_hot"))
     sh.join(broadcast(hot), Seq("h"), "left_outer")
@@ -968,6 +975,39 @@ object Dedup {
   def q71BoilerplateFraction(s: SparkSession, d: String): DataFrame =
     boilerplateFraction(documents(s, d))
 
+  // O-84: source-uniqueness audit — per source: how much of its shingle
+  // vocabulary exists NOWHERE else in the corpus. The content-diversity
+  // governance view: a crawl slice whose uniqueness ratio collapses is
+  // re-crawling what other sources already contribute (q70 counts
+  // duplicated DOC pairs; this measures vocabulary overlap directly,
+  // catching diffuse cross-source repetition that never forms pairs).
+  /** Per-source distinct shingle count, source-EXCLUSIVE shingle count
+    * (shingles whose only source is this one), and their ratio.
+    *
+    * Scale shape: no corpus-scale join anywhere — one distinct over
+    * (source, h) 8-byte-hash pairs, one groupBy(h) whose single-source
+    * rows attribute via min(source) (exact: n_sources = 1), then two
+    * per-source rollups joined at |sources| rows. Three
+    * partially-aggregated shuffles of hashes, all bounded by the
+    * distinct-vocabulary size, never document bodies. */
+  def sourceUniqueness(docs: DataFrame): DataFrame = {
+    val ps = sourcedShingleRows(docs)
+      .select(col("source"), col("h")).distinct()
+    val uniq = ps.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sources"), min(col("source")).as("source"))
+      .filter(col("n_sources") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    ps.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+      .join(uniq, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_unique"))
+      .withColumn("uniq_frac",
+        round(col("n_unique").cast("double") / col("n_shingles"), 4))
+      .orderBy(col("source"))
+  }
+
+  def q76SourceUniqueness(s: SparkSession, d: String): DataFrame =
+    sourceUniqueness(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
     "q36_near_dup" -> (q36NearDup _),
@@ -979,6 +1019,7 @@ object Dedup {
     "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
     "q70_source_overlap" -> (q70SourceOverlap _),
     "q71_boilerplate_fraction" -> (q71BoilerplateFraction _),
+    "q76_source_uniqueness" -> (q76SourceUniqueness _),
     "q65_decontaminate" -> (q65Decontaminate _),
     "q67_minhash_probe" -> (q67MinhashProbe _),
   )
@@ -1040,6 +1081,31 @@ object Dedup {
         |GROUP BY 1, 2
         |HAVING count(*) >= 10
         |ORDER BY doc_id""".stripMargin,
+    // per-source vocabulary totals + exclusives; same sourced-shingle
+    // CTE shape as q65, single-source shingles attributed via min
+    "q76_source_uniqueness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
+        |ps AS (
+        |  SELECT DISTINCT source,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+        |  FROM toks, UNNEST(generate_series(0, len(w)-3)) AS t(i)),
+        |uniq AS (
+        |  SELECT source, count(*) AS n_unique FROM (
+        |    SELECT shingle, count(*) AS n_sources, min(source) AS source
+        |    FROM ps GROUP BY shingle)
+        |  WHERE n_sources = 1 GROUP BY source),
+        |tot AS (
+        |  SELECT source, count(*) AS n_shingles FROM ps GROUP BY source)
+        |SELECT t.source, t.n_shingles,
+        |  coalesce(u.n_unique, 0) AS n_unique,
+        |  round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / t.n_shingles, 4)
+        |    AS uniq_frac
+        |FROM tot t LEFT JOIN uniq u USING (source)
+        |ORDER BY t.source""".stripMargin,
     "q36c_simhash" ->
       s"""WITH $simhashCtesSql
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -376,6 +376,45 @@ object Similarity {
   def q73PqEncode(s: SparkSession, d: String): DataFrame =
     pqEncode(embeddings(s, d))
 
+  // O-83: coarse-quantizer training round — ONE distributed Lloyd
+  // (k-means) update of the IVF centroids: assign every vector to its
+  // nearest current centroid (broadcast, same rule the IVF family
+  // uses), then emit each cell's exact integer per-dimension sums +
+  // count. The new centroid is sum/n downstream (the q47 convention:
+  // integer outputs are engine- and order-exact; the division is the
+  // consumer's one float step). This is the textbook scalable k-means
+  // iteration — broadcast centroids, one corpus scan, partial-agg'd
+  // primitive-array sums, shuffle = one 64-long buffer per (cell,
+  // partition) — and iterating it is the CC loop's hygiene problem
+  // (materialize per round), already solved in Dedup.connectedComponents.
+  /** One Lloyd update over any (vec_id, embedding) table: per-cell
+    * integer centroid sums and member counts, cells = argmax quantized
+    * dot vs the first-k sampled centroids (ties to the lower cell_id,
+    * exactly the IVF assignment). */
+  def kmeansUpdate(emb: DataFrame, k: Int = 16): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell_id"))
+    quantized.crossJoin(broadcast(centroids))
+      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cell_id"))
+      .agg(centroid(col("qe")).as("sums"), count(lit(1)).as("n_vecs"))
+      .select(col("cell_id"),
+        posexplode(col("sums")).as(Seq("dim_idx", "sum_q")),
+        col("n_vecs"))
+      .select(col("cell_id"), col("dim_idx"), col("sum_q"), col("n_vecs"))
+      .orderBy(col("cell_id"), col("dim_idx"))
+  }
+
+  def q75KmeansUpdate(s: SparkSession, d: String): DataFrame =
+    kmeansUpdate(embeddings(s, d))
+
   // O-82: IVF-PQ stored layout + ADC probe — the combination that IS
   // the industry-standard billion-vector index: coarse cells prune the
   // corpus (O-72's IVF layout), PQ codes (O-81) replace the vectors
@@ -477,6 +516,7 @@ object Similarity {
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_ivfpq_probe" -> (q74IvfPqProbe _),
+    "q75_kmeans_update" -> (q75KmeansUpdate _),
   )
 
   private val dotSql =
@@ -562,6 +602,30 @@ object Similarity {
          |    AS codes,
          |  CAST(sum(packed // 64) AS BIGINT) AS err
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q37c's assignment CTEs + q47's per-dimension sum shape: the
+    // Lloyd update's new centroids as exact integer sums + counts
+    "q75_kmeans_update" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+         |  WHERE vec_id < 16),
+         |dots AS (
+         |  SELECT q.vec_id, q.qe, cent.cell_id,
+         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+         |  FROM q, cent),
+         |assigned AS (
+         |  SELECT vec_id, qe, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |ex AS (
+         |  SELECT cell_id, CAST(i - 1 AS INT) AS dim_idx, qe[i] AS v
+         |  FROM assigned, UNNEST(generate_series(1, len(qe))) AS t(i))
+         |SELECT cell_id, dim_idx, CAST(sum(v) AS BIGINT) AS sum_q,
+         |  count(*) AS n_vecs
+         |FROM ex GROUP BY cell_id, dim_idx
+         |ORDER BY cell_id, dim_idx""".stripMargin,
     // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
     // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
     // — the oracle replays the approximation itself, not the exact dot

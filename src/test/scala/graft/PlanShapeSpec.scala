@@ -173,6 +173,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("aggregate(zip_with"), plan)
   }
 
+  test("q71: df aggregate and probe join share one shingling pass") {
+    // runtime property (AQE exchange reuse), same method as the q36e
+    // test: the hot-set broadcast build and the probe side both hang
+    // off docTokens' one scan-parallelism exchange
+    val df = SparkEntry.queries("q71_boilerplate_fraction")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val computed = finalPlan.linesIterator
+      .count(l => l.contains("REPARTITION_BY_NUM") &&
+        !l.contains("ReusedExchange"))
+    assert(computed === 1, finalPlan)
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 1, finalPlan)
+  }
+
   test("q61b: non-canonical id set anti-joins as a broadcast") {
     val plan = formatted("q61b_canonical_corpus")
     assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight")

@@ -88,6 +88,19 @@ class TextOpsSpec extends SparkSpec {
     assert(Seq(2L, 3L).forall(id => out(id)._3 === 1L && !out(id)._5))
   }
 
+  test("source uniqueness counts source-exclusive shingles") {
+    import spark.implicits._
+    // s1 and s2 share the shingle "a b c"; everything else is exclusive
+    val docs = Seq(
+      (1L, "s1", "a b c d"), (2L, "s2", "a b c x"), (3L, "s2", "p q r s")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceUniqueness(docs)
+      .select("source", "n_shingles", "n_unique", "uniq_frac")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1") === (("s1", 2L, 1L, 0.5))) // "b c d" only
+    assert(out("s2") === (("s2", 4L, 3L, 0.75))) // shares "a b c"
+  }
+
   test("corpus-freq score: rare-token ratio and mean frequency") {
     import spark.implicits._
     // corpus: 19 positions of "a", 1 of "rare" (5% of 20) -> rare at

@@ -126,6 +126,22 @@ class TierCSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("kmeans update sums members into their nearest sampled centroid") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), // sampled centroids, k=2
+      (2L, Array(0.8f, 0.1f)), // -> cell 0
+      (3L, Array(0.1f, 0.9f)), // -> cell 1
+      (4L, Array(0.6f, 0f)) //    -> cell 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(emb, k = 2)
+      .select("cell_id", "dim_idx", "sum_q", "n_vecs")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0, 2400000L, 3L), (0L, 1, 100000L, 3L),
+      (1L, 0, 100000L, 2L), (1L, 1, 1900000L, 2L)))
+  }
+
   test("IVF-PQ probe: codebook vectors score their exact dot via ADC") {
     import spark.implicits._
     val adc = Similarity.q74IvfPqProbe(spark, sf)
