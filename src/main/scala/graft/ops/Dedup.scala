@@ -666,6 +666,112 @@ object Dedup {
   def q65Decontaminate(s: SparkSession, d: String): DataFrame =
     decontaminate(documents(s, d), "src0", 10L)
 
+  /** O-70 scale variant: decontamination as a SHUFFLE-FREE corpus scan.
+    *
+    * The eval suite's distinct shingle hashes are collected once on the
+    * driver, sorted, and embedded as a literal ARRAY<BIGINT>; each corpus
+    * document then counts its overlap ROW-LOCALLY with the codegen'd
+    * two-pointer merge (its own shingle array is produced sorted, so the
+    * merge is allocation-free). This is the Bloom-filter-at-ingest shape
+    * — but exact, because the whole eval set rides along, not a lossy
+    * sketch of it.
+    *
+    * Why the collect() is legitimate (the one driver-side materialization
+    * in this family): its size is bounded by the EVAL SUITE, never the
+    * corpus — benchmark suites are thousands of documents (~1e5-1e6
+    * shingles, a few MB) by construction, and at 100 TB of corpus that
+    * bound does not move. In exchange the corpus side loses BOTH q65
+    * data-dependent shuffles (the shingle-row explosion through the join
+    * and the per-doc count aggregation): past the docTokens scan-
+    * balancing round-robin, the plan is project -> filter with no
+    * hash exchange at all (asserted in PlanShapeSpec), embarrassingly
+    * parallel and composable with any downstream op without a stage
+    * boundary. s11 is the streaming twin of q65; this is the
+    * batch-backfill twin you'd run to re-sweep an existing corpus.
+    *
+    * Oracle: q65's SQL verbatim modulo the shared-count formulation —
+    * same tokenization, same threshold, same output contract — so the
+    * driver hash-checks that the scan variant and the join variant are
+    * pointwise equal. */
+  def decontaminateScan(docs: DataFrame, benchmarkSource: String,
+      minShared: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val evalHashes: Array[Long] =
+      docTokens(docs.filter(col("source") === benchmarkSource))
+        .select(explode(hashedShingleExpr(col("w"))).as("h"))
+        .distinct().as[Long].collect().sorted
+    docTokens(docs.filter(col("source") =!= benchmarkSource), col("source"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.SortedLongArrayIntersectSize(
+          sort_array(hashedShingleExpr(col("w"))),
+          typedLit(evalHashes)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  def q65bDecontaminateScan(s: SparkSession, d: String): DataFrame =
+    decontaminateScan(documents(s, d), "src0", 10L)
+
+  // O-74 segment-level dedup (the CCNet / RefinedWeb line-dedup shape):
+  // remove every SEGMENT whose exact text occurs in >= 2 distinct
+  // documents, then reassemble each document from its surviving
+  // segments in order. Pairwise doc dedup (q35/q36*) drops whole
+  // documents; this is the finer instrument that strips boilerplate
+  // runs (headers, navigation, license blocks) from otherwise-unique
+  // documents. The fixtures have no newlines, so "segment" = a
+  // non-overlapping window of SegWidth tokens — the same definition a
+  // line-split would produce on \n-structured text (the splitter is the
+  // only fixture-specific choice; the dedup/reassembly machinery is
+  // splitter-agnostic).
+  //
+  // Scale: one corpus shuffle on the 8-byte xxhash64 of the segment
+  // (never the text — same collision reasoning as hashedShingles) to
+  // count distinct docs per segment, one anti-join back (the duplicated-
+  // segment set is the small side: duplication is the exception), one
+  // per-doc reassembly aggregation. All three key on bounded-width
+  // values; at 100 TB nothing here holds a document in one task except
+  // its own reassembly row.
+  private val SegWidth = 8
+
+  /** Generic cross-doc segment dedup over any (doc_id, text) table:
+    * (doc_id, n_segs, n_kept, clean_text) with docs keeping >= 1
+    * segment; fully-duplicated docs disappear (their every segment is
+    * shared). */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            expr(s"(size(w) + ${SegWidth - 1}) DIV $SegWidth").cast("int")
+              - 1),
+          s => concat_ws(" ", slice(col("w"), s * SegWidth + 1,
+            lit(SegWidth))))))
+      .select(col("doc_id"), col("pos"), col("col").as("seg"),
+        xxhash64(col("col")).as("segh"))
+    val dup = segs.groupBy(col("segh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("segh"))
+    segs.join(dup.hint("broadcast"), Seq("segh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      .join(segs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q77SegmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedup(documents(s, d))
+
   /** Connected components over an undirected near-dup edge list
     * (doc_a, doc_b): every document gets the MIN doc_id reachable from it
     * as its cluster_id. This is the step that turns pairwise near-dup
@@ -1021,7 +1127,9 @@ object Dedup {
     "q71_boilerplate_fraction" -> (q71BoilerplateFraction _),
     "q76_source_uniqueness" -> (q76SourceUniqueness _),
     "q65_decontaminate" -> (q65Decontaminate _),
+    "q65b_decontaminate_scan" -> (q65bDecontaminateScan _),
     "q67_minhash_probe" -> (q67MinhashProbe _),
+    "q77_segment_dedup" -> (q77SegmentDedup _),
   )
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
@@ -1081,6 +1189,54 @@ object Dedup {
         |GROUP BY 1, 2
         |HAVING count(*) >= 10
         |ORDER BY doc_id""".stripMargin,
+    // q65's semantics re-stated over the same CTEs — the oracle proves
+    // the shuffle-free scan variant equals the join variant pointwise.
+    "q65b_decontaminate_scan" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+        |  FROM toks, UNNEST(generate_series(0, len(w)-3)) AS t(i)),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, s.source, count(*) AS n_shared
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.source != 'src0'
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 10
+        |ORDER BY doc_id""".stripMargin,
+    // String-segment twin of the xxhash64 anti-join (same collision
+    // reasoning as hashedShingles); string_agg(ORDER BY pos) replays
+    // the ordered reassembly.
+    "q77_segment_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t != '') AS w
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |seg AS (
+         |  SELECT doc_id, CAST(s AS INT) AS pos,
+         |    array_to_string(w[s*$SegWidth+1 : s*$SegWidth+$SegWidth], ' ')
+         |      AS seg
+         |  FROM (SELECT doc_id, w FROM toks WHERE len(w) >= 1) t,
+         |    UNNEST(generate_series(0, (len(w) + ${SegWidth - 1})
+         |      // $SegWidth - 1)) AS g(s)),
+         |dup AS (
+         |  SELECT seg FROM seg GROUP BY seg
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT s.doc_id, count(*) AS n_kept,
+         |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
+         |  FROM seg s ANTI JOIN dup d ON s.seg = d.seg
+         |  GROUP BY s.doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id)
+         |SELECT k.doc_id, t.n_segs, k.n_kept, k.clean_text
+         |FROM kept k JOIN tot t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // per-source vocabulary totals + exclusives; same sourced-shingle
     // CTE shape as q65, single-source shingles attributed via min
     "q76_source_uniqueness" ->

@@ -82,6 +82,11 @@ object Sampling {
     stratifiedSample(documents(s, d))
 
   private val SeqBudget = 512
+  // 32-token windows advancing 24 tokens per chunk (8-token overlap):
+  // small enough that the ~40-60-word fixture docs produce multi-chunk
+  // output, shaped like the 512/384 you'd run in production.
+  private val ChunkWidth = 32
+  private val ChunkStride = 24
 
   // O-69 sequence packing: assign documents to fixed token-budget
   // training sequences, greedily in stable hash order WITHIN each source
@@ -167,12 +172,58 @@ object Sampling {
   def q66SourceMix(s: SparkSession, d: String): DataFrame =
     sourceMix(documents(s, d), Map("src0" -> 3, "src1" -> 2))
 
+  // O-74 overlapping document chunking: split each document into
+  // fixed-width token windows (width W, stride S < W) — the context-
+  // window preparation step of a retrieval / long-context pipeline
+  // (reference analog: none; this extends the packing family q64 the
+  // driver mandates for training-data prep). Chunk starts are the
+  // multiples of S; the LAST chunk is the first one whose window
+  // reaches the end of the document (so every token is covered exactly
+  // once past the overlap, and no degenerate tail chunk is emitted):
+  // n_chunks = 1 + ceil(max(n - W, 0) / S), all in exact integer math.
+  //
+  // Scale: chunking is a pure per-row generator — zero shuffles before
+  // the presentation sort; at 100 TB this is a map over the corpus scan
+  // whose output feeds the packer (q64) or an embedding stage. The
+  // fan-out is bounded (n/S chunks per doc), and the generator is
+  // inlined into posexplode for the same InferFiltersFromGenerate
+  // reason documented at Dedup.shingleExpr.
+  /** Generic overlapping chunker over any (doc_id, text) table: one row
+    * per (doc, window) with exact token offsets. */
+  def chunkOverlap(docs: DataFrame, width: Int = ChunkWidth,
+      stride: Int = ChunkStride): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"),
+        expr(s"CASE WHEN size(w) > $width THEN " +
+          s"1 + (size(w) - $width + ${stride - 1}) DIV $stride " +
+          "ELSE 1 END").cast("int").as("nchunks"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("nchunks") - 1),
+          s => concat_ws(" ", slice(col("w"), s * stride + 1, lit(width))))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_word"),
+        least(lit(width), col("n") - col("pos") * stride).cast("long")
+          .as("n_words"),
+        col("col").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def q78ChunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunkOverlap(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
     "q63_stratified_sample" -> (q63StratifiedSample _),
     "q64_sequence_pack" -> (q64SequencePack _),
     "q66_source_mix" -> (q66SourceMix _),
+    "q78_chunk_overlap" -> (q78ChunkOverlap _),
   )
 
   private val bucketSql =
@@ -250,5 +301,31 @@ object Sampling {
          |    AS offset_in_seq
          |FROM c ORDER BY source, seq_id, offset_in_seq, doc_id"""
         .stripMargin,
+    // Same window arithmetic in DuckDB: chunk starts at multiples of
+    // the stride, last chunk = first window reaching the end; list
+    // slicing clamps at len(w) exactly like Spark's slice().
+    "q78_chunk_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t != '') AS w
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |base AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |    CASE WHEN len(w) > $ChunkWidth THEN
+         |      1 + (len(w) - $ChunkWidth + ${ChunkStride - 1}) // $ChunkStride
+         |    ELSE 1 END AS nchunks
+         |  FROM toks WHERE len(w) >= 1),
+         |ch AS (
+         |  SELECT doc_id, CAST(s AS INT) AS chunk_idx,
+         |    CAST(s * $ChunkStride AS BIGINT) AS start_word,
+         |    CAST(least($ChunkWidth, n - s * $ChunkStride) AS BIGINT)
+         |      AS n_words,
+         |    array_to_string(
+         |      w[s*$ChunkStride+1 : s*$ChunkStride+$ChunkWidth], ' ')
+         |      AS chunk_text
+         |  FROM base, UNNEST(generate_series(0, nchunks - 1)) AS t(s))
+         |SELECT doc_id, chunk_idx, start_word, n_words, chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -506,6 +506,55 @@ object Similarity {
       excludeVecId = Some(0L))
   }
 
+  // O-76 embedding outlier scoring: each vector's exact integer squared
+  // L2 distance to its own label's centroid, top-OutlierK per label —
+  // the anomaly/mislabel screen of an embedding-quality pipeline (the
+  // vectors a curation pass reviews or drops before training). Exact
+  // cross-engine math: the centroid is the FLOOR-DIVIDED per-dimension
+  // mean of the quantized sums (both engines' % takes the dividend's
+  // sign, so `s - ((s % n + n) % n)` is an exact multiple of n and the
+  // one division is exact in double); distances are then pure BIGINT
+  // (|diff| <= 2e6, squared and summed over 64 dims <= 2.6e14).
+  //
+  // Scale: one partial-aggregated shuffle for the centroids (the same
+  // CentroidAgg buffer as q47 — one 64-long array per (label,
+  // partition)), a broadcast of the |labels|-row centroid table back
+  // onto the scan, then a per-label top-k window over rows carrying
+  // only (label, vec_id, dist2) — never the vectors. At 100 TB the only
+  // corpus-wide exchange is the top-k window's hash on label; skewed
+  // label cardinalities would take the q49 salting treatment.
+  private val OutlierK = 5
+
+  /** Generic per-label outlier scan over any (vec_id, label, embedding)
+    * table: (label, vec_id, dist2, rnk) for the k most distant vectors
+    * from their label centroid, ties broken by vec_id. */
+  def labelOutliers(emb: DataFrame, k: Int = OutlierK): DataFrame = {
+    val centroidAgg = udaf(graft.functions.CentroidAgg)
+    val cent = emb
+      .select(col("label"), quantize(col("embedding")).as("qe"))
+      .groupBy(col("label"))
+      .agg(centroidAgg(col("qe")).as("sums"), count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("sums"), s =>
+          ((s - ((s % col("n") + col("n")) % col("n"))) / col("n"))
+            .cast("long")).as("c"))
+    val byLabel = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    emb
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("d", zip_with(col("qe"), col("c"), (a, b) => a - b))
+      .select(col("label"), col("vec_id"),
+        LongArrayDot(col("d"), col("d")).as("dist2"))
+      .withColumn("rnk", row_number().over(byLabel))
+      .filter(col("rnk") <= k)
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  def q79EmbeddingOutliers(s: SparkSession, d: String): DataFrame =
+    labelOutliers(embeddings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
@@ -517,6 +566,7 @@ object Similarity {
     "q73_pq_encode" -> (q73PqEncode _),
     "q74_ivfpq_probe" -> (q74IvfPqProbe _),
     "q75_kmeans_update" -> (q75KmeansUpdate _),
+    "q79_embedding_outliers" -> (q79EmbeddingOutliers _),
   )
 
   private val dotSql =
@@ -760,5 +810,36 @@ object Similarity {
         |  count(*) AS n_vecs
         |FROM ex GROUP BY label, dim_idx
         |ORDER BY label, dim_idx""".stripMargin,
+    // q47's sum CTEs extended by the exact floor-divided centroid and
+    // the integer squared-distance re-aggregation; row_number replays
+    // the (dist2 DESC, vec_id) tie-break.
+    "q79_embedding_outliers" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, label,
+        |    [CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT)
+        |     FOR e IN embedding] AS qe
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, label, CAST(i AS INT) AS d, qe[i] AS v
+        |  FROM q, UNNEST(generate_series(1, len(qe))) AS t(i)),
+        |cs AS (
+        |  SELECT label, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, d,
+        |    CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cd
+        |  FROM cs),
+        |dist AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((e.v - c.cd) * (e.v - c.cd)) AS BIGINT) AS dist2
+        |  FROM ex e JOIN c ON e.label = c.label AND e.d = c.d
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, dist2,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY dist2 DESC, vec_id) AS INT) AS rnk
+        |  FROM dist)
+        |SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= $OutlierK
+        |ORDER BY label, rnk""".stripMargin,
   )
 }

@@ -100,6 +100,81 @@ class GenericApiSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("decontaminateScan equals the join-based decontaminate pointwise") {
+    import spark.implicits._
+    val sdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "bench"),
+      (2L, "the quick brown fox jumps over a sleepy cat", "train"),
+      (3L, "completely different words here nothing shared at all", "train")
+    ).toDF("doc_id", "text", "source")
+    for (th <- Seq(1L, 3L, 5L)) {
+      val join = ops.Dedup.decontaminate(sdocs, "bench", th).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val scan = ops.Dedup.decontaminateScan(sdocs, "bench", th).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(scan === join, s"threshold $th")
+    }
+  }
+
+  test("segmentDedup removes cross-doc segments and reassembles in order") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"   // shared segment (docs 1 and 2)
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val c = "c1 c2 c3 c4 c5"            // short tail segment, doc 2 only
+    val e = "e1 e2 e3 e4 e5 e6 e7 e8"   // docs 4 and 5 in full -> vanish
+    val sdocs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, "solo words only"),
+      (4L, e), (5L, e)
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.segmentDedup(sdocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, b),    // segment a removed, b survives
+      (2L, 2L, 1L, c),    // segment a removed, short tail survives
+      (3L, 1L, 1L, "solo words only")))
+    // docs 4/5 (every segment duplicated) are gone entirely
+    assert(!out.map(_._1).contains(4L) && !out.map(_._1).contains(5L))
+    // a WITHIN-doc repeat is not cross-doc duplication: both copies stay
+    val intra = Seq((7L, s"$b $b")).toDF("doc_id", "text")
+    val kept = ops.Dedup.segmentDedup(intra).collect()
+    assert(kept.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((2L, 2L)))
+  }
+
+  test("chunkOverlap covers every token, last window reaches the end") {
+    import spark.implicits._
+    val sdocs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "x1 x2 x3"),                               // shorter than width
+      (3L, (1 to 11).map(i => s"v$i").mkString(" "))  // short final window
+    ).toDF("doc_id", "text")
+    val out = ops.Sampling.chunkOverlap(sdocs, width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1, 3L, 4L, "w4 w5 w6 w7"),
+      (1L, 2, 6L, 4L, "w7 w8 w9 w10")))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0L, 3L, "x1 x2 x3")))
+    val last = out.filter(_._1 == 3L).last
+    assert(last === ((3L, 3, 9L, 2L, "v10 v11")))
+  }
+
+  test("labelOutliers ranks by exact integer distance to label centroid") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)), (2L, 0, Array(0.0f, 0.0f)),
+      (3L, 0, Array(1.0f, 0.0f)),                       // the outlier
+      (11L, 1, Array(0.5f, 0.5f)), (12L, 1, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val top = ops.Similarity.labelOutliers(emb, k = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // label 0 centroid = floor(1e6/3) = 333333 on dim 0;
+    // vec 3 dist2 = (1e6 - 333333)^2 = 666667^2
+    assert(top.toSeq === Seq((0, 3L, 666667L * 666667L), (1, 11L, 0L)))
+  }
+
   test("connectedComponents resolves transitive chains and singleton pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (min label must travel 3 hops -> exercises the

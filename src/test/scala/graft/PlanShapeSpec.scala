@@ -52,6 +52,30 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
+  test("q65b: scan decontamination has no hash exchange at all") {
+    val plan = formatted("q65b_decontaminate_scan")
+    // the corpus side is project+filter over the scan: the eval set is a
+    // literal array, the overlap count runs as the codegen'd merge — the
+    // only exchanges are docTokens' scan-balancing round-robin and the
+    // presentation sort's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(plan.contains("sorted_long_array_intersect_size"), plan)
+  }
+
+  test("q78: overlapping chunker is row-local — no hash shuffle") {
+    val plan = formatted("q78_chunk_overlap")
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
+  test("q79: centroid table broadcasts back onto the vector scan") {
+    val plan = formatted("q79_embedding_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("long_array_dot"), plan)
+  }
+
   test("q60: quota sampling is one shuffle (window on source)") {
     val plan = formatted("q60_source_quota")
     val shuffles = "hashpartitioning".r.findAllIn(plan).size
