@@ -700,11 +700,21 @@ object Dedup {
       docTokens(docs.filter(col("source") === benchmarkSource))
         .select(explode(hashedShingleExpr(col("w"))).as("h"))
         .distinct().as[Long].collect().sorted
+    // PLAN-SHAPE TRAP (measured 28x, sibling of the shingleExpr note):
+    // a plain projection alias here lets PushDownPredicates substitute
+    // the threshold filter's n_shared with the FULL shingle+sort+merge
+    // tree and push it below docTokens' balancing repartition — the
+    // whole computation then runs inside a Filter on the unsplittable
+    // single-file scan stage, serialized onto one task (~10s at sf0.1
+    // vs 0.35s balanced). Routing the value through an inline
+    // explode(array(..)) Generate is the barrier: a predicate on
+    // generator output cannot be pushed below the Generate, and the
+    // inline expression infers no generator filters.
     docTokens(docs.filter(col("source") =!= benchmarkSource), col("source"))
       .select(col("doc_id"), col("source"),
-        graft.functions.SortedLongArrayIntersectSize(
+        explode(array(graft.functions.SortedLongArrayIntersectSize(
           sort_array(hashedShingleExpr(col("w"))),
-          typedLit(evalHashes)).as("n_shared"))
+          typedLit(evalHashes)))).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_id"))
   }

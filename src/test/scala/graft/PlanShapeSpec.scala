@@ -60,6 +60,10 @@ class PlanShapeSpec extends SparkSpec {
     // presentation sort's range partitioning
     assert(!plan.contains("hashpartitioning"), plan)
     assert(plan.contains("sorted_long_array_intersect_size"), plan)
+    // the threshold filter must sit ABOVE the explode(array(..)) barrier
+    // — if the Generate disappears, PushDownPredicates re-substitutes
+    // the merge tree into a scan-stage filter (28x, see decontaminateScan)
+    assert(plan.contains("Generate"), plan)
   }
 
   test("q78: overlapping chunker is row-local — no hash shuffle") {

@@ -235,4 +235,110 @@ class PropertiesSpec extends SparkSpec {
       assert(native.collect().toSeq === stock.collect().toSeq)
     }
   }
+
+  test("chunkOverlap: chunks tile the doc — exact slices, full coverage") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(8,
+      Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(0, 1000)))
+    val paramGen = for {
+      stride <- Gen.chooseNum(1, 6)
+      extra <- Gen.chooseNum(0, 5)
+    } yield (stride + extra, stride)
+    forAll(docGen, paramGen) { case (docs, (width, stride)) =>
+      val rows = docs.zipWithIndex.map { case ((n, salt), i) =>
+        (i.toLong, (0 until n).map(j => s"t${salt}_$j").mkString(" "))
+      }
+      val byId = rows.toMap
+      val out = ops.Sampling.chunkOverlap(
+        rows.toDF("doc_id", "text"), width, stride).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt,
+          r.getLong(3).toInt, r.getString(4)))
+      for ((id, chunks) <- out.groupBy(_._1)) {
+        val words = byId(id).split(" ").toSeq
+        val sorted = chunks.sortBy(_._2)
+        // chunk i starts at i*stride; text is the exact slice
+        sorted.foreach { case (_, idx, start, nw, text) =>
+          assert(start === idx * stride)
+          assert(text === words.slice(start, start + nw).mkString(" "))
+        }
+        // first chunk at 0; last chunk reaches exactly the end; no
+        // chunk past the first that reaches the end (minimal cover)
+        assert(sorted.head._3 === 0)
+        assert(sorted.last._3 + sorted.last._4 === words.length)
+        assert(sorted.init.forall(c => c._3 + width < words.length))
+      }
+      assert(out.groupBy(_._1).keySet === byId.keySet)
+    }
+  }
+
+  test("segmentDedup: unique corpus reassembles byte-identically") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(6, Gen.chooseNum(1, 30))
+    forAll(docGen) { sizes =>
+      val rows = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"u${i}_$j").mkString(" "))
+      }
+      val out = ops.Dedup.segmentDedup(rows.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getString(3))).toMap
+      rows.foreach { case (id, text) =>
+        val (nSegs, nKept, clean) = out(id)
+        assert(nSegs === nKept)
+        assert(clean === text)
+      }
+    }
+  }
+
+  test("decontaminateScan equals decontaminate on random word soup") {
+    import spark.implicits._
+    // small vocab so cross-doc shingle overlap actually occurs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val corpusGen = Gen.listOfN(10,
+      Gen.listOfN(12, Gen.chooseNum(0, vocab.size - 1)))
+    forAll(corpusGen, Gen.chooseNum(1L, 4L)) { (docs, th) =>
+      val rows = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.map(vocab).mkString(" "),
+          if (i < 3) "bench" else "train")
+      }
+      val df = rows.toDF("doc_id", "text", "source")
+      val join = ops.Dedup.decontaminate(df, "bench", th).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val scan = ops.Dedup.decontaminateScan(df, "bench", th).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(scan === join)
+    }
+  }
+
+  test("labelOutliers matches a driver-side exact integer recomputation") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(12, Gen.zip(
+      Gen.chooseNum(0, 1), Gen.listOfN(3,
+        Gen.chooseNum(-1000, 1000).map(_ / 1000.0f))))
+    forAll(vecGen) { vecs =>
+      val rows = vecs.zipWithIndex.map { case ((label, e), i) =>
+        (i.toLong, label, e.toArray)
+      }
+      val out = ops.Similarity.labelOutliers(
+        rows.toDF("vec_id", "label", "embedding"), k = 3).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // exact model: quantize, per-label sums, floor-div centroid, L2
+      // (HALF_UP to match Spark's round(), not math.round's half-even
+      // behavior on negative ties)
+      val byLabel = rows.groupBy(_._2)
+      val expect = byLabel.toSeq.flatMap { case (label, vs) =>
+        val q = vs.map { case (id, _, e) =>
+          id -> e.map(x => BigDecimal(x.toDouble * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact) }
+        val n = q.size
+        val dims = q.head._2.indices
+        val cent = dims.map(d => Math.floorDiv(q.map(_._2(d)).sum, n))
+        q.map { case (id, qe) =>
+          val d2 = dims.map(d => (qe(d) - cent(d)) * (qe(d) - cent(d))).sum
+          (label, id, d2)
+        }.sortBy(t => (-t._3, t._2)).take(3)
+      }.sortBy(t => (t._1, -t._3, t._2))
+      assert(out.toSeq === expect)
+    }
+  }
 }
