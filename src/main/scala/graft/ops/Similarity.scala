@@ -525,12 +525,24 @@ object Similarity {
   // label cardinalities would take the q49 salting treatment.
   private val OutlierK = 5
 
+  /** s13's flag threshold on the quantized squared L2 distance (scale
+    * 1e12 for unit-norm vectors): the ~95th percentile of the fixture's
+    * dist2 distribution, stable across all three SFs (flags 33/35/58
+    * vectors at sf0.001/0.01/0.1). */
+  private[graft] val OutlierScreenDist2 = 1030000000000L
+
   /** Generic per-label outlier scan over any (vec_id, label, embedding)
     * table: (label, vec_id, dist2, rnk) for the k most distant vectors
     * from their label centroid, ties broken by vec_id. */
-  def labelOutliers(emb: DataFrame, k: Int = OutlierK): DataFrame = {
+  /** (label, c): exact floor-divided per-dimension integer centroid of
+    * each label's quantized vectors. Floor division without engine-
+    * specific semantics: both engines' % takes the dividend's sign, so
+    * `s - ((s % n + n) % n)` is an exact multiple of n and the one
+    * division is exact in double. Shared by q79 and the s13 stream
+    * screen (the static broadcast side there). */
+  private[graft] def flooredLabelCentroids(emb: DataFrame): DataFrame = {
     val centroidAgg = udaf(graft.functions.CentroidAgg)
-    val cent = emb
+    emb
       .select(col("label"), quantize(col("embedding")).as("qe"))
       .groupBy(col("label"))
       .agg(centroidAgg(col("qe")).as("sums"), count(lit(1)).as("n"))
@@ -538,15 +550,25 @@ object Similarity {
         transform(col("sums"), s =>
           ((s - ((s % col("n") + col("n")) % col("n"))) / col("n"))
             .cast("long")).as("c"))
-    val byLabel = Window.partitionBy(col("label"))
-      .orderBy(col("dist2").desc, col("vec_id"))
-    emb
+  }
+
+  /** (label, vec_id, dist2) appended to any (vec_id, label, embedding)
+    * rows joined against a (label, c) centroid table — row-local past
+    * the broadcast; stateless, so the same code runs on a stream. */
+  private[graft] def centroidDist2(vecs: DataFrame,
+      cent: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
       .join(broadcast(cent), Seq("label"))
       .withColumn("d", zip_with(col("qe"), col("c"), (a, b) => a - b))
       .select(col("label"), col("vec_id"),
         LongArrayDot(col("d"), col("d")).as("dist2"))
+
+  def labelOutliers(emb: DataFrame, k: Int = OutlierK): DataFrame = {
+    val byLabel = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    centroidDist2(emb, flooredLabelCentroids(emb))
       .withColumn("rnk", row_number().over(byLabel))
       .filter(col("rnk") <= k)
       .orderBy(col("label"), col("rnk"))

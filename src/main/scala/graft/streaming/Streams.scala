@@ -445,6 +445,38 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** Raw parquet schema of embeddings (column order matches the file). */
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  // O-87 streaming twin (the q65/s11 pairing applied to vectors):
+  // ingest-time embedding outlier screen. The label centroids are the
+  // STATIC side, calibrated once from the batch table (|labels| rows,
+  // broadcast — in production a published centroid store refreshed by
+  // q75's k-means updates); the live vector stream computes its exact
+  // integer distance ROW-LOCALLY (quantize + broadcast join + codegen
+  // LongArrayDot — the stateless batch code path, Similarity.
+  // centroidDist2, runs unchanged on the stream) and only vectors past
+  // the threshold cross the sink. No aggregation, no watermark, NO
+  // STATE STORE AT ALL: per-batch cost is O(batch), state is zero —
+  // the cheapest possible screen topology, and the one you'd want at
+  // 100 TB/day ingest. Oracle: the q79 distance CTEs with the
+  // threshold filter (a stateless append replay of a finite file
+  // equals its batch twin row-for-row).
+  def s13StreamOutlierScreen(s: SparkSession, d: String): DataFrame = {
+    val cent = graft.ops.Similarity.flooredLabelCentroids(
+      graft.ops.Tables.embeddings(s, d))
+    val vecStream = s.readStream.schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+    val flagged = graft.ops.Similarity.centroidDist2(vecStream, cent)
+      .filter(col("dist2") >= graft.ops.Similarity.OutlierScreenDist2)
+    runToMemory(s, flagged, "append", noDataBatch = false)
+      .orderBy(col("vec_id"))
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -548,6 +580,7 @@ object Streams {
     "s10_event_timer" -> (s10EventTimer _),
     "s11_stream_decontaminate" -> (s11StreamDecontaminate _),
     "s12_resume_increment" -> (s12ResumeIncrement _),
+    "s13_stream_outlier_screen" -> (s13StreamOutlierScreen _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -578,6 +611,32 @@ object Streams {
     // topology is the property under test.
     "s11_stream_decontaminate" ->
       graft.ops.Dedup.oracles("q65_decontaminate"),
+    // q79's distance CTEs + the screen threshold (the stateless append
+    // replay of a finite file equals its batch twin row-for-row)
+    "s13_stream_outlier_screen" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT)
+         |     FOR e IN embedding] AS qe
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, CAST(i AS INT) AS d, qe[i] AS v
+         |  FROM q, UNNEST(generate_series(1, len(qe))) AS t(i)),
+         |cs AS (
+         |  SELECT label, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |c AS (
+         |  SELECT label, d,
+         |    CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cd
+         |  FROM cs),
+         |dist AS (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(sum((e.v - c.cd) * (e.v - c.cd)) AS BIGINT) AS dist2
+         |  FROM ex e JOIN c ON e.label = c.label AND e.d = c.d
+         |  GROUP BY 1, 2)
+         |SELECT label, vec_id, dist2 FROM dist
+         |WHERE dist2 >= ${graft.ops.Similarity.OutlierScreenDist2}
+         |ORDER BY vec_id""".stripMargin,
     // event-time timers: one row per key whose (first ts + 10 min)
     // timer the final watermark (max ts - 1h) expired; the count is the
     // key's full row count (everything arrived before any timer fired)

@@ -51,6 +51,20 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming outlier screen (s13) == batch centroid distances") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.Tables.embeddings(spark, sf)
+    val batch = ops.Similarity.centroidDist2(emb,
+        ops.Similarity.flooredLabelCentroids(emb))
+      .filter(col("dist2") >= ops.Similarity.OutlierScreenDist2)
+      .orderBy(col("vec_id"))
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s13StreamOutlierScreen(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stateful counter (s07) == batch per-user aggregate") {
     import org.apache.spark.sql.functions._
     val batch = ops.Tables.events(spark, sf)
