@@ -577,6 +577,50 @@ object Similarity {
   def q79EmbeddingOutliers(s: SparkSession, d: String): DataFrame =
     labelOutliers(embeddings(s, d))
 
+  // O-88 exact kNN join within label blocks: every vector's k nearest
+  // same-label neighbors by exact quantized squared L2 — the kNN-GRAPH
+  // construction step (near-dup graphs for O-66's clustering, diversity
+  // sampling, and the edge lists graph-ANN indexes are seeded from).
+  // Blocked-exact shape: the self-join is bounded by the label block,
+  // never all-pairs across the corpus; at 100 TB the same code runs per
+  // IVF cell (q37c/q68 assignment machinery) so block size is capped by
+  // |cell| regardless of corpus growth — the standard blocked kNN join.
+  // Spark prunes the per-vector rank to a running top-k inside the
+  // window sort (InferWindowGroupLimit), so the full pair set never
+  // materializes past its own stage. Tie-break (dist2, neighbor_id) is
+  // engine-exact integer ordering.
+  private val KnnK = 3
+
+  /** Generic blocked exact kNN join over any (vec_id, label, embedding)
+    * table: (label, vec_id, neighbor_id, dist2, rnk), k nearest
+    * same-label neighbors per vector. */
+  def knnJoin(emb: DataFrame, k: Int = KnnK): DataFrame = {
+    // dist2 via the integer identity |a-b|^2 = aa - 2ab + bb (the q73
+    // convention): the self-norms are computed once per VECTOR, so the
+    // per-PAIR work is a single codegen LongArrayDot — a zip_with
+    // difference array here would be an interpreted HOF allocation per
+    // pair (measured ~2x the whole query)
+    val a = emb.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qa"))
+      .withColumn("aa", LongArrayDot(col("qa"), col("qa")))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("label"),
+      quantize(col("embedding")).as("qb"))
+      .withColumn("bb", LongArrayDot(col("qb"), col("qb")))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("neighbor_id"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("label"), col("vec_id"), col("neighbor_id"),
+        (col("aa") + col("bb") -
+          lit(2L) * LongArrayDot(col("qa"), col("qb"))).as("dist2"))
+      .withColumn("rnk", row_number().over(byVec))
+      .filter(col("rnk") <= k)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  def q80KnnJoin(s: SparkSession, d: String): DataFrame =
+    knnJoin(embeddings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
@@ -589,6 +633,7 @@ object Similarity {
     "q74_ivfpq_probe" -> (q74IvfPqProbe _),
     "q75_kmeans_update" -> (q75KmeansUpdate _),
     "q79_embedding_outliers" -> (q79EmbeddingOutliers _),
+    "q80_knn_join" -> (q80KnnJoin _),
   )
 
   private val dotSql =
@@ -863,5 +908,28 @@ object Similarity {
         |  FROM dist)
         |SELECT label, vec_id, dist2, rnk FROM r WHERE rnk <= $OutlierK
         |ORDER BY label, rnk""".stripMargin,
+    // label-blocked self-join with the same quantized integer L2 and
+    // (dist2, neighbor_id) row_number tie-break
+    "q80_knn_join" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(round(CAST(e AS DOUBLE)*1000000, 0) AS BIGINT)
+         |     FOR e IN embedding] AS qe
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.label, a.vec_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum([(a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i])
+         |      FOR i IN generate_series(1, len(a.qe))]) AS BIGINT)
+         |      AS dist2
+         |  FROM q a JOIN q b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id),
+         |r AS (
+         |  SELECT label, vec_id, neighbor_id, dist2,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, neighbor_id) AS INT) AS rnk
+         |  FROM p)
+         |SELECT label, vec_id, neighbor_id, dist2, rnk FROM r
+         |WHERE rnk <= $KnnK
+         |ORDER BY vec_id, rnk""".stripMargin,
   )
 }

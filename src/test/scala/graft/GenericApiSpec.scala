@@ -175,6 +175,25 @@ class GenericApiSpec extends SparkSpec {
     assert(top.toSeq === Seq((0, 3L, 666667L * 666667L), (1, 11L, 0L)))
   }
 
+  test("knnJoin returns each vector's k nearest same-label neighbors") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)),
+      (2L, 0, Array(0.1f, 0.0f)),
+      (3L, 0, Array(1.0f, 0.0f)),
+      (11L, 1, Array(0.5f, 0.5f)), (12L, 1, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = ops.Similarity.knnJoin(emb, k = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // within label 0: 2 is nearest to both 1 and 3; identical vectors in
+    // label 1 are each other's zero-distance neighbors
+    assert(out.toSeq === Seq(
+      (1L, 2L), (2L, 1L), (3L, 2L), (11L, 12L), (12L, 11L)))
+    // k=2 keeps per-vector output bounded even with ties
+    assert(ops.Similarity.knnJoin(emb, k = 2)
+      .groupBy("vec_id").count().collect().map(_.getLong(1)).max <= 2)
+  }
+
   test("connectedComponents resolves transitive chains and singleton pairs") {
     import spark.implicits._
     // chain 1-2-3-4 (min label must travel 3 hops -> exercises the
