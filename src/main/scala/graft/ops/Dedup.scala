@@ -765,15 +765,23 @@ object Dedup {
     val dup = segs.groupBy(col("segh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("segh"))
-    segs.join(dup.hint("broadcast"), Seq("segh"), "left_anti")
+      .select(col("segh"), lit(true).as("isdup"))
+    // single-pass reassembly: a LEFT join against the (small) dup set
+    // flags each segment in place, and ONE per-doc aggregation computes
+    // total count, kept count, and the ordered reassembly together —
+    // an anti-join formulation needs a second aggregation plus a
+    // join-back, re-running the segment explosion per consumer
+    // (collect_list skips the NULL-valued when() rows, so the dup
+    // segments vanish from the rebuilt text exactly like the anti join)
+    segs.join(dup.hint("broadcast"), Seq("segh"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("isdup").isNull, 1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          array_sort(collect_list(
+            when(col("isdup").isNull, struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
-      .join(segs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
+      .filter(col("n_kept") >= 1)
       .select(col("doc_id"), col("n_segs"), col("n_kept"),
         col("clean_text"))
       .orderBy(col("doc_id"))
