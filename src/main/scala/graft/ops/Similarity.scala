@@ -102,6 +102,24 @@ object Similarity {
   def q37bSimilarityLsh(s: SparkSession, d: String): DataFrame =
     similarityLsh(embeddings(s, d))
 
+  /** THE coarse-quantizer assignment rule, stated once: nearest centroid
+    * by argmax quantized dot, ties to the lower cell_id. Input is any
+    * (vec_id, ..., qe) table plus a (cell_id, ce) centroid table (tiny —
+    * broadcast); output keeps every input column and appends cell_id.
+    * Shared by the in-query IVF (q37c), both stored layouts (q68/q74),
+    * the k-means trainer round (q75), and semantic dedup (q81) — one
+    * definition, one oracle CTE shape. */
+  private[graft] def coarseAssign(quantized: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell_id"))
+    quantized.crossJoin(broadcast(centroids))
+      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("cdot", "rn", "ce")
+  }
+
   // O-60 IVF variant: inverted-file ANN. Coarse quantizer = the first 16
   // vectors as deterministic centroids (a k-means seed set); every vector
   // is assigned to its nearest centroid (one scan), and a probe searches
@@ -115,12 +133,7 @@ object Similarity {
     val centroids = quantized.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
     // assign: argmax dot(vector, centroid) — 16 broadcast rows per vector
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell_id"))
-    val assigned = quantized.crossJoin(broadcast(centroids))
-      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = coarseAssign(quantized, centroids)
       .select(col("vec_id"), col("label"), col("qe"), col("cell_id"))
     // probe cells: the 4 centroids nearest the query vector
     val qv = quantized.filter(col("vec_id") === 0)
@@ -152,12 +165,7 @@ object Similarity {
       quantize(col("embedding")).as("qe"))
     val centroids = quantized.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell_id"))
-    quantized.crossJoin(broadcast(centroids))
-      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    coarseAssign(quantized, centroids)
       .select(col("vec_id"), col("label"), col("qe"), col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$storeDir/vectors")
@@ -397,12 +405,7 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
     val centroids = quantized.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell_id"))
-    quantized.crossJoin(broadcast(centroids))
-      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    coarseAssign(quantized, centroids)
       .groupBy(col("cell_id"))
       .agg(centroid(col("qe")).as("sums"), count(lit(1)).as("n_vecs"))
       .select(col("cell_id"),
@@ -435,12 +438,7 @@ object Similarity {
         quantize(col("embedding")).as("qe"))
     val centroids = quantized.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell_id"))
-    val assigned = quantized.crossJoin(broadcast(centroids))
-      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = coarseAssign(quantized, centroids)
       .select(col("vec_id"), col("label"), col("cell_id"))
     val codes = pqPacked(emb, m, k, dim)
       .groupBy(col("vec_id"))
@@ -621,6 +619,59 @@ object Similarity {
   def q80KnnJoin(s: SparkSession, d: String): DataFrame =
     knnJoin(embeddings(s, d))
 
+  // O-89: SemDeDup-style cell-blocked semantic dedup — the embedding
+  // family's PRUNED-CORPUS deliverable (Abbas et al. 2023: cluster
+  // embeddings so the pairwise check is local, then prune near-identical
+  // members within each cluster). q36d/q36f emit near-dup PAIRS; this
+  // emits the per-vector keep/drop decision the pipeline actually ships,
+  // and its quadratic is bounded by the CELL, never the corpus.
+  //
+  // Deterministic greedy rule (order-fixed, non-recursive — both engines
+  // replay it exactly): vector v is DROPPED iff some vector u in the
+  // same coarse cell has u.vec_id < v.vec_id and quantized dot(u, v) >=
+  // the q36d near-dup threshold. "Keep the earliest of every in-cell
+  // similar group" — the SemDeDup keep-one-representative step with
+  // vec_id as the fixed priority (the paper keeps a random/centroid-
+  // ranked one; a stable id rank is the reproducible choice).
+  //
+  // Scale: assignment is the shared coarseAssign rule (at 100 TB it is
+  // the WRITE-TIME layout — q68's partition-by-cell store — and the
+  // cells come from q75-trained centroids, so cell size is capped by
+  // the quantizer, not corpus growth). The in-cell self-join reuses one
+  // exchange (same plan both sides, shuffle-hash), per-pair work is a
+  // single codegen LongArrayDot, and the dropped-id set — bounded by
+  // the duplicate count, a small fraction of any deduped corpus — is
+  // the broadcast side of the final flag join. Vectors shuffle once
+  // (the cell exchange); at the stored layout they never shuffle at
+  // all (cells are parquet partitions, the join is partition-local).
+  /** Generic cell-blocked semantic dedup over any (vec_id, label,
+    * embedding) table: (vec_id, label, cell_id, kept), kept = no
+    * earlier same-cell vector within the near-dup dot threshold. */
+  def semanticDedup(emb: DataFrame, minDot: Long = 400000000000L,
+      nCells: Int = 16): DataFrame = {
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val assigned = coarseAssign(quantized, centroids)
+    val dropped = assigned.as("a").hint("shuffle_hash")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(LongArrayDot(col("a.qe"), col("b.qe")) >= minDot)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(broadcast(dropped.withColumn("is_dup", lit(true))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        col("is_dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  def q81SemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedup(embeddings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
@@ -634,6 +685,7 @@ object Similarity {
     "q75_kmeans_update" -> (q75KmeansUpdate _),
     "q79_embedding_outliers" -> (q79EmbeddingOutliers _),
     "q80_knn_join" -> (q80KnnJoin _),
+    "q81_semantic_dedup" -> (q81SemanticDedup _),
   )
 
   private val dotSql =
@@ -931,5 +983,30 @@ object Similarity {
          |SELECT label, vec_id, neighbor_id, dist2, rnk FROM r
          |WHERE rnk <= $KnnK
          |ORDER BY vec_id, rnk""".stripMargin,
+    // same coarse-assignment CTEs as the IVF oracles, then the greedy
+    // drop rule as a LEFT JOIN against the in-cell earlier-id near-dups
+    "q81_semantic_dedup" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+         |  WHERE vec_id < 16),
+         |dots AS (
+         |  SELECT q.vec_id, q.label, q.qe, cent.cell_id,
+         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+         |  FROM q, cent),
+         |assigned AS (
+         |  SELECT vec_id, label, qe, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ${qdotSql("a.qe", "b.qe")} >= 400000000000)
+         |SELECT a.vec_id, a.label, a.cell_id, d.vec_id IS NULL AS kept
+         |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
   )
 }
