@@ -217,6 +217,48 @@ object Sampling {
   def q78ChunkOverlap(s: SparkSession, d: String): DataFrame =
     chunkOverlap(documents(s, d))
 
+  // O-90: dataset-card profile — the per-source datasheet row every
+  // shipped training mixture publishes (volume, char totals and spread,
+  // language diversity, modal language): the governance summary a
+  // mixture decision (q66) or quota (q60) is reviewed against.
+  // Deterministic modal language: row_number over (count DESC, lang) —
+  // a stable engine-exact tie-break, no mode()/arg_max divergence.
+  //
+  // Scale: the corpus pays ONE partial-aggregated shuffle, keyed
+  // (source, lang) — cardinality |sources| x |langs|, tiny at any
+  // corpus size; the window and final rollup run over that tiny table.
+  // Exact integer totals until the single rounded mean division (the
+  // engine-boundary convention documented in NOTES).
+  /** Generic per-source profile over any (doc_id, source, lang,
+    * n_chars) table. Rows with NULL source or lang are excluded (the
+    * card profiles attributable data; both engines apply the same
+    * contract). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("minc"), max(col("n_chars")).as("maxc"))
+    val top = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    perLang
+      .withColumn("rn", row_number().over(top))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        min(col("minc")).as("min_chars"),
+        max(col("maxc")).as("max_chars"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+        max(when(col("rn") === 1, col("n"))).as("top_lang_docs"))
+      .withColumn("avg_chars", round(col("total_chars") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  def q82DatasetCard(s: SparkSession, d: String): DataFrame =
+    datasetCard(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
@@ -224,6 +266,7 @@ object Sampling {
     "q64_sequence_pack" -> (q64SequencePack _),
     "q66_source_mix" -> (q66SourceMix _),
     "q78_chunk_overlap" -> (q78ChunkOverlap _),
+    "q82_dataset_card" -> (q82DatasetCard _),
   )
 
   private val bucketSql =
@@ -327,5 +370,31 @@ object Sampling {
          |  FROM base, UNNEST(generate_series(0, nchunks - 1)) AS t(s))
          |SELECT doc_id, chunk_idx, start_word, n_words, chunk_text
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same (source, lang) pre-aggregation, row_number modal tie-break,
+    // and exact-integer-until-one-rounded-division mean
+    "q82_dataset_card" ->
+      """WITH pl AS (
+        |  SELECT source, lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(min(n_chars) AS BIGINT) AS minc,
+        |    CAST(max(n_chars) AS BIGINT) AS maxc
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, lang) AS rn
+        |  FROM pl)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(min(minc) AS BIGINT) AS min_chars,
+        |  CAST(max(maxc) AS BIGINT) AS max_chars,
+        |  count(*) AS n_langs,
+        |  max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+        |  CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+        |    AS top_lang_docs,
+        |  round(CAST(sum(chars) AS DOUBLE) / sum(n), 4) AS avg_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
   )
 }
