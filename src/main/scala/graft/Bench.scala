@@ -61,8 +61,14 @@ object Bench {
     def canon(p: String): String =
       try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
     if (heavyWarmDir.nonEmpty && canon(heavyWarmDir) != canon(sfDir)) {
+      // q36e/q36g (shingle PPJoin/containment), q65/q65b/q71 (the rest
+      // of the shingle-digest family), q67/q74 (stored-layout probes)
+      // joined the list after round-7 driver numbers showed the
+      // cold-JIT signature (q36g 2.5x vs warm) on exactly the members
+      // missing from it (VERDICT r7 #4; q36e confirmed round 6:
+      // driver-cold 3.88 vs warm 2.15).
       val heavy = Seq("q35", "q36", "q37", "q38", "q41", "q42", "q43",
-        "q44", "q47", "q58", "q61")
+        "q44", "q47", "q58", "q61", "q65", "q67", "q71", "q74")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => heavy.exists(n.startsWith) }
         .foreach { case (_, fn) => warm(fn(spark, heavyWarmDir).count()) }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,42 +24,71 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to micros — exactly
-    * what DuckDB does on read (verified: its `CAST(ns AS TIMESTAMP)`
-    * floor-divides by 1000), so both engines see identical values.
+  /** events.ts arrives in whatever physical encoding the fixture writer
+    * chose — TIMESTAMP(NANOS) (reads as LongType under the legacy
+    * nanosAsLong flag, which is a no-op for other encodings),
+    * TIMESTAMP_MICROS without isAdjustedToUTC (reads as TIMESTAMP_NTZ),
+    * or an adjusted-to-UTC timestamp (reads as TimestampType). A 100 TB
+    * ingest sees files from many writers, so the reader branches on the
+    * footer's actual type instead of hard-wiring one encoding; every
+    * branch lands on session-TZ TimestampType (session TZ is UTC
+    * throughout, so NTZ → TZ is value-preserving). Nanos truncate to
+    * micros — exactly what DuckDB does on read (its
+    * `CAST(ns AS TIMESTAMP)` floor-divides by 1000), so both engines see
+    * identical values.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(rawEvents(s, d))
+
+  private def rawEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  /** Time-ranged events scan with PUSHDOWN: predicates on the converted
-    * `ts` column cannot reach the parquet scan (the conversion expression
-    * hides the raw column from Catalyst), so range filters are applied to
-    * the raw nano-epoch BEFORE conversion — `.explain` then shows
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) under the nanosAsLong flag
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already session-TZ TimestampType
+    }
+
+  /** Time-ranged events scan with PUSHDOWN: range filters are applied to
+    * the RAW `ts` column before any conversion, with a literal of the
+    * column's own type, so `.explain` shows
     * `PushedFilters: [GreaterThanOrEqual(ts,...), LessThan(ts,...)]` and
-    * row groups outside the range are skipped via footer stats. At 100 TB
-    * with ts-partitioned layout this is partition pruning, not a scan.
+    * row groups outside the range are skipped via footer stats. (A
+    * filter on the converted column would hide the raw column from the
+    * scan.) At 100 TB with ts-partitioned layout this is partition
+    * pruning, not a scan. Same footer-type branching as [[events]].
     */
   def eventsBetween(s: SparkSession, d: String,
       loIso: Option[String], hiIso: Option[String]): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def nanos(iso: String): Long = {
+    def ldt(iso: String): java.time.LocalDateTime = {
       val t = if (iso.length == 10) iso + "T00:00:00" else iso.replace(" ", "T")
       java.time.LocalDateTime.parse(t)
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
     }
-    val raw = table(s, d, "events")
+    val raw = rawEvents(s, d)
+    // a bound literal matching the raw column's type, so the comparison
+    // needs no cast and reaches the parquet scan as a pushed filter
+    val bound: String => Column = raw.schema("ts").dataType match {
+      case LongType => iso =>
+        lit(ldt(iso).toInstant(java.time.ZoneOffset.UTC)
+          .getEpochSecond * 1000000000L)
+      case TimestampNTZType => iso => lit(ldt(iso))
+      case _ => iso =>
+        lit(java.sql.Timestamp.from(
+          ldt(iso).toInstant(java.time.ZoneOffset.UTC)))
+    }
     val ranged = (loIso, hiIso) match {
       case (Some(lo), Some(hi)) =>
-        raw.filter(col("ts") >= nanos(lo) && col("ts") < nanos(hi))
-      case (Some(lo), None) => raw.filter(col("ts") >= nanos(lo))
-      case (None, Some(hi)) => raw.filter(col("ts") < nanos(hi))
+        raw.filter(col("ts") >= bound(lo) && col("ts") < bound(hi))
+      case (Some(lo), None) => raw.filter(col("ts") >= bound(lo))
+      case (None, Some(hi)) => raw.filter(col("ts") < bound(hi))
       case _ => raw
     }
-    ranged.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeTs(ranged)
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

@@ -73,6 +73,25 @@ object Ingest {
       regexp_extract(col("url"), hashPattern, 1).as("hash"),
       col("payload"), col("artifact_ts"))
 
+  /** GitHub pulls-JSON fields the reference consumes (rg.py:358-361:
+    * `data['title']`; the payload's own `number` keys the dimension). */
+  val pullSchema: StructType = StructType(Seq(
+    StructField("number", LongType), StructField("title", StringType)))
+
+  /** Adapter from fetched GitHub `pulls/{num}` payloads to the
+    * (pr_num, title) dimension [[prEvents]] broadcasts — the pulls-JSON
+    * twin of [[artifactsFromFetched]], closing the last live-HTTP
+    * symmetry gap (ref rg.py:356-362 via `github.repos[repo]
+    * .pulls[pr].get()`). Payloads without a `number` field (non-pull
+    * JSON, error bodies) are dropped — the reference's "No information
+    * found for #pr" skip (rg.py:361-362); non-2xx responses never get
+    * here (Fetcher drops them). */
+  def prDimFromFetched(fetched: DataFrame): DataFrame =
+    fetched
+      .select(from_json(col("payload"), pullSchema).as("p"))
+      .select(col("p.number").as("pr_num"), col("p.title").as("title"))
+      .filter(col("pr_num").isNotNull)
+
   /** Parse `git log --merges --format=%H%x1f%cd%x1f%s` lines
     * (ref rg.py:182-223): unit-separator split, `%Y-%m-%d %H:%M:%S %z`
     * timestamp, and the first digit-run as PR number. A subject with no

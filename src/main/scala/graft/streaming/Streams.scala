@@ -21,12 +21,16 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) -> LongType
-    * under the nanosAsLong reader flag; converted to micros below). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw parquet schema of events, read once from the fixture's own
+    * footer (a metadata-only read — no data pages touched) instead of
+    * hard-coding one physical encoding: the fixture has shipped both
+    * TIMESTAMP(NANOS) (LongType under the nanosAsLong flag) and
+    * TIMESTAMP_MICROS (TIMESTAMP_NTZ), and a wrong assumed schema here
+    * silently corrupts every event-time query downstream. */
+  private def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet").schema
+  }
 
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -52,13 +56,14 @@ object Streams {
     * queries emit one row per key per batch and need a trailing max-by
     * aggregation to stay oracle-equivalent. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(s, d)
     // the file source requires a directory: scan the sf dir but admit
     // only the events file
-    s.readStream.schema(eventsSchema)
+    val stream = s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // same footer-type-adaptive normalization as the batch reader
+    graft.ops.Tables.normalizeTs(stream)
   }
 
   /** State-store parallelism for the one-shot replay queries: every
@@ -174,8 +179,11 @@ object Streams {
       .drop("copy")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+    // max(ts) is in the output deliberately: a ts-insensitive oracle let
+    // a corrupted-timestamp reader pass this query unnoticed (VERDICT r7
+    // #3); a ts-derived column makes any event-time breakage hash-fail
     val agg = doubled.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_after_dedup"))
+      .agg(count(lit(1)).as("n_after_dedup"), max(col("ts")).as("last_ts"))
     runToMemory(s, agg, "complete", noDataBatch = false)
       .orderBy(col("event_type"))
   }
@@ -202,9 +210,12 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // last_ts: ts-derived so a corrupted-timestamp reader cannot pass
+    // this oracle (VERDICT r7 #3)
     s.read.parquet(dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+        max(col("ts")).as("last_ts"))
       .orderBy(col("event_type"))
   }
 
@@ -234,9 +245,11 @@ object Streams {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
-  /** Per-user running state for s07. */
-  case class UserState(n: Long, sumCents: Long)
-  case class UserSummary(user_id: Long, n_events: Long, sum_cents: Long)
+  /** Per-user running state for s07 (lastTsMicros keeps the output
+    * ts-sensitive — see the s03 note). */
+  case class UserState(n: Long, sumCents: Long, lastTsMicros: Long)
+  case class UserSummary(user_id: Long, n_events: Long, sum_cents: Long,
+    last_ts_micros: Long)
 
   // O-51/custom state: flatMapGroupsWithState — arbitrary per-key state
   // beyond what windows express (the KeyValueGroupedDataset escape
@@ -246,23 +259,28 @@ object Streams {
     import s.implicits._
     val typed = eventsStream(s, d)
       .select(col("user_id"), round(col("value") * 100, 0).cast("long")
-        .as("cents"))
-      .as[(Long, Long)]
+        .as("cents"), unix_micros(col("ts")).as("ts_micros"))
+      .as[(Long, Long, Long)]
     val out = typed.groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long)],
+        (user: Long, rows: Iterator[(Long, Long, Long)],
             state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
           var n = prev.n
           var sum = prev.sumCents
-          rows.foreach { case (_, c) => n += 1; sum += c }
-          state.update(UserState(n, sum))
-          Iterator.single(UserSummary(user, n, sum))
+          var lastTs = prev.lastTsMicros
+          rows.foreach { case (_, c, t) =>
+            n += 1; sum += c; if (t > lastTs) lastTs = t
+          }
+          state.update(UserState(n, sum, lastTs))
+          Iterator.single(UserSummary(user, n, sum, lastTs))
       }
     // append mode, but emission happens in the data batch itself
     // (NoTimeout state never fires on a no-data batch) -> skip it
     runToMemory(s, out.toDF(), "append", noDataBatch = false)
+      .select(col("user_id"), col("n_events"), col("sum_cents"),
+        timestamp_micros(col("last_ts_micros")).as("last_ts"))
       .orderBy(col("user_id"))
   }
 
@@ -668,15 +686,17 @@ object Streams {
         |WHERE bucket_start + INTERVAL 6 HOUR <=
         |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         |ORDER BY bucket_start, event_type""".stripMargin,
-    // explode-doubled rows deduped by event_id == the original counts
+    // explode-doubled rows deduped by event_id == the original counts;
+    // max(ts) makes the oracle ts-sensitive (VERDICT r7 #3)
     "s03_stream_dedup" ->
-      """SELECT event_type, count(*) AS n_after_dedup
+      """SELECT event_type, count(*) AS n_after_dedup, max(ts) AS last_ts
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // foreachBatch parquet sink read back == plain aggregation
     "s04_foreachbatch" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
+        |    AS sum_cents,
+        |  max(ts) AS last_ts
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // 30-min-gap sessions whose end (last event + gap) the watermark
     // closed; open sessions are withheld by append mode
@@ -718,7 +738,8 @@ object Streams {
     "s07_stateful_counter" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
+        |    AS sum_cents,
+        |  max(ts) AS last_ts
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     // one data batch => one high-water summary per event_type; the
     // lexicographic (ts, event_id) max is the rn=1 row of the desc rank

@@ -70,7 +70,8 @@ class BatchStreamParitySpec extends SparkSpec {
     val batch = ops.Tables.events(spark, sf)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+        max(col("ts")).as("last_ts"))
       .orderBy(col("user_id"))
       .collect().map(_.toSeq).toSeq
     val stream = Streams.s07StatefulCounter(spark, sf)

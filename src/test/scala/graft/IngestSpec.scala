@@ -111,6 +111,47 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("pulls-JSON golden path: localhost HTTP -> prDimFromFetched") {
+    import graft.sources.Fetcher
+    import spark.implicits._
+    // the GitHub `pulls/{num}` twin of the sizes.json loopback test
+    // (rg.py:356-362): same client, same fromFetched batching, with the
+    // pulls payload carrying its own `number` key
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val num = path.split("/").last
+      if (path.contains("/pulls/") && num.forall(_.isDigit)) {
+        val body =
+          s"""{"number":$num,"title":"title-$num","state":"closed"}"""
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // two live PRs and one 404 probe (skipped by the fetcher)
+      val fetched = Fetcher.fetchAll(Iterator(
+        s"$base/repos/RIOT-OS/RIOT/pulls/7",
+        s"$base/repos/RIOT-OS/RIOT/pulls/102",
+        s"$base/repos/RIOT-OS/RIOT/pulls/nope"))
+      val prDim = Ingest.prDimFromFetched(Ingest.fromFetched(spark, fetched))
+      val rows = prDim.as[(Long, String)].collect().toSeq.sorted
+      assert(rows === Seq((7L, "title-7"), (102L, "title-102")))
+      // the fetched dimension drives prEvents exactly like a literal one
+      val us = ""
+      val commits = Ingest.parseCommitLog(Seq(
+        s"aaa111f${us}2026-08-01 10:00:00 +0000${us}Merge #7 x").toDF("value"))
+      val ev = Ingest.prEvents(commits, prDim)
+      assert(ev.select("description").as[String].collect().toSeq ===
+        Seq("title-7"))
+    } finally server.stop(0)
+  }
+
   test("fromFetched batches without losing order-independent content") {
     import graft.sources.Fetcher
     val ts = new Timestamp(1000L)
