@@ -120,6 +120,36 @@ object Similarity {
       .drop("cdot", "rn", "ce")
   }
 
+  /** Lloyd-TRAINED coarse centroids (VERDICT r6/r7 carried task): one
+    * deterministic k-means round over the first-k seed cells — assign
+    * every vector to its nearest seed (the shared [[coarseAssign]]
+    * rule), then emit each surviving cell's floor-divided integer mean
+    * (the q79 convention, exact in both engines). This is exactly
+    * q75's kmeansUpdate with its sum/n division applied, so the
+    * trained table IS one round of the declared trainer; cells that
+    * capture no member vanish (their seed was dominated everywhere) —
+    * deterministic on both engines. q81/q74 assign against THIS table
+    * instead of the raw `vec_id < k` seeds, so a skewed corpus gets
+    * data-shaped cells (balance asserted on a planted-skew fixture in
+    * TierCSpec) — at 100 TB cell size caps the in-cell quadratic
+    * (q81) and the per-probe scan fraction (q74), so a seed that
+    * happens to dominate the dot ordering no longer collapses the
+    * layout. Cost: one extra broadcast-assign scan at write/train
+    * time; probes are unchanged. */
+  private[graft] def trainedCentroids(quantized: DataFrame,
+      k: Int = 16): DataFrame = {
+    val centroidAgg = udaf(graft.functions.CentroidAgg)
+    val seeds = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    coarseAssign(quantized.select(col("vec_id"), col("qe")), seeds)
+      .groupBy(col("cell_id"))
+      .agg(centroidAgg(col("qe")).as("sums"), count(lit(1)).as("n"))
+      .select(col("cell_id"),
+        transform(col("sums"), s =>
+          ((s - ((s % col("n") + col("n")) % col("n"))) / col("n"))
+            .cast("long")).as("ce"))
+  }
+
   // O-60 IVF variant: inverted-file ANN. Coarse quantizer = the first 16
   // vectors as deterministic centroids (a k-means seed set); every vector
   // is assigned to its nearest centroid (one scan), and a probe searches
@@ -436,8 +466,8 @@ object Similarity {
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
-    val centroids = quantized.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    // q75-trained cells, not raw seeds (see trainedCentroids scaladoc)
+    val centroids = trainedCentroids(quantized, 16)
     val assigned = coarseAssign(quantized, centroids)
       .select(col("vec_id"), col("label"), col("cell_id"))
     val codes = pqPacked(emb, m, k, dim)
@@ -652,9 +682,7 @@ object Similarity {
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
-    val centroids = quantized.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
-    val assigned = coarseAssign(quantized, centroids)
+    val assigned = coarseAssign(quantized, trainedCentroids(quantized, nCells))
     val dropped = assigned.as("a").hint("shuffle_hash")
       .join(assigned.as("b").hint("shuffle_hash"),
         col("a.cell_id") === col("b.cell_id") &&
@@ -712,6 +740,35 @@ object Similarity {
   private def qdotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] FOR i IN generate_series(1, len($a))])" +
       " AS BIGINT)"
+
+  /** CTE block replaying [[trainedCentroids]]: seed-assign round (argmax
+    * dot, ties to lower cell) then per-cell floor-divided integer means
+    * (the q79 division convention) — emitted as a `cent(cell_id, ce)`
+    * CTE over an existing `q(vec_id, qe)` CTE. Shared by the q81 and
+    * q74 oracles so the trained-assignment semantics are stated once. */
+  private val trainedCentSql =
+    s"""cent0 AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+       |  WHERE vec_id < 16),
+       |dots0 AS (
+       |  SELECT q.vec_id, q.qe, cent0.cell_id,
+       |    ${qdotSql("q.qe", "cent0.ce")} AS cdot
+       |  FROM q, cent0),
+       |a0 AS (
+       |  SELECT vec_id, qe, cell_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+       |    FROM dots0) WHERE rn = 1),
+       |ex0 AS (
+       |  SELECT cell_id, CAST(i AS INT) AS d, qe[i] AS v
+       |  FROM a0, UNNEST(generate_series(1, len(qe))) AS t(i)),
+       |cs0 AS (
+       |  SELECT cell_id, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+       |  FROM ex0 GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell_id,
+       |    list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY d)
+       |      AS ce
+       |  FROM cs0 GROUP BY cell_id)""".stripMargin
 
   /** IVF result in SQL (coarse assignment by max centroid dot, probe =
     * the 4 cells nearest the query, exact re-rank inside them) — the
@@ -802,8 +859,7 @@ object Similarity {
       s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
          |  WHERE vec_id IS NOT NULL),
-         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
-         |  WHERE vec_id < 16),
+         |$trainedCentSql,
          |dots AS (
          |  SELECT q.vec_id, cent.cell_id,
          |    ${qdotSql("q.qe", "cent.ce")} AS cdot
@@ -989,8 +1045,7 @@ object Similarity {
       s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
          |  WHERE vec_id IS NOT NULL),
-         |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
-         |  WHERE vec_id < 16),
+         |$trainedCentSql,
          |dots AS (
          |  SELECT q.vec_id, q.label, q.qe, cent.cell_id,
          |    ${qdotSql("q.qe", "cent.ce")} AS cdot

@@ -2,7 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: A/B q61 under conf variants (AQE, shuffle partitions). */
+/** Dev-only: A/B q61 jump-loop vs star-contraction CC (round 8), after
+  * the earlier conf sweeps (AQE, shuffle width) bottomed out at the
+  * jump loop's 5-round scheduler floor. */
 object AbQ61 {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
@@ -10,23 +12,22 @@ object AbQ61 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def run(tag: String): Unit = {
+    def run(tag: String): Double = {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries("q61_dedup_clusters")(spark, d).count()
-      println(f"[ab] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[ab] $tag rows=$n sec=$sec%.3f")
+      sec
     }
-    run("warmup1")
-    run("warmup2")
-    run("base-aqe-32")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    run("aqe-sp8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    run("noaqe-sp8")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    run("noaqe-sp32")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    run("base-aqe-32-again")
+    def algo(a: String): Unit = spark.conf.set("spark.graft.cc.algo", a)
+    // warm both code paths' codegen/JIT before any measured run
+    algo("jump"); run("warmup-jump")
+    algo("star"); run("warmup-star")
+    val reps = 3
+    val jump = (1 to reps).map { i => algo("jump"); run(s"jump-$i") }.min
+    val star = (1 to reps).map { i => algo("star"); run(s"star-$i") }.min
+    val jump2 = (1 to reps).map { i => algo("jump"); run(s"jump2-$i") }.min
+    println(f"[ab] MIN jump=${math.min(jump, jump2)}%.3f star=$star%.3f")
     spark.stop()
   }
 }

@@ -74,4 +74,37 @@ class DedupSkewSpec extends SparkSpec {
         s"salt did not spread the hot key: salted max $saltMax vs $hotMax")
     } finally spark.conf.unset(coalesceKey)
   }
+
+  test("segmentDedup shuffle fallback agrees with forced broadcast on " +
+      "a heavy-dup corpus") {
+    import spark.implicits._
+    // planted HEAVY duplication — the regime the broadcast assumption
+    // breaks in: 200 docs of 3 segments each, middle segment shared by
+    // ALL docs, first segment shared pairwise, last unique. The dup set
+    // here is a large fraction of the segment vocabulary.
+    val words = (tag: String, i: Int) =>
+      (0 until 8).map(k => s"$tag${i}w$k").mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val shared = (0 until 8).map(k => s"sharedw$k").mkString(" ")
+      (i.toLong, s"${words("p", i / 2)} $shared ${words("u", i)}")
+    }.toDF("doc_id", "text")
+    val joinKey = "spark.graft.segdedup.dupJoin"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    def run(mode: String, threshold: Option[String]) = {
+      val prev = spark.conf.get(bcastKey)
+      spark.conf.set(joinKey, mode)
+      threshold.foreach(spark.conf.set(bcastKey, _))
+      try Dedup.segmentDedup(docs).collect().map(_.toSeq).toSeq
+      finally { spark.conf.unset(joinKey); spark.conf.set(bcastKey, prev) }
+    }
+    val broadcastPath = run("broadcast", None)
+    // threshold -1 disables broadcast entirely: auto mode MUST take the
+    // shuffle-join fallback and still produce identical output
+    val shufflePath = run("auto", Some("-1"))
+    assert(shufflePath === broadcastPath)
+    // sanity on the semantics: every doc kept only its unique tail
+    // (first+middle segments are all duplicated across docs)
+    assert(broadcastPath.size === 200)
+    assert(broadcastPath.forall(r => r(2).asInstanceOf[Long] === 1L))
+  }
 }

@@ -215,6 +215,41 @@ class GenericApiSpec extends SparkSpec {
     assert(ops.Dedup.connectedComponents(empty).count() === 0)
   }
 
+  test("star-contraction CC agrees with the jump loop on planted graphs") {
+    import spark.implicits._
+    def both(pairs: org.apache.spark.sql.DataFrame) = {
+      def run(algo: String) =
+        try {
+          spark.conf.set("spark.graft.cc.algo", algo)
+          ops.Dedup.connectedComponents(pairs).collect().map(_.toSeq)
+        } finally spark.conf.unset("spark.graft.cc.algo")
+      val jump = run("jump")
+      val star = run("star")
+      assert(star.toSeq === jump.toSeq)
+      star
+    }
+    // deep path (25 hops — well past one contraction round), a binary
+    // tree, a clique, two singleton pairs, and reversed/duplicate edges
+    val deepPath = (1L to 25L).map(i => (i + 1, i))
+    val tree = (2L to 15L).map(i => (i + 100L, i / 2 + 100L))
+    val clique = for (a <- 200L to 205L; b <- (a + 1) to 205L) yield (a, b)
+    val pairs = (deepPath ++ tree ++ clique ++
+      Seq((300L, 301L), (301L, 300L), (400L, 401L)))
+      .toDF("doc_a", "doc_b")
+    val out = both(pairs)
+    val labels = out.map(r => r(0).asInstanceOf[Long] ->
+      r(1).asInstanceOf[Long]).toMap
+    assert((1L to 26L).forall(labels(_) == 1L))
+    assert((101L to 115L).forall(labels(_) == 101L))
+    assert((200L to 205L).forall(labels(_) == 200L))
+    assert(labels(301L) == 300L && labels(401L) == 400L)
+    // empty input converges to empty under star too
+    both(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    // the real near-dup graph: full-output agreement on sf0.001 SimHash
+    both(ops.Dedup.simhashPairsUnordered(
+      ops.Tables.documents(spark, sf)))
+  }
+
   test("qualityFilter flags short and repetitive docs") {
     import spark.implicits._
     val qdocs = Seq(

@@ -177,4 +177,48 @@ class TierCSpec extends SparkSpec {
     assert(exact.isEmpty || caught.size * 2 >= exact.size,
       s"simhash missed too many: caught ${caught.size} of ${exact.size}")
   }
+
+  test("trained centroids balance cells on a planted skewed fixture") {
+    import spark.implicits._
+    // Planted pathology for RAW-seed assignment under argmax dot: seed 0
+    // has 2x the norm of every other seed and every corpus vector leans
+    // slightly into seed 0's dimension, so dot(v, seed0) dominates and
+    // the whole corpus lands in cell 0 — the layout collapse the
+    // carried VERDICT caveat warned about. One Lloyd round pulls cell
+    // 0's centroid to the corpus mean (diluted across cluster dims)
+    // while dominated seeds keep their own cells, so the re-assignment
+    // spreads clusters back out.
+    val dim = 64
+    def vec(entries: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](dim)
+      entries.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val seeds = (0 until 16).map { j =>
+      if (j == 0) (0L, 0, vec(0 -> 2.0f))
+      else (j.toLong, 0, vec(j -> 1.0f))
+    }
+    val corpus = (16 until 216).map { i =>
+      val c = 1 + i % 15 // cluster dims 1..15
+      (i.toLong, c, vec(0 -> 0.6f, c -> 1.0f))
+    }
+    val emb = (seeds ++ corpus).toDF("vec_id", "label", "embedding")
+    val quantized = emb
+      .select(col("vec_id"), graft.functions.VectorFunctions.quantize(col("embedding")).as("qe"))
+    def maxCell(centroids: org.apache.spark.sql.DataFrame): Long =
+      Similarity.coarseAssign(quantized, centroids)
+        .groupBy(col("cell_id")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val rawSeeds = quantized.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val seedMax = maxCell(rawSeeds)
+    val trainedMax = maxCell(Similarity.trainedCentroids(quantized))
+    val total = 216L
+    assert(seedMax >= total - 16,
+      s"fixture not skewed enough under raw seeds: max cell $seedMax")
+    assert(trainedMax <= total / 4,
+      s"trained centroids did not balance: max cell $trainedMax")
+    // and the full operator keeps every vector exactly once either way
+    assert(Similarity.semanticDedup(emb).count() === total)
+  }
 }
