@@ -104,20 +104,43 @@ object Similarity {
 
   /** THE coarse-quantizer assignment rule, stated once: nearest centroid
     * by argmax quantized dot, ties to the lower cell_id. Input is any
-    * (vec_id, ..., qe) table plus a (cell_id, ce) centroid table (tiny —
-    * broadcast); output keeps every input column and appends cell_id.
-    * Shared by the in-query IVF (q37c), both stored layouts (q68/q74),
-    * the k-means trainer round (q75), and semantic dedup (q81) — one
-    * definition, one oracle CTE shape. */
+    * (vec_id, ..., qe) table plus a (cell_id, ce) centroid table;
+    * output keeps every input column and appends cell_id. Shared by the
+    * in-query IVF (q37c), both stored layouts (q68/q74), the k-means
+    * trainer round (q75), and semantic dedup (q81) — one definition,
+    * one oracle CTE shape.
+    *
+    * ROW-LOCAL (round 8; previously crossJoin + per-vec_id window):
+    * the quantizer's arity k is a bounded model parameter (16 here,
+    * hundreds–thousands at 100 TB — never corpus-scaled), so the
+    * centroid table is a driver point-read (the documented nprobe-ids
+    * pattern) folded into a codegen argmax chain over k LongArrayDot
+    * literals. The old window rank was a FULL-CORPUS SHUFFLE per
+    * assignment pass — at 100 TB the dominant cost of every write-time
+    * layout; now assignment is a pure map over the scan and the corpus
+    * never shuffles for it. Strict `>` in the fold keeps the earliest
+    * (lowest) cell_id on ties — byte-identical to the window's
+    * (cdot DESC, cell_id) rank, so no oracle changes. */
   private[graft] def coarseAssign(quantized: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell_id"))
-    quantized.crossJoin(broadcast(centroids))
-      .withColumn("cdot", LongArrayDot(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("cdot", "rn", "ce")
+    val cents = centroids.select(col("cell_id"), col("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    if (cents.isEmpty)
+      return quantized.limit(0).withColumn("cell_id", lit(0L))
+    // one dot per centroid, materialized ONCE into an array column; the
+    // argmax is array_position-of-max, whose first-occurrence semantics
+    // on the cell_id-sorted array IS the lowest-id tie-break. (A naive
+    // when()-chain fold duplicates the running best subtree per level —
+    // 2^k codegen blowup; the array form keeps each dot single-sited.)
+    val dotArr = array(cents.map { case (_, ce) =>
+      LongArrayDot(col("qe"), array(ce.map(lit(_)): _*)).cast("long")
+    }: _*)
+    val idArr = array(cents.map(c => lit(c._1)): _*)
+    quantized.withColumn("cell_id",
+      element_at(idArr, array_position(dotArr, array_max(dotArr))
+        .cast("int")))
   }
 
   /** Lloyd-TRAINED coarse centroids (VERDICT r6/r7 carried task): one
