@@ -39,8 +39,13 @@ class FixtureContractSpec extends SparkSpec {
     test(s"all tables load with expected columns [$d]") {
       for ((name, cols) <- expectedCols) {
         val df =
-          try graft.ops.Tables.table(spark, d, name)
-          catch {
+          try {
+            // events goes through the ENGINE reader (the type-adaptive
+            // path is the load contract under test); a raw read would
+            // reject encodings the engine handles (e.g. nanos)
+            if (name == "events") graft.ops.Tables.events(spark, d)
+            else graft.ops.Tables.table(spark, d, name)
+          } catch {
             case e: Exception =>
               fail(s"$d/$name.parquet failed to open: ${e.getMessage}")
           }
@@ -50,6 +55,19 @@ class FixtureContractSpec extends SparkSpec {
           s"$d/$name.parquet missing $missing; observed schema: " +
             df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
               .mkString(", "))
+        // touch actual data pages, not just the footer — a decode-level
+        // break (illegal physical type, bad dictionary) only throws on
+        // materialization, and at the smallest sf that's cheap
+        if (d.endsWith("sf0.001")) {
+          val n =
+            try df.count()
+            catch {
+              case e: Exception =>
+                fail(s"$d/$name.parquet opened but failed to DECODE " +
+                  s"(schema ${df.schema.simpleString}): ${e.getMessage}")
+            }
+          assert(n > 0, s"$d/$name.parquet decoded but is empty")
+        }
       }
     }
 
