@@ -1099,23 +1099,51 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .observe("ccs_edges", count(lit(1)).as("n"))
-    var edges = timed("edges")(materialize(edges0))
-    val edgeCount = {
-      val row = edges0.queryExecution.observedMetrics("ccs_edges")
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
+    // FUSED-FIRST-ROUND knob, MEASURED NEGATIVE (default off;
+    // spark.graft.cc.star.fuse=on for A/B): since the star loop consumes
+    // each round's OUTPUT as the next round's input, the canonical edge
+    // list is only ever read by round 1 — so fusing round 1 onto the
+    // unmaterialized edge plan looked like a free saved scheduler round.
+    // It isn't: the fused round-1 job measured 1.37-2.32s vs
+    // 0.79-1.07s (edges) + 0.31-0.72s (round 1) split, interleaved
+    // same-session blocks (AbQ61; fused min 2.35 vs split min 2.14
+    // end-to-end) — one big 32-wide job with the pair pipeline, both
+    // star steps, and two distinct exchanges replans and schedules
+    // worse than two lean jobs whose loop half runs at the narrowed
+    // width. Same lesson as the jump loop's GRAFT_CC_STEPS chaining.
+    // The knob stays for graphs big enough that a scheduler round is
+    // noise; the split prologue is the default.
+    val fuse =
+      ss.conf.getOption("spark.graft.cc.star.fuse").contains("on")
     // same loop-scoped shuffle-width policy as the jump loop (KB-sized
-    // tables want narrow rounds; 100 TB pair graphs keep session width)
+    // tables want narrow rounds; 100 TB pair graphs keep session width).
+    // Unlike the jump loop there is NO narrowed re-checkpoint of the
+    // edge table: only round 1 ever reads it (each later round reads its
+    // predecessor's output, already produced at the narrowed width), so
+    // re-materializing it bought one round's input width for a whole
+    // extra job — dropped, worth ~0.1-0.3s of the measured q61 gain.
+    // Fused mode learns the width from round 1's own observed output
+    // count instead of a separate edges job.
     val sessionSp = ss.conf.get("spark.sql.shuffle.partitions")
-    val loopSp = math.min(
-      scala.util.Try(sessionSp.toLong).getOrElse(Long.MaxValue),
-      math.max(8L, edgeCount / 4000000L + 1L)).toString
-    if (loopSp != sessionSp) {
-      edges = timed("edges-narrow")(materialize(
-        edges.repartition(loopSp.toInt, col("src"))))
-      ss.conf.set("spark.sql.shuffle.partitions", loopSp)
+    var widthNarrowed = false
+    def narrowConf(n: Long): Unit = {
+      val sp = math.min(
+        scala.util.Try(sessionSp.toLong).getOrElse(Long.MaxValue),
+        math.max(8L, n / 4000000L + 1L)).toString
+      if (sp != sessionSp) {
+        ss.conf.set("spark.sql.shuffle.partitions", sp)
+        widthNarrowed = true
+      }
     }
+    var edges: DataFrame =
+      if (fuse) null // round 1 reads the raw canonical plan
+      else {
+        val observed = edges0.observe("ccs_edges", count(lit(1)).as("n"))
+        val e = timed("edges")(materialize(observed))
+        val row = observed.queryExecution.observedMetrics("ccs_edges")
+        narrowConf(if (row.isNullAt(0)) 0L else row.getLong(0))
+        e
+      }
     try {
       def metricExprs = Seq(
         count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -1129,11 +1157,12 @@ object Dedup {
       var converged = false
       while (!converged) {
         val t0 = System.nanoTime()
+        val base = if (edges == null) edges0 else edges
         // LARGE-STAR: symmetrize; per node u, m = min(N(u) ∪ {u});
         // emit (v, m) for every neighbor v > u. Keeps src > dst
         // (m <= u < v) and strictly shrinks long chains' depth.
-        val sym = edges.select(col("src"), col("dst"))
-          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val sym = base.select(col("src"), col("dst"))
+          .union(base.select(col("dst").as("src"), col("src").as("dst")))
         val lsMin = sym.groupBy(col("src"))
           .agg(least(col("src"), min(col("dst"))).as("m"))
         val ls = sym.join(lsMin, "src")
@@ -1153,6 +1182,7 @@ object Dedup {
         val next = materialize(ssOut)
         val row = ssOut.queryExecution.observedMetrics(s"ccs_$round")
         val cur = (dec(row, 0), dec(row, 1), dec(row, 2))
+        if (round == 0 && fuse) narrowConf(cur._1.longValue())
         converged = cur == prev
         prev = cur
         edges = next
@@ -1165,7 +1195,7 @@ object Dedup {
       edges.select(col("src").as("id"), col("dst").as("label"))
         .union(edges.select(col("dst").as("id"), col("dst").as("label"))
           .distinct())
-    } finally if (loopSp != sessionSp)
+    } finally if (widthNarrowed)
       ss.conf.set("spark.sql.shuffle.partitions", sessionSp)
   }
 

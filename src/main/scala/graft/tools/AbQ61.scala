@@ -20,14 +20,21 @@ object AbQ61 {
       sec
     }
     def algo(a: String): Unit = spark.conf.set("spark.graft.cc.algo", a)
-    // warm both code paths' codegen/JIT before any measured run
+    def fuse(on: Boolean): Unit =
+      spark.conf.set("spark.graft.cc.star.fuse", if (on) "on" else "off")
+    // warm all code paths' codegen/JIT before any measured run
     algo("jump"); run("warmup-jump")
-    algo("star"); run("warmup-star")
+    algo("star"); fuse(false); run("warmup-star")
+    fuse(true); run("warmup-star-fused")
     val reps = 3
-    val jump = (1 to reps).map { i => algo("jump"); run(s"jump-$i") }.min
-    val star = (1 to reps).map { i => algo("star"); run(s"star-$i") }.min
-    val jump2 = (1 to reps).map { i => algo("jump"); run(s"jump2-$i") }.min
-    println(f"[ab] MIN jump=${math.min(jump, jump2)}%.3f star=$star%.3f")
+    def block(tag: String)(prep: => Unit): Double =
+      (1 to reps).map { i => prep; run(s"$tag-$i") }.min
+    val nofuse1 = block("star-nofuse") { algo("star"); fuse(false) }
+    val fused1 = block("star-fused") { algo("star"); fuse(true) }
+    val nofuse2 = block("star-nofuse2") { algo("star"); fuse(false) }
+    val fused2 = block("star-fused2") { algo("star"); fuse(true) }
+    println(f"[ab] MIN star-nofuse=${math.min(nofuse1, nofuse2)}%.3f " +
+      f"star-fused=${math.min(fused1, fused2)}%.3f")
     spark.stop()
   }
 }

@@ -226,6 +226,13 @@ class GenericApiSpec extends SparkSpec {
       val jump = run("jump")
       val star = run("star")
       assert(star.toSeq === jump.toSeq)
+      // the measured-negative fused-first-round knob must stay CORRECT
+      // even though it is off by default
+      spark.conf.set("spark.graft.cc.star.fuse", "on")
+      val fused =
+        try run("star")
+        finally spark.conf.unset("spark.graft.cc.star.fuse")
+      assert(fused.toSeq === jump.toSeq)
       star
     }
     // deep path (25 hops — well past one contraction round), a binary
