@@ -879,9 +879,16 @@ object Dedup {
     //                    kept as the measured-baseline opt-out.
     if (ss.conf.getOption("spark.graft.cc.algo").getOrElse("star") == "star")
       return ccFinish(starContractionLabels(pairs, materialize, debug))
-    val edgesPlan = pairs
+    // doc_a != doc_b: a self-pair carries no connectivity, and dropping
+    // it here makes the node-domain contract identical across both
+    // algorithms (the star path's canonical orientation filters
+    // self-loops structurally) — nodes enter the graph only via a pair
+    // of DISTINCT docs (asserted per-algorithm on random graphs with
+    // planted self-loops in PropertiesSpec)
+    val realPairs = pairs.filter(col("doc_a") =!= col("doc_b"))
+    val edgesPlan = realPairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(realPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
       .observe("cc_edge_count", count(lit(1)).as("n"))
     var edges = timed("edges")(materialize(edgesPlan))

@@ -341,4 +341,54 @@ class PropertiesSpec extends SparkSpec {
       assert(out.toSeq === expect)
     }
   }
+
+  test("connected components match reference union-find on random graphs") {
+    import spark.implicits._
+    // The star loop's fixpoint certificate — (count, Σsrc, Σdst)
+    // unchanged across one LS+SS application — rests on a monotonicity
+    // argument, not a mechanized proof; random graphs (dense, sparse,
+    // self-loops, duplicate and reversed edges, long id gaps) hunt for a
+    // premature-convergence counterexample against a driver-side
+    // union-find reference. Both algorithms are checked on every sample.
+    val edgesGen = for {
+      n <- Gen.chooseNum(0, 60) // edge count (0 = empty-graph case)
+      ids <- Gen.listOfN(2 * n, Gen.oneOf(
+        Gen.chooseNum(0L, 12L), // dense small-id core -> big components
+        Gen.chooseNum(0L, 5000L))) // sparse far ids -> singletons/pairs
+    } yield ids.grouped(2).map(p => (p.head, p(1))).toList
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // min-root union => the representative IS the component min
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    forAll(edgesGen) { edges =>
+      // contract: self-pairs carry no connectivity and register no node
+      val expected = unionFind(edges.filter(e => e._1 != e._2))
+      val pairs = edges.toDF("doc_a", "doc_b")
+      for (algo <- Seq("jump", "star")) {
+        spark.conf.set("spark.graft.cc.algo", algo)
+        val got =
+          try ops.Dedup.connectedComponents(pairs)
+            .select("doc_id", "cluster_id")
+            .as[(Long, Long)].collect().toMap
+          finally spark.conf.unset("spark.graft.cc.algo")
+        assert(got === expected,
+          s"[$algo] mismatch on ${edges.size} edges: " +
+            s"got ${got.toSeq.sorted.take(20)} " +
+            s"expected ${expected.toSeq.sorted.take(20)}")
+      }
+    }
+  }
 }
