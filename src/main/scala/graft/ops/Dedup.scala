@@ -107,6 +107,64 @@ object Dedup {
   def q35DedupExact(s: SparkSession, d: String): DataFrame =
     exactDedup(documents(s, d))
 
+  // O-91: incremental corpus-merge dedup — the daily-ingest primitive:
+  // a corpus's exact-dedup INDEX is written once (and appended per
+  // merge), and each arriving batch admits only documents whose content
+  // hash is absent from the index and not already admitted for a lower
+  // doc_id within the same batch. q35 dedups a corpus in place; this is
+  // the O(new data) steady-state version a 100 TB ingest actually runs
+  // — the batch never rescans the corpus, only its hash index.
+  /** Write/append the exact-dedup index: DISTINCT sha256 content hashes
+    * in 64 hash-range partitions. At 100 TB the index is ~32 bytes per
+    * unique document — orders smaller than the corpus — and the bucket
+    * layout lets a merge read only the partitions its batch hashes
+    * into. */
+  def dedupIndexWrite(docs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    docs.filter(col("doc_id").isNotNull)
+      .select(sha2(col("text").cast("binary"), 256).as("content_hash"))
+      .distinct()
+      .withColumn("bucket",
+        pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(store)
+
+  /** Admit the batch's new documents: keep-first within the batch (the
+    * q35 rule), then LEFT ANTI against the stored index on
+    * (bucket, content_hash) — bucket equality prunes the index read to
+    * the batch's partitions, and the anti join's right side is the
+    * 32-byte-row index, never corpus text. */
+  def corpusMerge(s: SparkSession, store: String,
+      newDocs: DataFrame): DataFrame = {
+    val hashed = newDocs.filter(col("doc_id").isNotNull)
+      .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("bucket",
+        pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))
+    hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(s.read.parquet(store), Seq("bucket", "content_hash"),
+        "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared write-then-merge binding (the q67/q74 pattern): docs
+    * 0-249 are the standing corpus (index written to run-scoped
+    * scratch); the arriving batch is docs 250+ plus re-identified
+    * copies of docs 0-49 (planted exact duplicates the merge must
+    * reject). */
+  def q83CorpusMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_dedup_index_q83")
+    dedupIndexWrite(docs.filter(col("doc_id") < 250), store)
+    val newBatch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    corpusMerge(s, store, newBatch)
+  }
+
   /** Shingle rows keyed by 64-bit hash: (doc_id, h). Shuffling/joining
     * 8-byte longs instead of ~25-char strings cuts exchange and compare
     * cost ~3x; intersection counts are identical to the string
@@ -1329,6 +1387,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
+    "q83_corpus_merge" -> (q83CorpusMerge _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -1544,6 +1603,31 @@ object Dedup {
         |  FROM keyed)
         |SELECT doc_id, lang, source, n_chars, content_hash, n_dups
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // corpus = docs 0-249; batch = docs 250+ plus re-identified copies
+    // of docs 0-49 (planted dups); NOT EXISTS = Spark's left_anti
+    // NULL-key semantics
+    "q83_corpus_merge" ->
+      """WITH corpus AS (
+        |  SELECT sha256(text) AS content_hash FROM documents
+        |  WHERE doc_id < 250),
+        |newb AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    sha256(text) AS content_hash
+        |  FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, lang, source, n_chars,
+        |    sha256(text) AS content_hash
+        |  FROM documents WHERE doc_id < 50),
+        |batch_first AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |    FROM newb) WHERE rn = 1)
+        |SELECT doc_id, lang, source, n_chars, content_hash
+        |FROM batch_first f
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |  WHERE c.content_hash = f.content_hash)
+        |ORDER BY doc_id""".stripMargin,
     "q36_near_dup" ->
       s"""WITH $shinglesSql,
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),

@@ -215,6 +215,29 @@ class GenericApiSpec extends SparkSpec {
     assert(ops.Dedup.connectedComponents(empty).count() === 0)
   }
 
+  test("corpusMerge admits only new content across appended merges") {
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val store = java.nio.file.Files
+      .createTempDirectory("dedup_idx_").toString
+    ops.Dedup.dedupIndexWrite(docsOf(1L -> "alpha", 2L -> "beta"), store)
+    // batch 1: one corpus dup, one batch-internal dup pair, one new doc
+    val admitted1 = ops.Dedup.corpusMerge(spark, store,
+      docsOf(10L -> "beta", 11L -> "gamma", 12L -> "gamma"))
+    assert(admitted1.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    // append the admitted hashes: the index now covers gamma too
+    ops.Dedup.dedupIndexWrite(admitted1.select(col("doc_id"),
+        lit("x").as("lang"), lit("t").as("source"), col("n_chars"),
+        col("content_hash"))
+      .withColumn("text", lit("gamma")), store, mode = "append")
+    val admitted2 = ops.Dedup.corpusMerge(spark, store,
+      docsOf(20L -> "gamma", 21L -> "delta"))
+    assert(admitted2.select("doc_id").as[Long].collect().toSeq === Seq(21L))
+  }
+
   test("star-contraction CC agrees with the jump loop on planted graphs") {
     import spark.implicits._
     def both(pairs: org.apache.spark.sql.DataFrame) = {
