@@ -342,6 +342,98 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup matches a reference replay on random corpora") {
+    import spark.implicits._
+    // random docs over a tiny vocabulary so 8-token segments repeat
+    // across docs by construction; replayed in plain Scala
+    val docGen = Gen.listOfN(25, for {
+      id <- Gen.chooseNum(0L, 500L)
+      n <- Gen.chooseNum(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield (id, ws.mkString(" ")))
+    forAll(docGen) { docsRaw =>
+      // one text per doc_id (duplicated ids would be two identical
+      // physical rows -> countDistinct still counts one doc; keep the
+      // reference simple by deduping ids first)
+      val docs = docsRaw.distinctBy(_._1)
+      val segsOf = (t: String) =>
+        t.trim.split("\\s+").filter(_.nonEmpty).grouped(8)
+          .map(_.mkString(" ")).toVector
+      val segDocs = docs.flatMap { case (id, t) =>
+        segsOf(t).distinct.map(s => (s, id)) }
+      val dupSegs = segDocs.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expect = docs.map { case (id, t) =>
+        val segs = segsOf(t)
+        val kept = segs.filterNot(dupSegs)
+        (id, segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.filter(_._3 >= 1).sortBy(_._1)
+      val got = ops.Dedup.segmentDedup(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === expect)
+    }
+  }
+
+  test("semanticDedup keep/drop matches a reference replay") {
+    import spark.implicits._
+    // clustered random unit-ish vectors: enough near-parallel pairs to
+    // make drops non-vacuous; replay quantize/assign/drop in Scala with
+    // the same integer arithmetic
+    val vecGen = Gen.listOfN(30, for {
+      id <- Gen.chooseNum(0L, 300L)
+      dir <- Gen.chooseNum(0, 2) // 3 base directions in 4 dims
+      eps <- Gen.chooseNum(-5, 5)
+    } yield (id, dir, eps))
+    forAll(vecGen) { raw =>
+      val rows = raw.distinctBy(_._1).map { case (id, dir, eps) =>
+        val v = Array.fill(4)(0.02f * eps)
+        v(dir) = 1.0f
+        (id, dir, v)
+      }
+      if (rows.nonEmpty) {
+        val qz = (v: Array[Float]) => v.toSeq.map(x =>
+          BigDecimal(x.toDouble * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+        val q = rows.map { case (id, _, v) => id -> qz(v) }.toMap
+        def dot(a: Seq[Long], b: Seq[Long]): Long =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        // trainedCentroids replay: seed-assign vs vec_id<16 seeds, then
+        // floored per-cell means; then assign vs trained; then the
+        // greedy lower-id drop rule inside each cell
+        val seeds = q.filter(_._1 < 16).toSeq.sortBy(_._1)
+        def assign(cents: Seq[(Long, Seq[Long])], qe: Seq[Long]): Long =
+          cents.map { case (cid, ce) => (dot(qe, ce), cid) }
+            .maxBy(t => (t._1, -t._2))._2
+        val expectKept: Map[Long, (Long, Boolean)] =
+          if (seeds.isEmpty) Map.empty
+          else {
+            val cells0 = q.groupBy { case (_, qe) => assign(seeds, qe) }
+            val trained = cells0.toSeq.map { case (cid, members) =>
+              val n = members.size
+              val sums = (0 until 4).map(d =>
+                members.valuesIterator.map(_(d)).sum)
+              cid -> sums.map(s => Math.floorDiv(s, n))
+            }.sortBy(_._1)
+            q.map { case (id, qe) =>
+              val cell = assign(trained, qe)
+              val dropped = q.exists { case (u, uq) =>
+                u < id && assign(trained, uq) == cell &&
+                  dot(uq, qe) >= 400000000000L
+              }
+              id -> (cell, !dropped)
+            }
+          }
+        val emb = rows.map { case (id, dir, v) => (id, dir, v) }
+          .toDF("vec_id", "label", "embedding")
+        val got = ops.Similarity.semanticDedup(emb)
+          .select("vec_id", "cell_id", "kept")
+          .as[(Long, Long, Boolean)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got === expectKept)
+      }
+    }
+  }
+
   test("connected components match reference union-find on random graphs") {
     import spark.implicits._
     // The star loop's fixpoint certificate — (count, Σsrc, Σdst)
