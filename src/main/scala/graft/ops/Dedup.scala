@@ -130,8 +130,12 @@ object Dedup {
 
   /** Admit the batch's new documents: keep-first within the batch (the
     * q35 rule), then LEFT ANTI against the stored index on
-    * (bucket, content_hash) — bucket equality prunes the index read to
-    * the batch's partitions, and the anti join's right side is the
+    * (bucket, content_hash). The index read is EXPLICITLY partition-
+    * pruned to the batch's bucket set — at most 64 ints, collected from
+    * the (small-by-definition) batch — rather than left to dynamic
+    * partition pruning, which only fires under the right stats; the
+    * static IN filter guarantees `PartitionFilters` on the index scan
+    * (pinned in PlanShapeSpec). The anti join's right side is the
     * 32-byte-row index, never corpus text. */
   def corpusMerge(s: SparkSession, store: String,
       newDocs: DataFrame): DataFrame = {
@@ -139,12 +143,16 @@ object Dedup {
       .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
       .withColumn("bucket",
         pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))
-    hashed
+    val batchFirst = hashed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-      .join(s.read.parquet(store), Seq("bucket", "content_hash"),
-        "left_anti")
+    val buckets = batchFirst.select(col("bucket"))
+      .distinct().collect().map(_.getInt(0)) // bounded by the 64 buckets
+    val index = s.read.parquet(store)
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    batchFirst
+      .join(index, Seq("bucket", "content_hash"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("content_hash"))
       .orderBy(col("doc_id"))

@@ -44,6 +44,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LessThan(ts,"), plan)
   }
 
+  test("q83: index scan is partition-pruned to the batch's buckets") {
+    val plan = formatted("q83_corpus_merge")
+    // the static bucket IN filter must land as a PartitionFilter on the
+    // stored index's scan (corpusMerge collects the batch's <=64
+    // buckets precisely so pruning never depends on DPP heuristics)
+    assert(plan.contains("PartitionFilters: [bucket"), plan)
+  }
+
   test("q37: brute-force top-k broadcasts the 1-row query vector") {
     val plan = formatted("q37_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
