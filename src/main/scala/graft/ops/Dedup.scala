@@ -126,6 +126,11 @@ object Dedup {
       .distinct()
       .withColumn("bucket",
         pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))
+      // co-locate each bucket into one task before the partitioned
+      // write: without this every upstream task appends to every
+      // bucket directory — width x 64 small files per write (the
+      // classic small-files leak, compounding per merge append)
+      .repartition(64, col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(store)
 
   /** Admit the batch's new documents: keep-first within the batch (the
