@@ -8,6 +8,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Cli/Server: the events fixture is TIMESTAMP_NTZ
+      // since round 7, and normalizeTs's NTZ->Timestamp cast reads the
+      // SESSION time zone — an unpinned bench on a non-UTC host would
+      // time shifted event data (round-8 ADVICE).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,12 +66,13 @@ object Bench {
     def canon(p: String): String =
       try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
     if (heavyWarmDir.nonEmpty && canon(heavyWarmDir) != canon(sfDir)) {
-      // q36e/q36g (shingle PPJoin/containment), q65/q65b/q71 (the rest
-      // of the shingle-digest family), q67/q74 (stored-layout probes)
-      // joined the list after round-7 driver numbers showed the
-      // cold-JIT signature (q36g 2.5x vs warm) on exactly the members
-      // missing from it (VERDICT r7 #4; q36e confirmed round 6:
-      // driver-cold 3.88 vs warm 2.15).
+      // Prefix-matched: "q36" covers the whole q36* family (q36e/q36g
+      // were already warmed through it), and "q65" rides onto q65b.
+      // The round-8 additions are the entries q65/q67/q71/q74 — the
+      // shingle-digest family and stored-layout probes, where round-7
+      // driver numbers showed the cold-JIT signature (q36g 2.5x vs
+      // warm) on members then missing (VERDICT r7 #4; q36e confirmed
+      // round 6: driver-cold 3.88 vs warm 2.15).
       val heavy = Seq("q35", "q36", "q37", "q38", "q41", "q42", "q43",
         "q44", "q47", "q58", "q61", "q65", "q67", "q71", "q74")
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -114,26 +114,50 @@ object Similarity {
     * the quantizer's arity k is a bounded model parameter (16 here,
     * hundreds–thousands at 100 TB — never corpus-scaled), so the
     * centroid table is a driver point-read (the documented nprobe-ids
-    * pattern) folded into a codegen argmax chain over k LongArrayDot
-    * literals. The old window rank was a FULL-CORPUS SHUFFLE per
-    * assignment pass — at 100 TB the dominant cost of every write-time
-    * layout; now assignment is a pure map over the scan and the corpus
-    * never shuffles for it. Strict `>` in the fold keeps the earliest
-    * (lowest) cell_id on ties — byte-identical to the window's
-    * (cdot DESC, cell_id) rank, so no oracle changes. */
+    * pattern) folded into ONE codegen argmax loop over a flattened
+    * codebook reference object ([[graft.functions.ArgmaxCodebookDot]],
+    * round 9 — plan size O(1) in k, so the claimed arity is real; the
+    * round-8 k-literal array form survives as [[coarseAssignLiteral]]
+    * for the equivalence spec). The old window rank was a FULL-CORPUS
+    * SHUFFLE per assignment pass — at 100 TB the dominant cost of every
+    * write-time layout; now assignment is a pure map over the scan and
+    * the corpus never shuffles for it. Strict `>` in the loop keeps the
+    * earliest (lowest) cell_id on ties — byte-identical to the window's
+    * (cdot DESC NULLS LAST, cell_id) rank INCLUDING the null/degenerate
+    * rows (all-NULL dots rank the lowest cell_id first), so no oracle
+    * changes. */
   private[graft] def coarseAssign(quantized: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("cell_id"), col("ce"))
+    val cents = collectCentroids(centroids)
+    if (cents.isEmpty)
+      return quantized.limit(0).withColumn("cell_id", lit(0L))
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"centroid table mixes dimensions (expected $dim)")
+    quantized.withColumn("cell_id",
+      graft.functions.ArgmaxCodebookDot(col("qe"),
+        cents.map(_._1).toIndexedSeq,
+        cents.flatMap(_._2).toIndexedSeq, dim))
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Long])] =
+    centroids.select(col("cell_id"), col("ce"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+
+  /** The round-8 formulation of the same rule — k centroid vectors as k
+    * LITERAL arrays, one dot each, argmax = array_position-of-max on
+    * the cell_id-sorted dot array. Kept (test-only) as the independent
+    * implementation the ArgmaxCodebookDot equivalence spec checks
+    * against; diverges from [[coarseAssign]] only on null/wrong-length
+    * vectors (NULL cell_id here vs lowest-cell there — the round-8
+    * ADVICE divergence the expression fixes). */
+  private[graft] def coarseAssignLiteral(quantized: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
     if (cents.isEmpty)
       return quantized.limit(0).withColumn("cell_id", lit(0L))
-    // one dot per centroid, materialized ONCE into an array column; the
-    // argmax is array_position-of-max, whose first-occurrence semantics
-    // on the cell_id-sorted array IS the lowest-id tie-break. (A naive
-    // when()-chain fold duplicates the running best subtree per level —
-    // 2^k codegen blowup; the array form keeps each dot single-sited.)
     val dotArr = array(cents.map { case (_, ce) =>
       LongArrayDot(col("qe"), array(ce.map(lit(_)): _*)).cast("long")
     }: _*)
@@ -167,10 +191,15 @@ object Similarity {
     coarseAssign(quantized.select(col("vec_id"), col("qe")), seeds)
       .groupBy(col("cell_id"))
       .agg(centroidAgg(col("qe")).as("sums"), count(lit(1)).as("n"))
+      // `div` (integral division) on the already floor-adjusted
+      // numerator, NOT `/`: `/` is DOUBLE division in both engines,
+      // exact only while the adjusted sum stays under 2^53 — a silent
+      // precision cliff at the documented 100 TB cell sizes (round-8
+      // ADVICE). The numerator is an exact multiple of n, so floor,
+      // truncation, and exact division coincide at ANY magnitude.
       .select(col("cell_id"),
-        transform(col("sums"), s =>
-          ((s - ((s % col("n") + col("n")) % col("n"))) / col("n"))
-            .cast("long")).as("ce"))
+        expr("transform(sums, s -> (s - ((s % n + n) % n)) div n)")
+          .as("ce"))
   }
 
   // O-60 IVF variant: inverted-file ANN. Coarse quantizer = the first 16
@@ -588,9 +617,11 @@ object Similarity {
   /** (label, c): exact floor-divided per-dimension integer centroid of
     * each label's quantized vectors. Floor division without engine-
     * specific semantics: both engines' % takes the dividend's sign, so
-    * `s - ((s % n + n) % n)` is an exact multiple of n and the one
-    * division is exact in double. Shared by q79 and the s13 stream
-    * screen (the static broadcast side there). */
+    * `s - ((s % n + n) % n)` is an exact multiple of n, and the
+    * integral division (Spark `div` / DuckDB `//` — not double `/`,
+    * whose exactness ends at 2^53) is exact at any magnitude. Shared
+    * by q79 and the s13 stream screen (the static broadcast side
+    * there). */
   private[graft] def flooredLabelCentroids(emb: DataFrame): DataFrame = {
     val centroidAgg = udaf(graft.functions.CentroidAgg)
     emb
@@ -598,9 +629,8 @@ object Similarity {
       .groupBy(col("label"))
       .agg(centroidAgg(col("qe")).as("sums"), count(lit(1)).as("n"))
       .select(col("label"),
-        transform(col("sums"), s =>
-          ((s - ((s % col("n") + col("n")) % col("n"))) / col("n"))
-            .cast("long")).as("c"))
+        expr("transform(sums, s -> (s - ((s % n + n) % n)) div n)")
+          .as("c"))
   }
 
   /** (label, vec_id, dist2) appended to any (vec_id, label, embedding)
@@ -789,7 +819,7 @@ object Similarity {
        |  FROM ex0 GROUP BY 1, 2),
        |cent AS (
        |  SELECT cell_id,
-       |    list(CAST((s - ((s % n + n) % n)) / n AS BIGINT) ORDER BY d)
+       |    list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY d)
        |      AS ce
        |  FROM cs0 GROUP BY cell_id)""".stripMargin
 
@@ -1025,7 +1055,7 @@ object Similarity {
         |  FROM ex GROUP BY 1, 2),
         |c AS (
         |  SELECT label, d,
-        |    CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cd
+        |    CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS cd
         |  FROM cs),
         |dist AS (
         |  SELECT e.vec_id, e.label,

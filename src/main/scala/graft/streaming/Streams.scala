@@ -645,7 +645,7 @@ object Streams {
          |  FROM ex GROUP BY 1, 2),
          |c AS (
          |  SELECT label, d,
-         |    CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cd
+         |    CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS cd
          |  FROM cs),
          |dist AS (
          |  SELECT e.vec_id, e.label,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 object ConfCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     for (k <- Seq("spark.sql.ansi.enabled", "spark.sql.adaptive.enabled",
       "spark.sql.autoBroadcastJoinThreshold",

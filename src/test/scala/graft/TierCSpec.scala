@@ -221,4 +221,76 @@ class TierCSpec extends SparkSpec {
     // and the full operator keeps every vector exactly once either way
     assert(Similarity.semanticDedup(emb).count() === total)
   }
+
+  test("ArgmaxCodebookDot agrees with the literal array form at k=16") {
+    import spark.implicits._
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val quantized = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("qe"))
+    val centroids = quantized.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val viaExpr = Similarity.coarseAssign(quantized, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    val viaLiteral = Similarity.coarseAssignLiteral(quantized, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaLiteral)
+  }
+
+  test("ArgmaxCodebookDot plans and assigns at k=256 (no literal blowup)") {
+    import spark.implicits._
+    val dim = 64
+    // 256 deterministic centroids + 2000 vectors with a known nearest:
+    // vector i points at dimension (i % 256) % 64 scaled so its argmax
+    // dot is the centroid whose mask hits that dimension hardest
+    val cents = (0 until 256).map { c =>
+      (c.toLong, Array.tabulate(dim)(d =>
+        if (d == c % dim) 1000000L + c else (c * 31 + d) % 997L))
+    }
+    val centroids = cents.toDF("cell_id", "ce")
+    val vecs = (0 until 2000).map { i =>
+      (1000L + i, Array.tabulate(dim)(d =>
+        if (d == i % dim) 1000000L else 0L))
+    }
+    val quantized = vecs.toDF("vec_id", "qe")
+    val assigned = Similarity.coarseAssign(quantized, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(assigned.size === 2000)
+    // independent driver-side replay of the argmax (strict >, ascending
+    // cell order) over the same integer arithmetic
+    val expect = vecs.map { case (id, qe) =>
+      val best = cents.minBy { case (cid, ce) =>
+        (-qe.indices.map(d => qe(d) * ce(d)).sum, cid)
+      }._1
+      id -> best
+    }.toMap
+    assert(assigned === expect)
+  }
+
+  test("null/odd embeddings assign to the lowest cell (oracle's " +
+    "NULLS-LAST window semantics)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(5L, 0L, 0L)), // seed/centroid 0
+      (1L, Array(0L, 5L, 0L)), // seed/centroid 1
+      (2L, Array(0L, 4L, 1L)), // nearest centroid 1
+      (3L, null.asInstanceOf[Array[Long]]), // NULL vector
+      (4L, Array(1L, 2L)) // wrong length
+    )
+    val quantized = rows.toDF("vec_id", "qe")
+    val centroids = quantized.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
+    val got = Similarity.coarseAssign(quantized, centroids)
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    // the degenerate rows (3: NULL vector, 4: wrong length) get the
+    // LOWEST cell — the oracle's (cdot DESC NULLS LAST, cell_id) rank.
+    // The retired literal form's behavior there was Spark-PATH-DEPENDENT
+    // (NULL through codegen'd element_at(arr, NULL), but 0 through the
+    // interpreted LocalRelation projection — observed both ways on
+    // Spark 4.1); the expression pins one answer on every path.
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
 }
