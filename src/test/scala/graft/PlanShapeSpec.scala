@@ -44,6 +44,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LessThan(ts,"), plan)
   }
 
+  test("q36d: cell-blocked near-dup plans no cartesian product") {
+    // round 9: the last corpus-wide crossJoin in the tree was replaced
+    // by trained-cell confinement — the pair join must key on cell_id
+    // (shuffled hash, one reused exchange), never CartesianProduct /
+    // BroadcastNestedLoopJoin over the corpus
+    val plan = formatted("q36d_embedding_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("q83: index scan is partition-pruned to the batch's buckets") {
     val plan = formatted("q83_corpus_merge")
     // the static bucket IN filter must land as a PartitionFilter on the

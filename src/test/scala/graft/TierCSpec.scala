@@ -51,13 +51,56 @@ class TierCSpec extends SparkSpec {
 
   test("LSH embedding near-dup pairs are a subset of the exact pairs") {
     import spark.implicits._
-    val exact = Similarity.q36dEmbeddingNeardup(spark, sf)
+    // exact side = the all-pairs DIAGNOSTIC (not q36d, which is
+    // cell-blocked since round 9 and so itself a subset of this)
+    val exact = Similarity.embeddingNearDup(
+        graft.ops.Tables.embeddings(spark, sf))
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.q36fEmbeddingNeardupLsh(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(lsh.nonEmpty, "banded LSH found no pairs on the fixture")
     assert(lsh.subsetOf(exact),
       s"LSH produced pairs the exact join lacks: ${lsh.diff(exact)}")
+  }
+
+  test("cell-blocked near-dup (q36d): subset of all-pairs, high recall " +
+    "on planted near-identical duplicates") {
+    import spark.implicits._
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val all = Similarity.embeddingNearDup(emb)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.q36dEmbeddingNeardup(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(all),
+      s"blocked emitted pairs all-pairs lacks: ${blocked.diff(all)}")
+    // the blocking contract: NEAR-IDENTICAL vectors usually share a
+    // cell, so planted duplicates (cosine > 0.95, the TierC LSH
+    // fixture) survive the confinement at high-but-not-total recall —
+    // a pair sitting ON a cell boundary can split (observed: 2/50 on
+    // this seed), which is the inherent SemDeDup blocking trade-off,
+    // the same one its published form accepts
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def gauss(): Array[Float] =
+      unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 50).flatMap { i =>
+      val base = gauss()
+      val noise = gauss()
+      val copy = unit(base.indices.map(j =>
+        base(j) + 0.2f * noise(j)).toArray)
+      Seq((i.toLong, base), (1000L + i, copy))
+    } ++ (0 until 50).map(i => (2000L + i, gauss()))
+    val planted = rows.toDF("vec_id", "embedding")
+    val found = Similarity.embeddingNearDupBlocked(planted,
+        minDot = 900000000000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expect = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = (found intersect expect).size.toDouble / expect.size
+    assert(recall >= 0.9, s"blocked recall $recall < 0.9 " +
+      s"(split pairs: ${expect.diff(found)})")
   }
 
   test("banded LSH recall >= 0.8 on planted near-dups (cosine >= 0.95)") {
