@@ -794,6 +794,37 @@ object Similarity {
   def q81SemanticDedup(s: SparkSession, d: String): DataFrame =
     semanticDedup(embeddings(s, d))
 
+  // O-92: ANN recall audit — the governance metric every production
+  // ANN deployment watches (VERDICT r8 #3): recall@10 of the two
+  // declared approximate probes (q74's IVF-PQ ADC, q37b's multi-probe
+  // sign-LSH) against the exact q37 answer, for the fixed probe vector
+  // (vec_id 0). Deterministic by construction — every side is exact
+  // integer arithmetic, so the oracle replays the approximations
+  // themselves and the hit counts bit-for-bit. Reported as exact
+  // integer hits out of k (no float recall — the driver compare
+  // stringifies, and hits/k is the consumer's one division).
+  //
+  // Scale: each side is the declared probe's own plan (the ADC side
+  // re-runs the write-time layout, the honest benched cost, same as
+  // q74); the intersections join two k-row sets — driver-trivial at
+  // any corpus size. At 100 TB this query IS the nightly recall job:
+  // probes a fixed query panel against the exact scan and alerts on
+  // recall regression when the corpus drifts from its trained
+  // centroids (the re-train trigger; see SCALE.md "Recall
+  // governance").
+  def q84AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopK(embeddings(s, d)).select(col("vec_id"))
+    val sides = Seq(
+      ("ivfpq_adc", q74IvfPqProbe(s, d).select(col("vec_id"))),
+      ("sign_lsh", similarityLsh(embeddings(s, d)).select(col("vec_id"))))
+    sides.map { case (m, approx) =>
+      approx.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("method"), col("hits"),
+          lit(10L).as("k"))
+    }.reduce(_ unionByName _).orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_similarity_topk" -> (q37SimilarityTopk _),
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
@@ -808,6 +839,7 @@ object Similarity {
     "q79_embedding_outliers" -> (q79EmbeddingOutliers _),
     "q80_knn_join" -> (q80KnnJoin _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
+    "q84_ann_recall" -> (q84AnnRecall _),
   )
 
   private val dotSql =
@@ -891,6 +923,89 @@ object Similarity {
        |WHERE a.vec_id != 0
        |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
 
+  private val q37OracleSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
+         |FROM embeddings, q WHERE vec_id != 0
+         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
+
+  private val q37bOracleSql =
+    s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, label, qe,
+         |    CAST(${(0 until NPlanes).map(p =>
+              s"(CASE WHEN ${qdotSql("qe", planeSql(p))} >= 0 " +
+                s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
+         |      AS BIGINT) AS bucket
+         |  FROM q),
+         |qv AS (SELECT qe AS qq, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.label, b.bucket,
+         |  ${qdotSql("b.qe", "qv.qq")} AS dot_e12
+         |FROM b, qv
+         |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
+         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
+
+  // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
+  // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
+  // — the oracle replays the approximation itself, not the exact dot
+  private val q74OracleSql =
+    s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |$trainedCentSql,
+         |dots AS (
+         |  SELECT q.vec_id, cent.cell_id,
+         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
+         |  FROM q, cent),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell_id FROM cent, qv
+         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4),
+         |sub AS (
+         |  SELECT vec_id, m, qe[m*8+1 : m*8+8] AS sv
+         |  FROM q, UNNEST(generate_series(0, 7)) AS t(m)),
+         |wa AS (
+         |  SELECT vec_id, m, sv,
+         |    CAST(list_sum([sv[i]*sv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) AS aa
+         |  FROM sub),
+         |seeds AS (
+         |  SELECT m, vec_id AS seed, sv AS cv, aa AS bb
+         |  FROM wa WHERE vec_id < 16),
+         |best AS (
+         |  SELECT s.vec_id, s.m,
+         |    min((s.aa - 2*CAST(list_sum(
+         |      [s.sv[i]*c.cv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) + c.bb) * 64 + c.seed) AS packed
+         |  FROM wa s JOIN seeds c USING (m)
+         |  GROUP BY s.vec_id, s.m),
+         |qsub AS (
+         |  SELECT m, qq[m*8+1 : m*8+8] AS qs
+         |  FROM qv, UNNEST(generate_series(0, 7)) AS t(m)),
+         |lut AS (
+         |  SELECT c.m, c.seed AS code,
+         |    CAST(list_sum([qs[i]*c.cv[i] FOR i IN generate_series(1, 8)])
+         |      AS BIGINT) AS ld
+         |  FROM seeds c JOIN qsub USING (m)),
+         |est AS (
+         |  SELECT b.vec_id, CAST(sum(l.ld) AS BIGINT) AS est_dot_e12
+         |  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.packed % 64
+         |  GROUP BY b.vec_id)
+         |SELECT a.vec_id, q.label, a.cell_id, e.est_dot_e12
+         |FROM assigned a
+         |JOIN probe USING (cell_id)
+         |JOIN est e ON e.vec_id = a.vec_id
+         |JOIN q ON q.vec_id = a.vec_id
+         |WHERE a.vec_id != 0
+         |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same quantization, sub-slicing, aa-2ab+bb distance, and packed
     // (dist*64+seed) integer argmin as the Spark side; codes join to a
@@ -946,92 +1061,15 @@ object Similarity {
          |  count(*) AS n_vecs
          |FROM ex GROUP BY cell_id, dim_idx
          |ORDER BY cell_id, dim_idx""".stripMargin,
-    // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
-    // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
-    // — the oracle replays the approximation itself, not the exact dot
-    "q74_ivfpq_probe" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
-         |  WHERE vec_id IS NOT NULL),
-         |$trainedCentSql,
-         |dots AS (
-         |  SELECT q.vec_id, cent.cell_id,
-         |    ${qdotSql("q.qe", "cent.ce")} AS cdot
-         |  FROM q, cent),
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
-         |    FROM dots) WHERE rn = 1),
-         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT cell_id FROM cent, qv
-         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4),
-         |sub AS (
-         |  SELECT vec_id, m, qe[m*8+1 : m*8+8] AS sv
-         |  FROM q, UNNEST(generate_series(0, 7)) AS t(m)),
-         |wa AS (
-         |  SELECT vec_id, m, sv,
-         |    CAST(list_sum([sv[i]*sv[i] FOR i IN generate_series(1, 8)])
-         |      AS BIGINT) AS aa
-         |  FROM sub),
-         |seeds AS (
-         |  SELECT m, vec_id AS seed, sv AS cv, aa AS bb
-         |  FROM wa WHERE vec_id < 16),
-         |best AS (
-         |  SELECT s.vec_id, s.m,
-         |    min((s.aa - 2*CAST(list_sum(
-         |      [s.sv[i]*c.cv[i] FOR i IN generate_series(1, 8)])
-         |      AS BIGINT) + c.bb) * 64 + c.seed) AS packed
-         |  FROM wa s JOIN seeds c USING (m)
-         |  GROUP BY s.vec_id, s.m),
-         |qsub AS (
-         |  SELECT m, qq[m*8+1 : m*8+8] AS qs
-         |  FROM qv, UNNEST(generate_series(0, 7)) AS t(m)),
-         |lut AS (
-         |  SELECT c.m, c.seed AS code,
-         |    CAST(list_sum([qs[i]*c.cv[i] FOR i IN generate_series(1, 8)])
-         |      AS BIGINT) AS ld
-         |  FROM seeds c JOIN qsub USING (m)),
-         |est AS (
-         |  SELECT b.vec_id, CAST(sum(l.ld) AS BIGINT) AS est_dot_e12
-         |  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.packed % 64
-         |  GROUP BY b.vec_id)
-         |SELECT a.vec_id, q.label, a.cell_id, e.est_dot_e12
-         |FROM assigned a
-         |JOIN probe USING (cell_id)
-         |JOIN est e ON e.vec_id = a.vec_id
-         |JOIN q ON q.vec_id = a.vec_id
-         |WHERE a.vec_id != 0
-         |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin,
-    "q37b_similarity_lsh" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, label, qe,
-         |    CAST(${(0 until NPlanes).map(p =>
-              s"(CASE WHEN ${qdotSql("qe", planeSql(p))} >= 0 " +
-                s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
-         |      AS BIGINT) AS bucket
-         |  FROM q),
-         |qv AS (SELECT qe AS qq, bucket AS qbucket FROM b WHERE vec_id = 0)
-         |SELECT b.vec_id, b.label, b.bucket,
-         |  ${qdotSql("b.qe", "qv.qq")} AS dot_e12
-         |FROM b, qv
-         |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
-         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q74_ivfpq_probe" -> q74OracleSql,
+    "q37b_similarity_lsh" -> q37bOracleSql,
     "q37c_similarity_ivf" -> ivfOracleSql,
     // q68 computes the SAME rows through the stored layout (write-time
     // cell assignment + pruned partition reads), so its oracle IS
     // q37c's: identical results via a different physical path is the
     // property under test.
     "q68_ivf_probe" -> ivfOracleSql,
-    "q37_similarity_topk" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, label,
-         |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
-         |FROM embeddings, q WHERE vec_id != 0
-         |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin,
+    "q37_similarity_topk" -> q37OracleSql,
     // Banded sign-LSH twin: per-plane sign bits from the mask literals,
     // band keys packed from bandBits-bit slices, candidates share >= one
     // full band key (DISTINCT collapses multi-band matches, as Spark's
@@ -1175,5 +1213,21 @@ object Similarity {
          |SELECT a.vec_id, a.label, a.cell_id, d.vec_id IS NULL AS kept
          |FROM assigned a LEFT JOIN dropped d USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
+    // the three probes' own oracle queries as derived tables (DuckDB
+    // allows WITH inside a subquery), then hits = |method top-10 ∩
+    // exact top-10| — the oracle replays both approximations AND the
+    // exact scan, so the recall figures are engine-exact integers
+    "q84_ann_recall" ->
+      s"""WITH exact10 AS (SELECT vec_id FROM ($q37OracleSql)),
+         |adc10 AS (SELECT vec_id FROM ($q74OracleSql)),
+         |lsh10 AS (SELECT vec_id FROM ($q37bOracleSql))
+         |SELECT method, hits, k FROM (
+         |  SELECT 'ivfpq_adc' AS method,
+         |    CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
+         |  FROM adc10 JOIN exact10 USING (vec_id)
+         |  UNION ALL
+         |  SELECT 'sign_lsh', CAST(count(*) AS BIGINT), CAST(10 AS BIGINT)
+         |  FROM lsh10 JOIN exact10 USING (vec_id))
+         |ORDER BY method""".stripMargin,
   )
 }
