@@ -238,6 +238,60 @@ class GenericApiSpec extends SparkSpec {
     assert(admitted2.select("doc_id").as[Long].collect().toSeq === Seq(21L))
   }
 
+  test("dedupIndexCompact bounds bucket file counts, is idempotent, " +
+    "and the compacted index still rejects planted duplicates") {
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // dedupIndexWrite hashes `text`, so the admitted rows (which carry
+    // only content_hash) must rejoin the batch for their original text
+    def appendAdmitted(batch: org.apache.spark.sql.DataFrame,
+        admitted: org.apache.spark.sql.DataFrame, store: String): Unit =
+      ops.Dedup.dedupIndexWrite(
+        batch.join(admitted.select("doc_id"), Seq("doc_id")),
+        store, mode = "append")
+    def bucketFiles(store: String): Map[Int, Int] =
+      new java.io.File(store).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .map(d => d.getName.stripPrefix("bucket=").toInt ->
+          d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+        .toMap
+    val store = java.nio.file.Files
+      .createTempDirectory("dedup_idx_c_").toString
+    // standing corpus of 120 distinct docs, then 6 daily merges each
+    // admitting 3 new docs and appending them — small files accumulate
+    ops.Dedup.dedupIndexWrite(
+      docsOf((1L to 120L).map(i => i -> s"corpus doc $i"): _*), store)
+    for (day <- 0 until 6) {
+      val batch = docsOf((0 until 3).map(j =>
+        (1000L + day * 10 + j) -> s"day $day doc $j"): _*)
+      appendAdmitted(batch, ops.Dedup.corpusMerge(spark, store, batch),
+        store)
+    }
+    val distinctBefore = spark.read.parquet(store)
+      .select("content_hash").distinct().count()
+    assert(bucketFiles(store).values.max > 1,
+      "fixture failed to accumulate multi-file buckets")
+    val compacted = ops.Dedup.dedupIndexCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty)
+    assert(bucketFiles(store).values.max === 1,
+      s"compaction left multi-file buckets: ${bucketFiles(store)}")
+    // idempotent: a second pass finds nothing over threshold
+    assert(ops.Dedup.dedupIndexCompact(spark, store,
+      maxFilesPerBucket = 1).isEmpty)
+    // lossless: every hash survives exactly once
+    assert(spark.read.parquet(store).count() === distinctBefore)
+    // and the NEXT merge still rejects planted dups from both eras
+    val admitted = ops.Dedup.corpusMerge(spark, store, docsOf(
+      9001L -> "corpus doc 7", // standing-corpus dup
+      9002L -> "day 3 doc 1", // merged-era dup
+      9003L -> "genuinely new"))
+    assert(admitted.select("doc_id").as[Long].collect().toSeq === Seq(9003L))
+  }
+
   test("star-contraction CC agrees with the jump loop on planted graphs") {
     import spark.implicits._
     def both(pairs: org.apache.spark.sql.DataFrame) = {
