@@ -1369,6 +1369,61 @@ object Dedup {
       connectedComponents(simhashPairsUnordered(docs)))
   }
 
+  // O-93 (q61c): UNIFIED canonical clusters — a real curation pipeline
+  // does not cluster one near-dup signal at a time: it unions every
+  // pair family (textual shingle Jaccard, SimHash, embedding sign-LSH
+  // — the vec_id<->doc_id identification the fixture defines) into ONE
+  // edge set, resolves components over the union, and keeps per-family
+  // provenance so a curation team can see WHICH signal welded each
+  // cluster together (a cluster joined only by embedding edges is a
+  // paraphrase group; only by shingle edges, a literal copy group).
+  //
+  // Scale shape: each family's pair generation is its own bounded plan
+  // (q36's shingle join, q36c's banded SimHash, q36f's banded LSH —
+  // none corpus-quadratic); the union is edge-count-sized; CC is the
+  // q61 star-contraction whose every shuffle is bounded by the unioned
+  // pair graph (the denser mixed graph is exactly what the property
+  // tests cover); provenance = one partial-agg'd groupBy over edges
+  // joined to the label table. Nothing here scales worse than the
+  // largest single family.
+  /** Generic unified clustering over any (doc_id, text) + (vec_id,
+    * embedding) pair of tables: one row per multi-signal cluster —
+    * (cluster_id, cluster_size, n_shingle, n_simhash, n_emb_lsh),
+    * where the n_* columns count each family's edges inside the
+    * cluster. */
+  def unifiedDedupClusters(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val fams = nearDupPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit("shingle").as("family"))
+      .unionByName(simhashPairsUnordered(docs)
+        .select(col("doc_a"), col("doc_b"), lit("simhash").as("family")))
+      .unionByName(Similarity.embeddingNearDupLsh(emb)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          lit("emb_lsh").as("family")))
+    val cc = connectedComponents(fams.select(col("doc_a"), col("doc_b"))
+      .distinct())
+    // every edge's endpoints share a cluster by construction, so one
+    // endpoint suffices to attribute the edge
+    val famCounts = fams
+      .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        sum(when(col("family") === "shingle", 1L).otherwise(0L))
+          .as("n_shingle"),
+        sum(when(col("family") === "simhash", 1L).otherwise(0L))
+          .as("n_simhash"),
+        sum(when(col("family") === "emb_lsh", 1L).otherwise(0L))
+          .as("n_emb_lsh"))
+    cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .join(famCounts, Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("n_shingle"),
+        col("n_simhash"), col("n_emb_lsh"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
+    unifiedDedupClusters(documents(s, d), embeddings(s, d))
+
   // O-79: corpus-global boilerplate fraction — per-doc share of
   // shingles that are CORPUS-WIDE common (doc-frequency >= minDf).
   // This is the inter-document repetition signal the pairwise family
@@ -1460,6 +1515,7 @@ object Dedup {
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
+    "q61c_unified_canonical" -> (q61cUnifiedCanonical _),
     "q70_source_overlap" -> (q70SourceOverlap _),
     "q71_boilerplate_fraction" -> (q71BoilerplateFraction _),
     "q76_source_uniqueness" -> (q76SourceUniqueness _),
@@ -1657,6 +1713,64 @@ object Dedup {
          |WHERE doc_id IS NOT NULL
          |  AND doc_id NOT IN (SELECT id FROM noncanon)
          |ORDER BY doc_id""".stripMargin,
+    // q61c: each family's pair query as a derived table with its own
+    // scoped WITH (the q84 composition pattern — nested WITH keeps the
+    // three families' CTE names from colliding), unioned into one edge
+    // set, the q61 recursive-CC CTEs over the union, then per-family
+    // edge counts joined to cluster sizes
+    "q61c_unified_canonical" ->
+      s"""WITH RECURSIVE
+         |shp AS (SELECT doc_a, doc_b FROM (
+         |  WITH $shinglesSql,
+         |  cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |  pairs AS (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      count(*) AS inter
+         |    FROM sh a JOIN sh b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5)),
+         |simp AS (SELECT doc_a, doc_b FROM (
+         |  WITH $simhashCtesSql
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
+         |lshp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM
+         |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})),
+         |fams AS (
+         |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
+         |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
+         |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp),
+         |uprs AS (SELECT DISTINCT doc_a, doc_b FROM fams),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM uprs
+         |  UNION SELECT doc_b, doc_a FROM uprs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |fc AS (
+         |  SELECT c.cluster_id,
+         |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shingle,
+         |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_simhash,
+         |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_emb_lsh
+         |  FROM fams f JOIN comp c ON f.doc_a = c.id
+         |  GROUP BY c.cluster_id)
+         |SELECT cluster_id,
+         |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+         |  n_shingle, n_simhash, n_emb_lsh
+         |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
+         |      GROUP BY cluster_id) cs
+         |JOIN fc USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin,
     "q35_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash
