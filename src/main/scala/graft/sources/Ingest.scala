@@ -66,12 +66,44 @@ object Ingest {
   /** Shape fetched sizes.json artifacts for [[Pipeline.backfill]]:
     * the commit hash is embedded in the artifact URL (the reference
     * builds `.../{hash}/sizes.json`, rg.py:96-99) — extract it and
-    * project the (hash, payload, artifact_ts) contract. */
+    * project the (hash, payload, artifact_ts) contract. The CI server
+    * also serves the magic key `latest` in the hash position
+    * (rg.py:90-91: `"latest" to retrieve the latest nightly`) — the
+    * default pattern accepts it, yielding hash='latest' rows that
+    * [[resolveLatestAlias]] re-keys to a real commit. */
   def artifactsFromFetched(fetched: DataFrame,
-      hashPattern: String = "/([0-9a-f]{7,40})/[^/]*$"): DataFrame =
+      hashPattern: String = "/([0-9a-f]{7,40}|latest)/[^/]*$"): DataFrame =
     fetched.select(
       regexp_extract(col("url"), hashPattern, 1).as("hash"),
       col("payload"), col("artifact_ts"))
+
+  /** Resolve the CI `latest` hash alias (ref rg.py:90-91, README.md:
+    * 18-20): the nightly the alias names is keyed only by its
+    * Last-Modified timestamp, and the reference's own rule for mapping
+    * a run to a commit is "the last commit to master before the run"
+    * (README.md:19-20, rg.py:199). Rows with hash='latest' are
+    * re-keyed to the newest commit whose commit_ts <= artifact_ts
+    * (ties to the lexicographically greatest hash — deterministic);
+    * alias rows with no qualifying commit are dropped (nothing to
+    * anchor them to, the reference's probe-skip posture). If the same
+    * commit was ALSO fetched explicitly by hash, the explicit row
+    * wins and the resolved alias duplicate is dropped. Control-plane
+    * cardinality throughout (the alias is one row per refresh), so
+    * every join broadcasts the tiny side. */
+  def resolveLatestAlias(artifacts: DataFrame,
+      commits: DataFrame): DataFrame = {
+    val alias = artifacts.filter(col("hash") === lit("latest"))
+    val explicit = artifacts.filter(col("hash") =!= lit("latest"))
+    val resolved = alias.drop("hash")
+      .join(broadcast(commits.select(col("hash"), col("commit_ts"))),
+        col("commit_ts") <= col("artifact_ts"), "inner")
+      .groupBy(col("payload"), col("artifact_ts"))
+      .agg(max_by(col("hash"), struct(col("commit_ts"), col("hash")))
+        .as("hash"))
+      .select(col("hash"), col("payload"), col("artifact_ts"))
+      .join(explicit.select(col("hash")), Seq("hash"), "left_anti")
+    explicit.unionByName(resolved)
+  }
 
   /** GitHub pulls-JSON fields the reference consumes (rg.py:358-361:
     * `data['title']`; the payload's own `number` keys the dimension). */

@@ -29,8 +29,11 @@ object Pipeline {
     val events = Ingest.prEvents(commits, prDim)
 
     // "last commit of each day that HAS stats": inner join = has stats;
-    // rank by commit_ts desc within the 03:00Z-anchored day (rg.py:61-68)
-    val withStats = commits.join(artifacts, Seq("hash"), "inner")
+    // rank by commit_ts desc within the 03:00Z-anchored day (rg.py:61-68).
+    // A `latest`-keyed artifact (rg.py:90-91) is first re-keyed to the
+    // last commit before its Last-Modified, so it ranks like any other.
+    val keyed = Ingest.resolveLatestAlias(artifacts, commits)
+    val withStats = commits.join(keyed, Seq("hash"), "inner")
     val day = date_trunc("DAY", col("commit_ts") - expr("INTERVAL 3 HOURS"))
     val w = Window.partitionBy(day).orderBy(col("commit_ts").desc,
       col("hash"))
@@ -59,7 +62,8 @@ object Pipeline {
       .drop("hw")
     val events = Ingest.prEvents(commits, prDim)
     val builds = Ingest.flattenSizes(
-      commits.join(artifacts, Seq("hash"), "inner")
+      commits.join(Ingest.resolveLatestAlias(artifacts, commits),
+          Seq("hash"), "inner")
         .select(col("payload"), col("artifact_ts")))
     (builds, events)
   }

@@ -152,6 +152,84 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("latest alias golden path: localhost HTTP -> resolveLatestAlias") {
+    import graft.sources.{Fetcher, Pipeline}
+    import spark.implicits._
+    // the CI server's magic hash key (rg.py:90-91): /master/latest/
+    // sizes.json serves the newest nightly, keyed only by Last-Modified.
+    // The engine re-keys it to the last commit before the run
+    // (README.md:19-20) and then backfill treats it like any artifact.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val latestBody =
+      """{"sizes":{"t1":{"b1":{"bss":10,"text":20,"data":30}}}}"""
+    val oldBody =
+      """{"sizes":{"t1":{"b1":{"bss":1,"text":2,"data":3,"count":4}}}}"""
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val (code, body, lm) =
+        if (path == "/RIOT-OS/RIOT/master/latest/sizes.json")
+          (200, latestBody, "Sun, 02 Aug 2026 05:10:00 GMT")
+        else if (path == "/RIOT-OS/RIOT/master/aaa111f/sizes.json")
+          (200, oldBody, "Sat, 01 Aug 2026 10:05:00 GMT")
+        else (404, "", "")
+      if (code == 200) {
+        exchange.getResponseHeaders.set("Last-Modified", lm)
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1L)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetched = Fetcher.fetchAll(Iterator(
+        s"$base/RIOT-OS/RIOT/master/aaa111f/sizes.json",
+        s"$base/RIOT-OS/RIOT/master/latest/sizes.json"))
+      val artifacts = Ingest.artifactsFromFetched(
+        Ingest.fromFetched(spark, fetched))
+      // the default pattern accepts the alias key verbatim
+      assert(artifacts.select("hash").as[String].collect().toSet ===
+        Set("aaa111f", "latest"))
+      val us = ""
+      // bbb222e is the last commit before the nightly's Last-Modified;
+      // ccc333d lands after it and must NOT capture the alias
+      val lines = Seq(
+        s"aaa111f${us}2026-08-01 10:00:00 +0000${us}Merge #7 x",
+        s"bbb222e${us}2026-08-02 04:00:00 +0000${us}Merge #8 y",
+        s"ccc333d${us}2026-08-02 09:00:00 +0000${us}Merge #9 z"
+      ).toDF("value")
+      val commits = Ingest.parseCommitLog(lines)
+      val resolved = Ingest.resolveLatestAlias(artifacts, commits)
+      assert(resolved.select("hash").as[String].collect().toSet ===
+        Set("aaa111f", "bbb222e"))
+      // end-to-end: backfill day-ranks the resolved alias like any row
+      val prDim = Seq((7L, "seven"), (8L, "eight")).toDF("pr_num", "title")
+      val (builds, _) = Pipeline.backfill(lines, artifacts, prDim)
+      val rows = builds
+        .select(col("ts").cast("string"), col("test"), col("board"),
+          col("dec"), col("count"))
+        .as[(String, String, String, Long, Long)].collect().toSet
+      assert(rows === Set(
+        ("2026-08-01 10:05:00", "t1", "b1", 6L, 4L),
+        ("2026-08-02 05:10:00", "t1", "b1", 60L, 0L)))
+      // explicit fetch of the SAME commit wins over the resolved alias
+      val dupAlias = Seq(
+        ("aaa111f", oldBody, Timestamp.valueOf("2026-08-01 10:05:00")),
+        ("latest", latestBody, Timestamp.valueOf("2026-08-01 12:00:00"))
+      ).toDF("hash", "payload", "artifact_ts")
+      val dupResolved = Ingest.resolveLatestAlias(dupAlias, commits)
+      assert(dupResolved.count() === 1L)
+      assert(dupResolved.select("payload").as[String].head() === oldBody)
+      // alias with no commit at-or-before its ts is dropped
+      val orphan = Seq(
+        ("latest", latestBody, Timestamp.valueOf("2026-07-01 00:00:00"))
+      ).toDF("hash", "payload", "artifact_ts")
+      assert(Ingest.resolveLatestAlias(orphan, commits).count() === 0L)
+    } finally server.stop(0)
+  }
+
   test("fromFetched batches without losing order-independent content") {
     import graft.sources.Fetcher
     val ts = new Timestamp(1000L)
