@@ -230,6 +230,103 @@ object Dedup {
     corpusMerge(s, store, newBatch)
   }
 
+  // O-94: incremental NEAR-dup corpus merge — q83's admission primitive
+  // generalized from exact hashes to the MinHash band index. A standing
+  // corpus keeps its band signature table on disk (the q67 layout, plus
+  // a key-hash sub-bucket for pruning); each arriving batch admits only
+  // documents that (a) verify-match no stored document (band-key
+  // collision then >= NHashes/2 signature agreement, exactly q36b's
+  // rule) and (b) verify-match no LOWER-doc_id document within the same
+  // batch (the conservative keep-lowest drop: a batch doc is dropped if
+  // ANY lower-id batch doc near-dups it, whether or not that lower doc
+  // itself survives the store check — deterministic and one
+  // self-join, vs. the sequential-scan semantics that would need an
+  // iterative fixpoint). Steady-state ingest cost is O(batch bands) +
+  // one PRUNED read of the band index — never a corpus text rescan.
+  /** Write/append the near-dup admission index: band rows (the q67
+    * pipeline) partitioned by (band, kb) where kb = xxhash64(k1) mod 64
+    * — the sub-bucket a merge prunes on, computed identically on the
+    * batch side. ~8 band rows x (2 keys + 16 mins) per doc: ~200 B/doc
+    * at any corpus size, orders smaller than the text. */
+  def neardupIndexWrite(docs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    bandRows(q36bSig(docs.filter(col("doc_id").isNotNull)))
+      .withColumn("kb", pmod(xxhash64(col("k1")), lit(64)).cast("int"))
+      // co-locate each partition-dir into one task (dedupIndexWrite's
+      // small-files reasoning: without this, width x |dirs| files)
+      .repartition(col("band"), col("kb"))
+      .sortWithinPartitions(col("band"), col("kb"), col("k1"), col("k2"))
+      .write.mode(mode).partitionBy("band", "kb").parquet(store)
+
+  /** Admit the batch's genuinely-new documents against the stored band
+    * index. The index read is EXPLICITLY partition-pruned to the
+    * batch's (band, kb) key set — at most NBands x 64 pairs, collected
+    * from the (small-by-definition) batch, the q83 static-IN argument —
+    * and the band-key equi-join carries both sides' 16-min signatures
+    * so verification happens inside the join (the q36b one-shuffle
+    * shape). The batch side is the hash build side (shuffle_hash: a
+    * band index never broadcasts, and the batch is the small side by
+    * the incremental-ingest premise). Docs too short to signature
+    * (< 3 tokens) can near-dup with nothing and pass through.
+    *
+    * Honest pruning envelope: past ~10k batch docs the (band, kb) key
+    * set saturates all NBands x 64 partitions and the merge reads the
+    * whole index — still ~200 B/doc of signatures, never corpus text,
+    * so a daily merge at 100 TB costs one signature-table scan plus
+    * batch-bounded shuffles; the pruning is the point-ingest fast
+    * path, not the bulk-merge bound. */
+  def neardupMerge(s: SparkSession, store: String,
+      newDocs: DataFrame): DataFrame = {
+    val batch = newDocs.filter(col("doc_id").isNotNull)
+    val batchBands = bandRows(q36bSig(batch))
+      .withColumn("kb", pmod(xxhash64(col("k1")), lit(64)).cast("int"))
+    val nMatch = aggregate(
+      zip_with(col("x.mins"), col("y.mins"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val keys = batchBands.select(col("band"), col("kb")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))) // <= NBands x 64
+    val crossHit =
+      if (keys.isEmpty) batch.select(col("doc_id")).limit(0)
+      else {
+        val pruned = keys.groupBy(_._1).toSeq.map { case (b, ks) =>
+          col("band") === b && col("kb").isin(ks.map(_._2): _*)
+        }.reduce(_ || _)
+        s.read.parquet(store).filter(pruned).as("x")
+          .join(batchBands.as("y").hint("shuffle_hash"),
+            col("x.band") === col("y.band") &&
+              col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2"))
+          .filter(nMatch * 2 >= NHashes)
+          .select(col("y.doc_id").as("doc_id")).distinct()
+      }
+    val intraHit = batchBands.as("x").hint("shuffle_hash")
+      .join(batchBands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
+          col("x.k2") === col("y.k2") && col("x.doc_id") < col("y.doc_id"))
+      .filter(nMatch * 2 >= NHashes)
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    batch
+      .join(crossHit.unionByName(intraHit).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared write-then-merge binding (the q83 pattern, near-dup
+    * flavor): docs 0-249 are the standing corpus; the batch is docs
+    * 250+ plus re-identified copies of docs 0-49 — planted 16/16
+    * signature matches the band index must reject. Natural near-dups
+    * WITHIN docs 250+ exercise the intra-batch keep-lowest rule. */
+  def q85NeardupMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_nd_index_q85")
+    neardupIndexWrite(docs.filter(col("doc_id") < 250), store)
+    val newBatch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    neardupMerge(s, store, newBatch)
+  }
+
   /** Shingle rows keyed by 64-bit hash: (doc_id, h). Shuffling/joining
     * 8-byte longs instead of ~25-char strings cuts exchange and compare
     * cost ~3x; intersection counts are identical to the string
@@ -1508,6 +1605,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_dedup_exact" -> (q35DedupExact _),
     "q83_corpus_merge" -> (q83CorpusMerge _),
+    "q85_neardup_merge" -> (q85NeardupMerge _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -1524,6 +1622,22 @@ object Dedup {
     "q67_minhash_probe" -> (q67MinhashProbe _),
     "q77_segment_dedup" -> (q77SegmentDedup _),
   )
+
+  /** The shingles CTE pair (toks/sh) over an arbitrary source relation,
+    * tagged so one oracle can signature two corpora side by side (the
+    * q85 merge needs corpus and batch signatures in one query). Plain
+    * (non-interpolated) template: the `\s+` regex must not pass through
+    * an s-interpolator's escape processing. */
+  private def shingleSqlFor(src: String, tag: String): String =
+    """toksTAG AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM SRC
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+      |shTAG AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+      |  FROM toksTAG, UNNEST(generate_series(0, len(w)-3)) AS t(i))"""
+      .stripMargin.replace("SRC", src).replace("TAG", tag)
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
     * family, classic GROUP BY formulation over exploded shingles). */
@@ -1955,6 +2069,78 @@ object Dedup {
          |SELECT doc_id, CAST(n_match AS INT) AS n_match,
          |  round(CAST(n_match AS DOUBLE) / $NHashes, 4) AS est_jaccard
          |FROM scored WHERE n_match * 2 >= $NHashes
+         |ORDER BY doc_id""".stripMargin,
+    // q85: corpus (docs < 250) and batch signatures side by side; a
+    // batch doc is dropped on a verified (>= NHashes/2) match against
+    // the corpus OR against a lower-id batch doc (conservative
+    // keep-lowest). Short docs (< 3 tokens) never signature and pass.
+    "q85_neardup_merge" ->
+      s"""WITH newb AS (
+         |  SELECT doc_id, lang, source, n_chars, text
+         |  FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, lang, source, n_chars, text
+         |  FROM documents WHERE doc_id < 50),
+         |${shingleSqlFor(
+            "(SELECT * FROM documents WHERE doc_id IS NOT NULL" +
+              " AND doc_id < 250)", "C")},
+         |sigC AS (
+         |  SELECT doc_id, ${minExprs("m")}
+         |  FROM shC GROUP BY doc_id),
+         |${shingleSqlFor("newb", "B")},
+         |sigB AS (
+         |  SELECT doc_id, ${minExprs("m")}
+         |  FROM shB GROUP BY doc_id),
+         |bandC AS (
+         |  SELECT doc_id, b,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+         |  FROM sigC, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+         |bandB AS (
+         |  SELECT doc_id, b,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+         |  FROM sigB, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+         |candX AS (
+         |  SELECT DISTINCT x.doc_id AS bdoc, y.doc_id AS cdoc
+         |  FROM bandB x JOIN bandC y
+         |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2),
+         |xscore AS (
+         |  SELECT c.bdoc,
+         |    ${(0 until NHashes).map(j =>
+              s"(CASE WHEN sa.m$j = sc.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |  FROM candX c
+         |  JOIN sigB sa ON c.bdoc = sa.doc_id
+         |  JOIN sigC sc ON c.cdoc = sc.doc_id),
+         |crosshit AS (
+         |  SELECT DISTINCT bdoc AS doc_id FROM xscore
+         |  WHERE n_match * 2 >= $NHashes),
+         |candI AS (
+         |  SELECT DISTINCT x.doc_id AS lo, y.doc_id AS hi
+         |  FROM bandB x JOIN bandB y
+         |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
+         |  WHERE x.doc_id < y.doc_id),
+         |iscore AS (
+         |  SELECT c.hi,
+         |    ${(0 until NHashes).map(j =>
+              s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |  FROM candI c
+         |  JOIN sigB sa ON c.lo = sa.doc_id
+         |  JOIN sigB sb ON c.hi = sb.doc_id),
+         |intrahit AS (
+         |  SELECT DISTINCT hi AS doc_id FROM iscore
+         |  WHERE n_match * 2 >= $NHashes)
+         |SELECT doc_id, lang, source, n_chars FROM newb f
+         |WHERE NOT EXISTS
+         |    (SELECT 1 FROM crosshit h WHERE h.doc_id = f.doc_id)
+         |  AND NOT EXISTS
+         |    (SELECT 1 FROM intrahit h WHERE h.doc_id = f.doc_id)
          |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -238,6 +238,41 @@ class GenericApiSpec extends SparkSpec {
     assert(admitted2.select("doc_id").as[Long].collect().toSeq === Seq(21L))
   }
 
+  test("neardupMerge admits new docs, rejects stored near-dups and " +
+    "intra-batch near-dups, and passes short docs through") {
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val store = java.nio.file.Files
+      .createTempDirectory("nd_idx_").toString
+    ops.Dedup.neardupIndexWrite(docsOf(1L -> longA, 2L -> longB), store)
+    // batch: an exact re-text of a stored doc (16/16 signature match),
+    // a genuinely new doc, a batch-internal dup pair (higher id
+    // dropped), and a doc too short to signature (passes through)
+    val admitted = ops.Dedup.neardupMerge(spark, store, docsOf(
+      10L -> longA,
+      11L -> ((1 to 40).map(i => s"gamma$i").mkString(" ")),
+      12L -> ((1 to 40).map(i => s"delta$i").mkString(" ")),
+      13L -> ((1 to 40).map(i => s"delta$i").mkString(" ")),
+      14L -> "tiny doc"))
+    assert(admitted.select("doc_id").as[Long].collect().toSeq ===
+      Seq(11L, 12L, 14L))
+    // append the admitted band rows; the index now near-dup-rejects
+    // gamma re-texts too
+    ops.Dedup.neardupIndexWrite(docsOf(
+      11L -> ((1 to 40).map(i => s"gamma$i").mkString(" "))),
+      store, mode = "append")
+    val admitted2 = ops.Dedup.neardupMerge(spark, store, docsOf(
+      20L -> ((1 to 40).map(i => s"gamma$i").mkString(" ")),
+      21L -> ((1 to 40).map(i => s"epsilon$i").mkString(" "))))
+    assert(admitted2.select("doc_id").as[Long].collect().toSeq ===
+      Seq(21L))
+  }
+
   test("dedupIndexCompact bounds bucket file counts, is idempotent, " +
     "and the compacted index still rejects planted duplicates") {
     import spark.implicits._

@@ -63,6 +63,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("q85: band-index scan is partition-pruned to the batch's keys") {
+    val plan = formatted("q85_neardup_merge")
+    // the collected (band, kb) key set must land as a NON-EMPTY
+    // PartitionFilters predicate on the stored band index's scan
+    // (neardupMerge's static OR-of-INSETs), and the band-key joins must
+    // be hash joins with the verify in the join condition — never a
+    // corpus-side broadcast or nested loop
+    assert(plan.contains("PartitionFilters: [("), plan)
+    assert(plan.contains("INSET"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q37: brute-force top-k broadcasts the 1-row query vector") {
     val plan = formatted("q37_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
