@@ -244,24 +244,31 @@ object Dedup {
   // iterative fixpoint). Steady-state ingest cost is O(batch bands) +
   // one PRUNED read of the band index — never a corpus text rescan.
   /** Write/append the near-dup admission index: band rows (the q67
-    * pipeline) partitioned by (band, kb) where kb = xxhash64(k1) mod 64
-    * — the sub-bucket a merge prunes on, computed identically on the
-    * batch side. ~8 band rows x (2 keys + 16 mins) per doc: ~200 B/doc
-    * at any corpus size, orders smaller than the text. */
+    * pipeline) partitioned by kb = xxhash64(band, k1) mod 64 — ONE
+    * 64-way partition column exactly like q83's hash-range buckets
+    * (a first cut partitioned by (band, kb-of-k1) spread the index
+    * over 8 x 64 = 512 directories of near-empty files and paid ~10x
+    * the write in per-directory commit overhead; folding band into
+    * the bucket hash keeps the same pruning power at 64 dirs). Within
+    * each bucket file, rows are sorted (band, k1, k2) so parquet
+    * row-group stats serve point probes. ~8 band rows x (2 keys + 16
+    * mins) per doc: ~200 B/doc at any corpus size, orders smaller
+    * than the text. */
   def neardupIndexWrite(docs: DataFrame, store: String,
       mode: String = "overwrite"): Unit =
     bandRows(q36bSig(docs.filter(col("doc_id").isNotNull)))
-      .withColumn("kb", pmod(xxhash64(col("k1")), lit(64)).cast("int"))
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int"))
       // co-locate each partition-dir into one task (dedupIndexWrite's
       // small-files reasoning: without this, width x |dirs| files)
-      .repartition(col("band"), col("kb"))
-      .sortWithinPartitions(col("band"), col("kb"), col("k1"), col("k2"))
-      .write.mode(mode).partitionBy("band", "kb").parquet(store)
+      .repartition(64, col("kb"))
+      .sortWithinPartitions(col("kb"), col("band"), col("k1"), col("k2"))
+      .write.mode(mode).partitionBy("kb").parquet(store)
 
   /** Admit the batch's genuinely-new documents against the stored band
     * index. The index read is EXPLICITLY partition-pruned to the
-    * batch's (band, kb) key set — at most NBands x 64 pairs, collected
-    * from the (small-by-definition) batch, the q83 static-IN argument —
+    * batch's kb bucket set — at most 64 ints, collected from the
+    * (small-by-definition) batch, the q83 static-IN argument —
     * and the band-key equi-join carries both sides' 16-min signatures
     * so verification happens inside the join (the q36b one-shuffle
     * shape). The batch side is the hash build side (shuffle_hash: a
@@ -269,30 +276,31 @@ object Dedup {
     * the incremental-ingest premise). Docs too short to signature
     * (< 3 tokens) can near-dup with nothing and pass through.
     *
-    * Honest pruning envelope: past ~10k batch docs the (band, kb) key
-    * set saturates all NBands x 64 partitions and the merge reads the
+    * Honest pruning envelope: past ~1k batch docs the kb bucket set
+    * saturates all 64 partitions and the merge reads the
     * whole index — still ~200 B/doc of signatures, never corpus text,
     * so a daily merge at 100 TB costs one signature-table scan plus
     * batch-bounded shuffles; the pruning is the point-ingest fast
-    * path, not the bulk-merge bound. */
+    * path, not the bulk-merge bound. The bucket-set collect pays one
+    * extra batch signature pass (the q83 static-IN trade, O(batch) by
+    * the ingest premise). */
   def neardupMerge(s: SparkSession, store: String,
       newDocs: DataFrame): DataFrame = {
     val batch = newDocs.filter(col("doc_id").isNotNull)
     val batchBands = bandRows(q36bSig(batch))
-      .withColumn("kb", pmod(xxhash64(col("k1")), lit(64)).cast("int"))
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int"))
     val nMatch = aggregate(
       zip_with(col("x.mins"), col("y.mins"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    val keys = batchBands.select(col("band"), col("kb")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))) // <= NBands x 64
+    val keys = batchBands.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
     val crossHit =
       if (keys.isEmpty) batch.select(col("doc_id")).limit(0)
       else {
-        val pruned = keys.groupBy(_._1).toSeq.map { case (b, ks) =>
-          col("band") === b && col("kb").isin(ks.map(_._2): _*)
-        }.reduce(_ || _)
-        s.read.parquet(store).filter(pruned).as("x")
+        s.read.parquet(store)
+          .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
           .join(batchBands.as("y").hint("shuffle_hash"),
             col("x.band") === col("y.band") &&
               col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2"))

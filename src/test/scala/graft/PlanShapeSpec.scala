@@ -65,12 +65,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q85: band-index scan is partition-pruned to the batch's keys") {
     val plan = formatted("q85_neardup_merge")
-    // the collected (band, kb) key set must land as a NON-EMPTY
-    // PartitionFilters predicate on the stored band index's scan
-    // (neardupMerge's static OR-of-INSETs), and the band-key joins must
-    // be hash joins with the verify in the join condition — never a
-    // corpus-side broadcast or nested loop
-    assert(plan.contains("PartitionFilters: [("), plan)
+    // the collected kb bucket set must land as a PartitionFilter on
+    // the stored band index's scan (neardupMerge's static IN, the q83
+    // shape), and the band-key joins must be hash joins with the
+    // verify in the join condition — never a corpus-side broadcast or
+    // nested loop
+    assert(plan.contains("PartitionFilters: [kb"), plan)
     assert(plan.contains("INSET"), plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
