@@ -1497,13 +1497,26 @@ object Dedup {
     * where the n_* columns count each family's edges inside the
     * cluster. */
   def unifiedDedupClusters(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val fams = nearDupPairs(docs)
+    val ss = docs.sparkSession
+    val famsPlan = nearDupPairs(docs)
       .select(col("doc_a"), col("doc_b"), lit("shingle").as("family"))
       .unionByName(simhashPairsUnordered(docs)
         .select(col("doc_a"), col("doc_b"), lit("simhash").as("family")))
       .unionByName(Similarity.embeddingNearDupLsh(emb)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
           lit("emb_lsh").as("family")))
+    // materialize the unioned edge set ONCE: it feeds both CC and the
+    // provenance rollup, and without this every family's whole pair
+    // pipeline runs twice (measured ~2x the query at sf0.1). Pair-graph
+    // sized — the same bound CC's own per-round checkpoints rely on —
+    // and routed through the same primitive (reliable checkpoint when
+    // spark.graft.cc.checkpointDir is set, executor-local otherwise).
+    val fams =
+      if (ss.conf.getOption("spark.graft.cc.checkpointDir").isDefined) {
+        ss.sparkContext.setCheckpointDir(
+          ss.conf.get("spark.graft.cc.checkpointDir"))
+        famsPlan.checkpoint()
+      } else famsPlan.localCheckpoint()
     val cc = connectedComponents(fams.select(col("doc_a"), col("doc_b"))
       .distinct())
     // every edge's endpoints share a cluster by construction, so one
