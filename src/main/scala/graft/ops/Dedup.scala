@@ -320,6 +320,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Band rows of any (doc_id, text) relation — the shared signature
+    * pipeline (tokenize -> MinHash -> band explode), exposed for the
+    * streaming twin (s14): every step is a stateless projection, so
+    * the same code runs unchanged on a streaming DataFrame. */
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+    bandRows(q36bSig(docs))
+
+  /** The verify threshold's denominator, for consumers outside this
+    * file (s14 mirrors the >= NHashes/2 rule). */
+  private[graft] def nHashes: Int = NHashes
+
+  /** Oracle SQL for the streaming near-dup screen (s14) — built here
+    * because it reuses this file's private signature/band SQL
+    * generators: corpus (docs < 250) and stream (docs >= 250)
+    * signatures band-collide, verify >= NHashes/2, and report each
+    * flagged doc's best agreement. */
+  private[graft] def streamNeardupScreenOracle: String =
+    s"""WITH ${shingleSqlFor(
+          "(SELECT * FROM documents WHERE doc_id IS NOT NULL" +
+            " AND doc_id < 250)", "C")},
+       |sigC AS (
+       |  SELECT doc_id, ${minExprs("m")}
+       |  FROM shC GROUP BY doc_id),
+       |${shingleSqlFor(
+          "(SELECT * FROM documents WHERE doc_id >= 250)", "B")},
+       |sigB AS (
+       |  SELECT doc_id, ${minExprs("m")}
+       |  FROM shB GROUP BY doc_id),
+       |bandC AS (
+       |  SELECT doc_id, b,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+       |  FROM sigC, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+       |bandB AS (
+       |  SELECT doc_id, b,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+       |  FROM sigB, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS bdoc, y.doc_id AS cdoc
+       |  FROM bandB x JOIN bandC y
+       |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2),
+       |scored AS (
+       |  SELECT c.bdoc,
+       |    ${(0 until NHashes).map(j =>
+            s"(CASE WHEN sa.m$j = sc.m$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS n_match
+       |  FROM cand c
+       |  JOIN sigB sa ON c.bdoc = sa.doc_id
+       |  JOIN sigC sc ON c.cdoc = sc.doc_id)
+       |SELECT bdoc AS doc_id, CAST(max(n_match) AS INT) AS n_match
+       |FROM scored WHERE n_match * 2 >= $NHashes
+       |GROUP BY bdoc ORDER BY doc_id""".stripMargin
+
   /** Declared write-then-merge binding (the q83 pattern, near-dup
     * flavor): docs 0-249 are the standing corpus; the batch is docs
     * 250+ plus re-identified copies of docs 0-49 — planted 16/16

@@ -463,6 +463,45 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  // O-95: ingest-time NEAR-dup screen — s11's stream-static topology
+  // upgraded from exact shingle membership to the STORED near-dup band
+  // index (q85's write-side layout as the static side): arriving
+  // documents signature themselves statelessly (the exact batch
+  // pipeline — tokenize, MinHash, band explode — runs unchanged on the
+  // stream), stream-static join the on-disk band table by band key,
+  // verify >= NHashes/2 agreement inside the join, and emit each
+  // flagged doc's best agreement. State is only the final per-doc max
+  // (complete mode over flagged docs — a set bounded by true near-dup
+  // volume, not the stream); the static side is re-read from parquet
+  // per micro-batch, which at 100 TB is the pruned band-store read the
+  // batch merge (q85) pays, amortized over the batch. Oracle: the
+  // corpus x stream band-collision verify in closed form (a one-batch
+  // AvailableNow replay equals the batch computation row-for-row).
+  def s14StreamNeardupScreen(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_nd_index_s14")
+    graft.ops.Dedup.neardupIndexWrite(
+      graft.ops.Tables.documents(s, d).filter(col("doc_id") < 250), store)
+    val index = s.read.parquet(store)
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val nMatch = aggregate(
+      zip_with(col("x.mins"), col("y.mins"),
+        (xx, yy) => when(xx === yy, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val flagged = graft.ops.Dedup.bandedSignatures(
+        docStream.filter(col("doc_id") >= 250)).as("y")
+      .join(index.as("x"),
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
+          col("x.k2") === col("y.k2"))
+      .select(col("y.doc_id").as("doc_id"), nMatch.as("n_match"))
+      .filter(col("n_match") * 2 >= graft.ops.Dedup.nHashes)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_match")).as("n_match"))
+    runToMemory(s, flagged, "complete", noDataBatch = false)
+      .orderBy(col("doc_id"))
+  }
+
   /** Raw parquet schema of embeddings (column order matches the file). */
   private val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -599,6 +638,7 @@ object Streams {
     "s11_stream_decontaminate" -> (s11StreamDecontaminate _),
     "s12_resume_increment" -> (s12ResumeIncrement _),
     "s13_stream_outlier_screen" -> (s13StreamOutlierScreen _),
+    "s14_stream_neardup_screen" -> (s14StreamNeardupScreen _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -629,6 +669,10 @@ object Streams {
     // topology is the property under test.
     "s11_stream_decontaminate" ->
       graft.ops.Dedup.oracles("q65_decontaminate"),
+    // corpus x stream band-collision verify in closed form (built next
+    // to the private signature SQL generators it reuses)
+    "s14_stream_neardup_screen" ->
+      graft.ops.Dedup.streamNeardupScreenOracle,
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->
