@@ -184,28 +184,56 @@ object Dedup {
     * never corpus text; at 100 TB this is the nightly housekeeping job
     * that keeps corpusMerge's per-bucket read at one-or-few files. */
   def dedupIndexCompact(s: SparkSession, store: String,
-      maxFilesPerBucket: Int = 4): Seq[Int] = {
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    compactBuckets(s, store, "bucket", Seq(col("content_hash")),
+      Seq(col("bucket")), maxFilesPerBucket)
+
+  /** The near-dup band store's compaction pass (the dedupIndexCompact
+    * reasoning applied to the q85 layout): rewrite kb buckets whose
+    * file count exceeds the threshold as one file each, restoring the
+    * (kb, band, k1, k2) sort so parquet row-group stats keep serving
+    * point probes; DISTINCT collapses a band row duplicated across
+    * appends and makes the pass idempotent. */
+  def neardupIndexCompact(s: SparkSession, store: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    compactBuckets(s, store, "kb",
+      Seq(col("doc_id"), col("mins"), col("band"), col("k1"), col("k2")),
+      Seq(col("kb"), col("band"), col("k1"), col("k2")),
+      maxFilesPerBucket)
+
+  /** Shared compaction pass over a hash-bucket-partitioned parquet
+    * store (both standing dedup indexes): enumerate bucket dirs
+    * DRIVER-SIDE (bounded listing, no scan), read ONLY the oversized
+    * buckets (partition-pruned), rewrite each as one sorted file via a
+    * sibling temp dir, and swap with dynamic partition overwrite so
+    * healthy buckets' files stay untouched. Returns the compacted
+    * bucket ids. */
+  private def compactBuckets(s: SparkSession, store: String,
+      partCol: String, projection: Seq[org.apache.spark.sql.Column],
+      sortCols: Seq[org.apache.spark.sql.Column],
+      maxFilesPerBucket: Int): Seq[Int] = {
     val root = new java.io.File(store)
     val over = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
       .filter(_.listFiles().count(f =>
         f.isFile && f.getName.endsWith(".parquet")) > maxFilesPerBucket)
-      .map(_.getName.stripPrefix("bucket=").toInt)
+      .map(_.getName.stripPrefix(partCol + "=").toInt)
       .toSeq.sorted
     if (over.isEmpty) return over
     val tmp = store + "_compacting"
     s.read.parquet(store)
-      .filter(col("bucket").isin(over: _*)) // partition prune
-      .select(col("content_hash"), col("bucket"))
+      .filter(col(partCol).isin(over: _*)) // partition prune
+      .select(projection :+ col(partCol): _*)
       .distinct()
       // one task per bucket => one file per bucket dir (the
       // dedupIndexWrite co-location reasoning)
-      .repartition(over.length, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      .repartition(over.length, col(partCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     s.read.parquet(tmp)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(store)
+      .partitionBy(partCol).parquet(store)
     // temp dir is scratch; best-effort cleanup
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -271,6 +271,30 @@ class GenericApiSpec extends SparkSpec {
       21L -> ((1 to 40).map(i => s"epsilon$i").mkString(" "))))
     assert(admitted2.select("doc_id").as[Long].collect().toSeq ===
       Seq(21L))
+    // compaction: force small files with several more appends, compact,
+    // assert the file bound, and the compacted store still rejects
+    (0 until 4).foreach { i =>
+      ops.Dedup.neardupIndexWrite(docsOf(
+        (100L + i) -> ((1 to 40).map(j => s"fill${i}w$j").mkString(" "))),
+        store, mode = "append")
+    }
+    def maxFiles: Int = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("kb="))
+      .map(_.listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1)
+    val compacted = ops.Dedup.neardupIndexCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty)
+    assert(maxFiles === 1)
+    // idempotent: a second pass finds nothing oversized
+    assert(ops.Dedup.neardupIndexCompact(spark, store,
+      maxFilesPerBucket = 1).isEmpty)
+    val admitted3 = ops.Dedup.neardupMerge(spark, store, docsOf(
+      30L -> longA, // still rejected after compaction
+      31L -> ((1 to 40).map(i => s"zeta$i").mkString(" "))))
+    assert(admitted3.select("doc_id").as[Long].collect().toSeq ===
+      Seq(31L))
   }
 
   test("dedupIndexCompact bounds bucket file counts, is idempotent, " +
