@@ -78,7 +78,7 @@ object Bench {
       // MinHash signature loops as q36b/q67)
       val heavy = Seq("q35", "q36", "q37", "q38", "q41", "q42", "q43",
         "q44", "q47", "q58", "q61", "q65", "q67", "q71", "q74", "q83",
-        "q84", "q85")
+        "q84", "q85", "q86", "q87")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => heavy.exists(n.startsWith) }
         .foreach { case (_, fn) => warm(fn(spark, heavyWarmDir).count()) }

@@ -1582,8 +1582,21 @@ object Dedup {
     * (cluster_id, cluster_size, n_shingle, n_simhash, n_emb_lsh),
     * where the n_* columns count each family's edges inside the
     * cluster. */
+  /** Materialize a bounded (pair-graph- or id-list-sized) table once
+    * for multiple consumers (q61c's unioned edges, q86's exact pair
+    * set, q87's per-stage survivor sets): reliable checkpoint() when
+    * spark.graft.cc.checkpointDir is set (the CC convention),
+    * executor-local otherwise. */
+  private def materializeBounded(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    if (ss.conf.getOption("spark.graft.cc.checkpointDir").isDefined) {
+      ss.sparkContext.setCheckpointDir(
+        ss.conf.get("spark.graft.cc.checkpointDir"))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   def unifiedDedupClusters(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val ss = docs.sparkSession
     val famsPlan = nearDupPairs(docs)
       .select(col("doc_a"), col("doc_b"), lit("shingle").as("family"))
       .unionByName(simhashPairsUnordered(docs)
@@ -1594,15 +1607,8 @@ object Dedup {
     // materialize the unioned edge set ONCE: it feeds both CC and the
     // provenance rollup, and without this every family's whole pair
     // pipeline runs twice (measured ~2x the query at sf0.1). Pair-graph
-    // sized — the same bound CC's own per-round checkpoints rely on —
-    // and routed through the same primitive (reliable checkpoint when
-    // spark.graft.cc.checkpointDir is set, executor-local otherwise).
-    val fams =
-      if (ss.conf.getOption("spark.graft.cc.checkpointDir").isDefined) {
-        ss.sparkContext.setCheckpointDir(
-          ss.conf.get("spark.graft.cc.checkpointDir"))
-        famsPlan.checkpoint()
-      } else famsPlan.localCheckpoint()
+    // sized — the same bound CC's own per-round checkpoints rely on.
+    val fams = materializeBounded(famsPlan)
     val cc = connectedComponents(fams.select(col("doc_a"), col("doc_b"))
       .distinct())
     // every edge's endpoints share a cluster by construction, so one
@@ -1624,6 +1630,99 @@ object Dedup {
         col("n_simhash"), col("n_emb_lsh"))
       .orderBy(col("cluster_id"))
   }
+
+  // O-92 companion (q86): recall audit of the NEAR-DUP approximations —
+  // the q84 governance metric applied to the text family: what fraction
+  // of the exact Jaccard>=0.5 pair set (q36) each approximate family
+  // (MinHash-LSH banding, SimHash banding) recovers. This is the number
+  // a curation team tunes band/threshold parameters against, and the
+  // nightly regression that catches a corpus drifting away from the
+  // signature family's assumptions. Deterministic by construction (both
+  // sides are exact integer pipelines). The exact pair set is
+  // materialized once (pair-graph sized) and probed per family.
+  /** Per-family recall over any (doc_id, text) table:
+    * (method, n_exact, n_found, recall). */
+  def neardupRecall(docs: DataFrame): DataFrame = {
+    val exact = materializeBounded(
+      nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+    val sides = Seq(
+      ("minhash_lsh", minhashLshPairs(docs)),
+      ("simhash", simhashPairs(docs)))
+    sides.map { case (m, approx) =>
+      exact.join(approx.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(m).as("method"), col("n_exact"), col("n_found"),
+          round(col("n_found") / col("n_exact"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("method"))
+  }
+
+  def q86NeardupRecall(s: SparkSession, d: String): DataFrame =
+    neardupRecall(documents(s, d))
+
+  // O-96 (q87): the END-TO-END curation funnel — the chain every
+  // training-data pipeline actually runs, composed from the engine's
+  // own declared operators (the whole point of a library: operators
+  // compose): exact dedup (q35's keep-first) -> conservative near-dup
+  // drop over the survivors (any doc with a lower-id exact-Jaccard>=0.5
+  // partner, the q85 intra rule) -> quality filter (q62's keep) ->
+  // decontamination (q65's >= 10 shared shingles vs the src0 eval
+  // stand-in, with src0 itself excluded from training) -> train split
+  // (q59's stable hash bucket < 80). Output is the stage funnel —
+  // (stage, stage_name, n_docs) — the governance table a curation run
+  // reports.
+  //
+  // Scale shape: every stage is its own declared operator's bounded
+  // plan; each stage's survivor set is materialized once (id-list
+  // sized) so stage N+1 never recomputes stages 1..N, mirroring how a
+  // real pipeline persists intermediate corpora between jobs.
+  /** The funnel over any (doc_id, lang, source, n_chars, text) table:
+    * one row per stage with the surviving doc count. */
+  def curationFunnel(docs0: DataFrame): DataFrame = {
+    val d0 = materializeBounded(docs0.filter(col("doc_id").isNotNull))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val s1 = materializeBounded(d0
+      .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "content_hash"))
+    val ndDrop = nearDupPairs(s1)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s2 = materializeBounded(s1.join(ndDrop, Seq("doc_id"), "left_anti"))
+    val s3 = materializeBounded(s2.join(
+      TextAnalysis.qualityFilter(s2).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    val bench = sourcedShingleRows(d0)
+      .filter(col("source") === "src0")
+      .select(col("h")).distinct()
+    val flagged = sourcedShingleRows(s3)
+      .filter(col("source") =!= "src0")
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .select(col("doc_id"))
+    val s4 = materializeBounded(s3
+      .filter(col("source") =!= "src0")
+      .join(flagged, Seq("doc_id"), "left_anti"))
+    val s5 = s4.join(
+      Sampling.hashSplit(s4).filter(col("split") === "train")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Seq((0, "input", d0), (1, "exact_dedup", s1), (2, "near_dup", s2),
+      (3, "quality", s3), (4, "decontaminate", s4), (5, "train_split", s5))
+      .map { case (i, n, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(n).as("stage_name"),
+            col("n_docs"))
+      }.reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  def q87CurationFunnel(s: SparkSession, d: String): DataFrame =
+    curationFunnel(documents(s, d))
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d))
@@ -1713,6 +1812,8 @@ object Dedup {
     "q35_dedup_exact" -> (q35DedupExact _),
     "q83_corpus_merge" -> (q83CorpusMerge _),
     "q85_neardup_merge" -> (q85NeardupMerge _),
+    "q86_neardup_recall" -> (q86NeardupRecall _),
+    "q87_curation_funnel" -> (q87CurationFunnel _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -1745,6 +1846,12 @@ object Dedup {
       |    concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
       |  FROM toksTAG, UNNEST(generate_series(0, len(w)-3)) AS t(i))"""
       .stripMargin.replace("SRC", src).replace("TAG", tag)
+
+  /** TextAnalysis.toksSql's twin for the q87 funnel's quality stage
+    * (plain string — the `\s+` must not pass through an
+    * s-interpolator). */
+  private val qtoksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"""
 
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
     * family, classic GROUP BY formulation over exploded shingles). */
@@ -2249,5 +2356,139 @@ object Dedup {
          |  AND NOT EXISTS
          |    (SELECT 1 FROM intrahit h WHERE h.doc_id = f.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q86: each family's pair set as its own scoped-WITH derived table
+    // (the q61c composition pattern), then per-family recall against
+    // the exact pair set
+    "q86_neardup_recall" ->
+      s"""WITH exactp AS (SELECT doc_a, doc_b FROM (
+         |  WITH $shinglesSql,
+         |  cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |  pairs AS (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      count(*) AS inter
+         |    FROM sh a JOIN sh b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5)),
+         |mhp AS (SELECT doc_a, doc_b FROM (
+         |  WITH $shinglesSql,
+         |  sig AS (
+         |    SELECT doc_id, ${minExprs("m")}
+         |    FROM sh GROUP BY doc_id),
+         |  bands AS (
+         |    SELECT doc_id, b,
+         |      CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+         |      CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+         |    FROM sig, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+         |  cand AS (
+         |    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    FROM bands x JOIN bands y
+         |      ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
+         |    WHERE x.doc_id < y.doc_id),
+         |  scored AS (
+         |    SELECT doc_a, doc_b,
+         |      ${(0 until NHashes).map(j =>
+              s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |    FROM cand
+         |    JOIN sig sa ON doc_a = sa.doc_id
+         |    JOIN sig sb ON doc_b = sb.doc_id)
+         |  SELECT doc_a, doc_b FROM scored
+         |  WHERE n_match * 2 >= $NHashes)),
+         |simp AS (SELECT doc_a, doc_b FROM (
+         |  WITH $simhashCtesSql
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
+         |stats AS (
+         |  SELECT 'minhash_lsh' AS method,
+         |    (SELECT count(*) FROM exactp) AS n_exact,
+         |    (SELECT count(*) FROM exactp e
+         |      WHERE EXISTS (SELECT 1 FROM mhp m
+         |        WHERE m.doc_a = e.doc_a AND m.doc_b = e.doc_b))
+         |      AS n_found
+         |  UNION ALL
+         |  SELECT 'simhash',
+         |    (SELECT count(*) FROM exactp),
+         |    (SELECT count(*) FROM exactp e
+         |      WHERE EXISTS (SELECT 1 FROM simp s2
+         |        WHERE s2.doc_a = e.doc_a AND s2.doc_b = e.doc_b)))
+         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  round(CAST(n_found AS DOUBLE) / n_exact, 4) AS recall
+         |FROM stats ORDER BY method""".stripMargin,
+    // q87: the funnel stage by stage — each stage's CTE mirrors its
+    // declared operator's oracle exactly (q35 keep-first, q36 pairs at
+    // 0.5 over the s1 survivors, q62's keep, q65's >= 10 shared
+    // shingles vs src0 with src0 excluded, q59's bucket < 80)
+    "q87_curation_funnel" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |s1 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |${shingleSqlFor("(SELECT doc_id, text FROM s1)", "P")},
+         |cntP AS (SELECT doc_id, count(*) AS c FROM shP GROUP BY doc_id),
+         |prsP AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shP a JOIN shP b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nddrop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM prsP
+         |  JOIN cntP ca ON doc_a = ca.doc_id
+         |  JOIN cntP cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |s2 AS (
+         |  SELECT * FROM s1 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM nddrop n WHERE n.doc_id = f.doc_id)),
+         |qt AS (
+         |  SELECT doc_id,
+         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS INT) AS n_word_chars,
+         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
+         |  FROM s2),
+         |s3 AS (
+         |  SELECT s2.* FROM s2 JOIN qt USING (doc_id)
+         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
+         |    AND (n_word_chars >= n_tokens * 3
+         |      AND n_word_chars <= n_tokens * 6)
+         |    AND (n_distinct * 10 >= n_tokens * 3)),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM documents" +
+              " WHERE doc_id IS NOT NULL AND source = 'src0')", "E")},
+         |benchE AS (SELECT DISTINCT shingle FROM shE),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s3 WHERE source != 'src0')", "F")},
+         |flagged AS (
+         |  SELECT doc_id FROM shF JOIN benchE USING (shingle)
+         |  GROUP BY doc_id HAVING count(*) >= 10),
+         |s4 AS (
+         |  SELECT * FROM s3 f
+         |  WHERE source != 'src0' AND NOT EXISTS
+         |    (SELECT 1 FROM flagged g WHERE g.doc_id = f.doc_id)),
+         |s5 AS (
+         |  SELECT * FROM s4
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 100 < 80),
+         |funnel AS (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM d0) AS n_docs
+         |  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'near_dup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5))
+         |SELECT CAST(stage AS INT) AS stage, stage_name,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM funnel ORDER BY stage""".stripMargin,
   )
 }
