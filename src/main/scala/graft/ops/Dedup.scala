@@ -1649,10 +1649,13 @@ object Dedup {
       ("minhash_lsh", minhashLshPairs(docs)),
       ("simhash", simhashPairs(docs)))
     sides.map { case (m, approx) =>
-      exact.join(approx.select(col("doc_a"), col("doc_b")),
-          Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_found"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      // one left-outer + one aggregate: count(found) counts the hits,
+      // count(*) the exact pairs — no scalar cross-combine needed
+      exact.join(
+          approx.select(col("doc_a"), col("doc_b")).distinct()
+            .withColumn("found", lit(1)),
+          Seq("doc_a", "doc_b"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"), count(col("found")).as("n_found"))
         .select(lit(m).as("method"), col("n_exact"), col("n_found"),
           round(col("n_found") / col("n_exact"), 4).as("recall"))
     }.reduce(_ unionByName _).orderBy(col("method"))

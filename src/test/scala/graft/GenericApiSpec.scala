@@ -297,6 +297,43 @@ class GenericApiSpec extends SparkSpec {
       Seq(31L))
   }
 
+  test("curationFunnel drops exactly one planted doc per stage") {
+    import spark.implicits._
+    // 2-letter prefixes keep the mean token length inside q62's 3-6
+    // band (25 tokens of 3-4 chars: n_word_chars 91 in [75, 150])
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val good1 = words("ab", 25).mkString(" ")
+    // near-dup of good1: one interior token changed (jaccard ~0.77)
+    val near1 = (words("ab", 12) ++ Seq("CHANGED") ++
+      words("ab", 25).drop(13)).mkString(" ")
+    val bench = words("bz", 25).mkString(" ")
+    // shares the 12 shingles of bench's first 14 tokens (flagged at
+    // >= 10) but only jaccard 12/34 ~ 0.35 (survives near-dup)
+    val contaminated = (words("bz", 14) ++ words("uq", 11))
+      .mkString(" ")
+    val good2 = words("om", 25).mkString(" ")
+    val docs = Seq(
+      (1L, good1, "t1"), (2L, good1, "t1"), (3L, near1, "t1"),
+      (4L, "too short doc here", "t1"), (5L, bench, "src0"),
+      (6L, contaminated, "t1"), (7L, good2, "t1")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val funnel = ops.Dedup.curationFunnel(docs)
+      .select("stage_name", "n_docs")
+      .as[(String, Long)].collect().toSeq
+    val expectedTrain = ops.Sampling.hashSplit(
+        Seq((1L, "t1"), (7L, "t1")).toDF("doc_id", "source"))
+      .filter(col("split") === "train").count()
+    assert(funnel === Seq(
+      ("input", 7L),          // all docs
+      ("exact_dedup", 6L),    // doc 2 = exact copy of doc 1
+      ("near_dup", 5L),       // doc 3 = near-dup of doc 1
+      ("quality", 4L),        // doc 4 = too short
+      ("decontaminate", 2L),  // doc 5 = src0 itself, doc 6 = flagged
+      ("train_split", expectedTrain)))
+  }
+
   test("dedupIndexCompact bounds bucket file counts, is idempotent, " +
     "and the compacted index still rejects planted duplicates") {
     import spark.implicits._

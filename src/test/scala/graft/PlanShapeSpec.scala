@@ -77,6 +77,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q86/q87: audit and funnel compose without corpus-wide loops") {
+    // both are compositions of declared operators — the assertion is
+    // that composition introduces no cartesian/nested-loop join and
+    // the funnel's decontamination side broadcasts the bench dictionary
+    val recall = formatted("q86_neardup_recall")
+    assert(!recall.contains("CartesianProduct"), recall)
+    assert(!recall.contains("BroadcastNestedLoopJoin"), recall)
+    val funnel = formatted("q87_curation_funnel")
+    assert(!funnel.contains("CartesianProduct"), funnel)
+    assert(!funnel.contains("BroadcastNestedLoopJoin"), funnel)
+    assert(funnel.contains("BroadcastExchange"), funnel)
+  }
+
   test("q37: brute-force top-k broadcasts the 1-row query vector") {
     val plan = formatted("q37_similarity_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
