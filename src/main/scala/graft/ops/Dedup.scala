@@ -208,7 +208,7 @@ object Dedup {
     * sibling temp dir, and swap with dynamic partition overwrite so
     * healthy buckets' files stay untouched. Returns the compacted
     * bucket ids. */
-  private def compactBuckets(s: SparkSession, store: String,
+  private[graft] def compactBuckets(s: SparkSession, store: String,
       partCol: String, projection: Seq[org.apache.spark.sql.Column],
       sortCols: Seq[org.apache.spark.sql.Column],
       maxFilesPerBucket: Int): Seq[Int] = {

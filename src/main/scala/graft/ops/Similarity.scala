@@ -242,8 +242,13 @@ object Similarity {
     * filter (directory pruning), so a probe scans ~nprobe/k of the
     * corpus no matter how large the table grows. Same math as q37c
     * (verified by IvfStoreSpec result-parity + plan assertions). */
-  def ivfWrite(s: SparkSession, d: String, storeDir: String): Unit = {
-    val quantized = embeddings(s, d).select(col("vec_id"), col("label"),
+  def ivfWrite(s: SparkSession, d: String, storeDir: String): Unit =
+    ivfWriteDf(embeddings(s, d), storeDir)
+
+  /** The same layout over any (vec_id, embedding, label) DataFrame —
+    * the form the incremental path (ivfAppend) composes with. */
+  def ivfWriteDf(emb: DataFrame, storeDir: String): Unit = {
+    val quantized = emb.select(col("vec_id"), col("label"),
       quantize(col("embedding")).as("qe"))
     val centroids = quantized.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell_id"), col("qe").as("ce"))
@@ -252,6 +257,56 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$storeDir/vectors")
     centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
+  }
+
+  /** O-82 incremental path (q88): append a batch of vectors to a
+    * stored IVF layout. Each new vector is assigned against the
+    * STORE'S OWN centroids (a frozen quantizer — the production
+    * cadence: the coarse codebook retrains offline when the q84 recall
+    * audit drifts, never per batch, so assignment is a pure row-local
+    * map over the batch) and lands in its cell's partition via a plain
+    * parquet append — only the touched cell directories gain files.
+    * Ingest cost is O(batch); probes are unchanged and immediately see
+    * corpus ∪ batch. The vector twin of the q83/q85 index merges,
+    * completing the incremental-ingest triple (exact hash, near-dup
+    * band, ANN cell). */
+  def ivfAppend(s: SparkSession, storeDir: String, emb: DataFrame): Unit = {
+    val centroids = s.read.parquet(s"$storeDir/centroids")
+    val quantized = emb.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("qe"))
+    coarseAssign(quantized, centroids)
+      .select(col("vec_id"), col("label"), col("qe"), col("cell_id"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$storeDir/vectors")
+  }
+
+  /** Bound the vector store's file count under daily appends — the
+    * same driver-side listing / pruned-rewrite pass as the dedup
+    * indexes' compaction (graft.ops.Dedup.compactBuckets). */
+  def ivfCompact(s: SparkSession, storeDir: String,
+      maxFilesPerCell: Int = 4): Seq[Int] =
+    Dedup.compactBuckets(s, s"$storeDir/vectors", "cell_id",
+      Seq(col("vec_id"), col("label"), col("qe")),
+      Seq(col("cell_id"), col("vec_id")), maxFilesPerCell)
+
+  /** Declared write-append-probe binding: the store is built WITHOUT
+    * the day's batch (vec_id >= 16 with vec_id % 5 == 0 — the 16 seed
+    * vectors stay in the corpus so the codebook matches the full
+    * rebuild), the batch is then appended against the frozen
+    * centroids, and vec 0's probe must return EXACTLY the
+    * full-corpus answer — append-equals-rebuild is the property under
+    * test, so the oracle is q68's (= q37c's). */
+  def q88IvfAppend(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_ivf_store_q88")
+    val emb = embeddings(s, d)
+    val batchPred = col("vec_id") >= 16 && col("vec_id") % 5 === 0
+    ivfWriteDf(emb.filter(!batchPred), store)
+    ivfAppend(s, store, emb.filter(batchPred))
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfProbe(s, store, queryVec, nprobe = 4, k = 10,
+      excludeVecId = Some(0L))
   }
 
   /** Probe the stored IVF layout: rank centroids against the query
@@ -830,6 +885,7 @@ object Similarity {
     "q37b_similarity_lsh" -> (q37bSimilarityLsh _),
     "q37c_similarity_ivf" -> (q37cSimilarityIvf _),
     "q68_ivf_probe" -> (q68IvfProbe _),
+    "q88_ivf_append" -> (q88IvfAppend _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
     "q36f_embedding_neardup_lsh" -> (q36fEmbeddingNeardupLsh _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
@@ -1069,6 +1125,9 @@ object Similarity {
     // q37c's: identical results via a different physical path is the
     // property under test.
     "q68_ivf_probe" -> ivfOracleSql,
+    // append-equals-rebuild: the appended store's probe must produce
+    // the full-corpus IVF answer bit-for-bit
+    "q88_ivf_append" -> ivfOracleSql,
     "q37_similarity_topk" -> q37OracleSql,
     // Banded sign-LSH twin: per-plane sign bits from the mask literals,
     // band keys packed from bandBits-bit slices, candidates share >= one

@@ -81,4 +81,45 @@ class IvfStoreSpec extends SparkSpec {
     // shuffles before its per-vector partial-agg sum)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ivfAppend equals full rebuild; ivfCompact bounds cell files") {
+    val emb = Tables.embeddings(spark, sf)
+    val storeFull = java.nio.file.Files
+      .createTempDirectory("ivf_full_").toString
+    Similarity.ivfWriteDf(emb, storeFull)
+    val storeInc = java.nio.file.Files
+      .createTempDirectory("ivf_inc_").toString
+    val batch = col("vec_id") >= 16 && col("vec_id") % 5 === 0
+    Similarity.ivfWriteDf(emb.filter(!batch), storeInc)
+    Similarity.ivfAppend(spark, storeInc, emb.filter(batch))
+    // append-equals-rebuild: identical probe answers
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .collect().head.getSeq[Long](0).toArray
+    def probeRows(store: String) =
+      Similarity.ivfProbe(spark, store, qv, excludeVecId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(probeRows(storeInc) === probeRows(storeFull))
+    // a few more appends accumulate files; compact bounds them to one
+    // per cell, idempotently, and the probe answer is unchanged
+    (0 until 3).foreach { _ =>
+      Similarity.ivfAppend(spark, storeInc,
+        emb.filter(col("vec_id") === 1L))
+    }
+    def maxFiles: Int = new java.io.File(s"$storeInc/vectors")
+      .listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell_id="))
+      .map(_.listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).max
+    assert(maxFiles > 1)
+    assert(Similarity.ivfCompact(spark, storeInc,
+      maxFilesPerCell = 1).nonEmpty)
+    assert(maxFiles === 1)
+    assert(Similarity.ivfCompact(spark, storeInc,
+      maxFilesPerCell = 1).isEmpty)
+    // compaction's DISTINCT collapsed the triple-appended vec 1
+    assert(spark.read.parquet(s"$storeInc/vectors")
+      .filter(col("vec_id") === 1L).count() === 1L)
+    assert(probeRows(storeInc) === probeRows(storeFull))
+  }
 }
