@@ -310,6 +310,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("neardupMerge equals the one-shot pair formulation on random " +
+    "corpora") {
+    import spark.implicits._
+    // the store round-trip (write, prune, band join, intra rule) must
+    // admit exactly what the in-memory pair formulation predicts:
+    // drop a batch doc iff it LSH-verifies against any corpus doc or
+    // any lower-id batch doc. Small vocab + short docs => real random
+    // signature collisions across rounds.
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val docGen = Gen.listOfN(14, Gen.chooseNum(0, vocab.size - 1))
+    val corpusGen = Gen.listOfN(12, docGen)
+    val newbGen = Gen.listOfN(8, docGen)
+    forAll(corpusGen, newbGen) { (cd, nd) =>
+      def shape(rows: Seq[(Long, String)]) =
+        rows.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      val corpusRows = cd.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.map(vocab).mkString(" ")) }
+      // batch = new docs + re-identified copies of two corpus docs
+      // (guaranteed 16/16 matches) on top of whatever random
+      // collisions the generator produces
+      val batchRows = nd.zipWithIndex.map { case (ws, i) =>
+        (100L + i, ws.map(vocab).mkString(" ")) } ++
+        corpusRows.take(2).map { case (i, t) => (200L + i, t) }
+      val store = java.nio.file.Files
+        .createTempDirectory("nd_prop_").toString
+      ops.Dedup.neardupIndexWrite(shape(corpusRows), store)
+      val admitted = ops.Dedup.neardupMerge(spark, store,
+          shape(batchRows))
+        .select("doc_id").as[Long].collect().toSet
+      val pairs = ops.Dedup.minhashLshPairs(
+          shape(corpusRows ++ batchRows))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      val corpusIds = corpusRows.map(_._1).toSet
+      val batchIds = batchRows.map(_._1).toSet
+      val cross = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .collect { case (x, y) if batchIds(x) && corpusIds(y) => x }
+        .toSet
+      val intra = pairs // doc_a < doc_b by construction
+        .collect { case (a, b) if batchIds(a) && batchIds(b) => b }
+        .toSet
+      assert(admitted === (batchIds -- cross -- intra))
+    }
+  }
+
   test("labelOutliers matches a driver-side exact integer recomputation") {
     import spark.implicits._
     val vecGen = Gen.listOfN(12, Gen.zip(
