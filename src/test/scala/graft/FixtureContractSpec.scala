@@ -71,6 +71,31 @@ class FixtureContractSpec extends SparkSpec {
       }
     }
 
+    test(s"tier-C key columns keep their engine-contract types [$d]") {
+      // driver-side getters (getLong, getSeq[Long], getString) and the
+      // quantize/probe pipelines bind these exact types; a fixture
+      // regeneration that narrows doc_id/vec_id to int or widens the
+      // embedding element to double should fail HERE with a one-line
+      // diagnosis, not deep inside a probe (the round-7 events lesson,
+      // applied to the tier-C tables)
+      val docs = graft.ops.Tables.documents(spark, d)
+      for ((c, t) <- Seq("doc_id" -> LongType, "text" -> StringType,
+          "source" -> StringType, "n_chars" -> LongType))
+        assert(docs.schema(c).dataType == t,
+          s"$d/documents.parquet $c: expected ${t.simpleString}, got " +
+            docs.schema(c).dataType.simpleString)
+      val emb = graft.ops.Tables.embeddings(spark, d)
+      assert(emb.schema("vec_id").dataType == LongType,
+        s"$d/embeddings.parquet vec_id: got " +
+          emb.schema("vec_id").dataType.simpleString)
+      assert(emb.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(FloatType, true) ||
+        emb.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(FloatType, false),
+        s"$d/embeddings.parquet embedding: expected array<float>, got " +
+          emb.schema("embedding").dataType.simpleString)
+    }
+
     test(s"events.ts normalizes to TimestampType with sane values [$d]") {
       val ev = graft.ops.Tables.events(spark, d)
       val tsType = ev.schema("ts").dataType
