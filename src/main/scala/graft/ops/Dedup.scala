@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
+  /** Re-key offset for the q83/q85 planted-duplicate fixtures: copies
+    * of low-id corpus docs join the arriving batch under
+    * `doc_id + ReKeyOffset`. Far above any fixture's doc_id range so
+    * re-keys can never collide with real batch ids (a 10000 offset
+    * collided once fixtures reached doc_id 10000 — advisor r9). The
+    * DuckDB oracles use the same literal. */
+  private[graft] val ReKeyOffset = 1000000000L
+
   /** (doc_id, w): tokenized documents with >= 3 tokens.
     *
     * The repartition exists because the heavy per-doc work (shingling,
@@ -254,7 +262,7 @@ object Dedup {
     dedupIndexWrite(docs.filter(col("doc_id") < 250), store)
     val newBatch = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
     corpusMerge(s, store, newBatch)
   }
 
@@ -420,7 +428,7 @@ object Dedup {
     neardupIndexWrite(docs.filter(col("doc_id") < 250), store)
     val newBatch = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 10000))
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
     neardupMerge(s, store, newBatch)
   }
 
@@ -2120,7 +2128,7 @@ object Dedup {
     // of docs 0-49 (planted dups); NOT EXISTS = Spark's left_anti
     // NULL-key semantics
     "q83_corpus_merge" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT sha256(text) AS content_hash FROM documents
         |  WHERE doc_id < 250),
         |newb AS (
@@ -2128,7 +2136,7 @@ object Dedup {
         |    sha256(text) AS content_hash
         |  FROM documents WHERE doc_id >= 250
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, lang, source, n_chars,
+        |  SELECT doc_id + $ReKeyOffset AS doc_id, lang, source, n_chars,
         |    sha256(text) AS content_hash
         |  FROM documents WHERE doc_id < 50),
         |batch_first AS (
@@ -2299,7 +2307,7 @@ object Dedup {
          |  SELECT doc_id, lang, source, n_chars, text
          |  FROM documents WHERE doc_id >= 250
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, lang, source, n_chars, text
+         |  SELECT doc_id + $ReKeyOffset AS doc_id, lang, source, n_chars, text
          |  FROM documents WHERE doc_id < 50),
          |${shingleSqlFor(
             "(SELECT * FROM documents WHERE doc_id IS NOT NULL" +

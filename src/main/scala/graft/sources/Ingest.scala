@@ -87,7 +87,11 @@ object Ingest {
     * alias rows with no qualifying commit are dropped (nothing to
     * anchor them to, the reference's probe-skip posture). If the same
     * commit was ALSO fetched explicitly by hash, the explicit row
-    * wins and the resolved alias duplicate is dropped. Control-plane
+    * wins and the resolved alias duplicate is dropped. Two alias rows
+    * can resolve to the SAME commit (two nightlies with no commit in
+    * between) — only the newest nightly is kept (ties broken on
+    * payload), so the output is one deterministic row per hash and
+    * downstream windows never see a tied key. Control-plane
     * cardinality throughout (the alias is one row per refresh), so
     * every join broadcasts the tiny side. */
   def resolveLatestAlias(artifacts: DataFrame,
@@ -100,7 +104,11 @@ object Ingest {
       .groupBy(col("payload"), col("artifact_ts"))
       .agg(max_by(col("hash"), struct(col("commit_ts"), col("hash")))
         .as("hash"))
-      .select(col("hash"), col("payload"), col("artifact_ts"))
+      .groupBy(col("hash"))
+      .agg(max_by(struct(col("payload"), col("artifact_ts")),
+        struct(col("artifact_ts"), col("payload"))).as("r"))
+      .select(col("hash"), col("r.payload").as("payload"),
+        col("r.artifact_ts").as("artifact_ts"))
       .join(explicit.select(col("hash")), Seq("hash"), "left_anti")
     explicit.unionByName(resolved)
   }

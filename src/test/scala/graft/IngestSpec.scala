@@ -227,6 +227,19 @@ class IngestSpec extends SparkSpec {
         ("latest", latestBody, Timestamp.valueOf("2026-07-01 00:00:00"))
       ).toDF("hash", "payload", "artifact_ts")
       assert(Ingest.resolveLatestAlias(orphan, commits).count() === 0L)
+      // two nightlies with no intervening commit both resolve to
+      // bbb222e — only the newest survives (deterministic, no tied
+      // key reaches backfill's day-rank window)
+      val twoNightlies = Seq(
+        ("latest", oldBody, Timestamp.valueOf("2026-08-02 05:10:00")),
+        ("latest", latestBody, Timestamp.valueOf("2026-08-02 06:10:00"))
+      ).toDF("hash", "payload", "artifact_ts")
+      val merged = Ingest.resolveLatestAlias(twoNightlies, commits)
+        .select(col("hash"), col("payload"),
+          col("artifact_ts").cast("string"))
+        .as[(String, String, String)].collect().toSeq
+      assert(merged === Seq(
+        ("bbb222e", latestBody, "2026-08-02 06:10:00")))
     } finally server.stop(0)
   }
 

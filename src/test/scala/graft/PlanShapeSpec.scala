@@ -71,7 +71,11 @@ class PlanShapeSpec extends SparkSpec {
     // verify in the join condition — never a corpus-side broadcast or
     // nested loop
     assert(plan.contains("PartitionFilters: [kb"), plan)
-    assert(plan.contains("INSET"), plan)
+    // Spark renders the static bucket-set filter as INSET only past
+    // inSetConversionThreshold (default 10); a small batch touching
+    // <= 10 buckets renders `kb#... IN (...)` — both are the same
+    // static pruning, so accept either
+    assert(plan.contains("INSET") || plan.contains(" IN ("), plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
