@@ -329,10 +329,11 @@ object Dedup {
     val batchBands = materializeBounded(bandRows(q36bSig(batch))
       .withColumn("kb",
         pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
-    val nMatch = aggregate(
-      zip_with(col("x.mins"), col("y.mins"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // codegen agreement count (round-10): the previous
+    // aggregate(zip_with(...)) form was an interpreted CodegenFallback
+    // lambda per candidate pair — see LongArrayEqCount scaladoc
+    val nMatch = graft.functions.LongArrayEqCount(
+      col("x.mins"), col("y.mins"))
     val keys = batchBands.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
     val crossHit =
@@ -788,10 +789,11 @@ object Dedup {
   /** Generic MinHash+LSH near-dup pairs over any (doc_id, text) table. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val bands = bandRows(q36bSig(docs))
-    val nMatch = aggregate(
-      zip_with(col("x.mins"), col("y.mins"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // codegen agreement count, not aggregate(zip_with(...)): the lambda
+    // tree is CodegenFallback and runs per candidate pair inside the
+    // band join (round-10; see LongArrayEqCount scaladoc)
+    val nMatch = graft.functions.LongArrayEqCount(
+      col("x.mins"), col("y.mins"))
     // shuffle-hash, not broadcast: the self-join's two inputs are the
     // SAME plan, so as shuffle exchanges one is computed and one reused
     // (a broadcast build would materialize the signature pipeline twice

@@ -485,10 +485,11 @@ object Streams {
     val docStream = s.readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
-    val nMatch = aggregate(
-      zip_with(col("x.mins"), col("y.mins"),
-        (xx, yy) => when(xx === yy, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // codegen agreement count (round-10): the previous
+    // aggregate(zip_with(...)) form was an interpreted CodegenFallback
+    // lambda per candidate pair — see LongArrayEqCount scaladoc
+    val nMatch = graft.functions.LongArrayEqCount(
+      col("x.mins"), col("y.mins"))
     val flagged = graft.ops.Dedup.bandedSignatures(
         docStream.filter(col("doc_id") >= 250)).as("y")
       .join(index.as("x"),

@@ -236,6 +236,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("LongArrayEqCount equals the zip_with agreement fold, incl. " +
+      "mismatched lengths") {
+    import spark.implicits._
+    // lengths drawn independently so the min(|a|,|b|) / zip_with-pad
+    // edge is exercised, and a narrow value range forces collisions
+    val pairGen = Gen.listOfN(12,
+      Gen.zip(
+        Gen.chooseNum(0, 20).flatMap(n =>
+          Gen.listOfN(n, Gen.chooseNum(0L, 5L))),
+        Gen.chooseNum(0, 20).flatMap(n =>
+          Gen.listOfN(n, Gen.chooseNum(0L, 5L)))))
+    forAll(pairGen) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+      val lambda = df.select(col("id"), aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("n")).orderBy(col("id"))
+      val native = df.select(col("id"),
+        graft.functions.LongArrayEqCount(col("a"), col("b")).as("n"))
+        .orderBy(col("id"))
+      assert(native.collect().toSeq === lambda.collect().toSeq)
+    }
+  }
+
   test("chunkOverlap: chunks tile the doc — exact slices, full coverage") {
     import spark.implicits._
     val docGen = Gen.listOfN(8,
