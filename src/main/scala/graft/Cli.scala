@@ -90,10 +90,13 @@ object Cli {
   }
 
   /** Stored pr_events, or an empty typed frame when the store is new
-    * (the empty-store bootstrap, rg.py:140-141 / SURVEY §1.2). */
+    * (the empty-store bootstrap, rg.py:140-141 / SURVEY §1.2).
+    * Existence goes through the Hadoop FileSystem of the store path's
+    * own scheme, so a store on HDFS/S3 bootstraps the same way. */
   def storedEvents(spark: SparkSession, store: String): DataFrame = {
-    val path = new java.io.File(s"$store/pr_events")
-    if (path.exists()) spark.read.parquet(path.toString)
+    val path = new org.apache.hadoop.fs.Path(s"$store/pr_events")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(path.toString)
     else spark.range(0)
       .select(lit(null).cast("timestamp").as("ts"),
         lit(null).cast("long").as("pr_num"),
