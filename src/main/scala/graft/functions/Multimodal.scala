@@ -247,12 +247,18 @@ object Multimodal {
     * cost is per-partition-amortized mapPartitions either way. */
   def q45bRealMediaDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dims = Seq((5, 3), (37, 21), (300, 200), (640, 480), (17, 257),
-      (256, 256))
+    // one (dims, container) pair per row: the four ImageIO-registry
+    // formats the magic gate sniffs all flow through the same decode
+    // path (round 10 widened this from PNG-only — JPEG is lossy, but
+    // the projected columns are raster DIMENSIONS, which every
+    // container preserves exactly, so the closed-form oracle is
+    // format-independent)
+    val dims = Seq((5, 3, "png"), (37, 21, "jpg"), (300, 200, "bmp"),
+      (640, 480, "gif"), (17, 257, "jpg"), (256, 256, "png"))
     val wavFrames = Seq(100, 1000, 8000, 12345)
     val recs = s.range(0, (dims.size + wavFrames.size).toLong).map { i =>
       if (i < dims.size) {
-        val (w, h) = dims(i.toInt)
+        val (w, h, fmt) = dims(i.toInt)
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val rgb = ((40 * i + 17).toInt % 256) << 16 | 0x4080
@@ -263,7 +269,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, fmt, bos)
         MediaRecord(i, "image", bos.toByteArray, "generated")
       } else {
         val n = wavFrames(i.toInt - dims.size)

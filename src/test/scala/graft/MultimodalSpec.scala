@@ -79,6 +79,33 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.embedding.toSeq === stub.embedding.toSeq)
   }
 
+  test("decodeReal decodes JPEG, GIF and BMP payloads via JDK ImageIO") {
+    // same raster through the three other sniffed containers (round
+    // 10): dimensions are container-exact for all of them; pixel
+    // checks stay tolerant for JPEG (lossy) and GIF (palette)
+    def bytesOf(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 9) img.setRGB(x, y, 0xcc0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    Seq("jpg", "gif", "bmp").zipWithIndex.foreach { case (fmt, i) =>
+      val payload = bytesOf(fmt)
+      val rec = Multimodal.MediaRecord(i.toLong, "image", payload, "s")
+      val out = Multimodal.decodeReal(Iterator(rec)).next()
+      val stub = Multimodal.decodeStub(Iterator(rec)).next()
+      // true raster dimensions, not the stub's hash arithmetic
+      assert(out.width === 9 && out.height === 4 && out.n_frames === 1, fmt)
+      assert((out.width, out.height) !== (stub.width, stub.height), fmt)
+      // solid ~80% red raster: mean R high, mean G/B low even after
+      // JPEG quantization / GIF palette snapping
+      assert(out.embedding(4) > 0.6f, s"$fmt mean R ${out.embedding(4)}")
+      assert(out.embedding(5) < 0.2f && out.embedding(6) < 0.2f, fmt)
+    }
+  }
+
   test("text payload with a permissive-magic prefix still takes the stub") {
     // ADVICE r5: '.snd' (AU) is four printable ASCII chars and the AU
     // header is permissive enough that text CAN parse via AudioSystem;
