@@ -1608,7 +1608,7 @@ object Dedup {
     * set, q87's per-stage survivor sets): reliable checkpoint() when
     * spark.graft.cc.checkpointDir is set (the CC convention),
     * executor-local otherwise. */
-  private def materializeBounded(df: DataFrame): DataFrame = {
+  private[graft] def materializeBounded(df: DataFrame): DataFrame = {
     val ss = df.sparkSession
     if (ss.conf.getOption("spark.graft.cc.checkpointDir").isDefined) {
       ss.sparkContext.setCheckpointDir(
@@ -1661,14 +1661,26 @@ object Dedup {
   // signature family's assumptions. Deterministic by construction (both
   // sides are exact integer pipelines). The exact pair set is
   // materialized once (pair-graph sized) and probed per family.
-  /** Per-family recall over any (doc_id, text) table:
-    * (method, n_exact, n_found, recall). */
-  def neardupRecall(docs: DataFrame): DataFrame = {
+  /** Per-family recall over any (doc_id, text) table, reported per
+    * PROBE STRATUM (round 10, the q84 panel convention applied to the
+    * pair audit): the exact pair set is partitioned into 8 fixed
+    * strata by `doc_a % 8` — a deterministic probe panel that exists
+    * at every corpus scale (fixed literal doc ids would not) — and
+    * each (method, stratum) row reports exact/found counts and
+    * recall, with per-method windows adding the worst-stratum
+    * min_recall (the page threshold) and the micro-averaged
+    * mean_recall (identical to the previous corpus-global figure).
+    * One lucky global number can mask a drifting corpus REGION; the
+    * strata localize it. Output: (method, probe_bucket, n_exact,
+    * n_found, recall, min_recall, mean_recall); strata with no exact
+    * pairs produce no row (recall of an empty set is undefined). */
+  def neardupRecall(docs: DataFrame, nStrata: Int = 8): DataFrame = {
     val exact = materializeBounded(
       nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
     val sides = Seq(
       ("minhash_lsh", minhashLshPairs(docs)),
       ("simhash", simhashPairs(docs)))
+    val wm = Window.partitionBy(col("method"))
     sides.map { case (m, approx) =>
       // one left-outer + one aggregate: count(found) counts the hits,
       // count(*) the exact pairs — no scalar cross-combine needed
@@ -1676,10 +1688,18 @@ object Dedup {
           approx.select(col("doc_a"), col("doc_b")).distinct()
             .withColumn("found", lit(1)),
           Seq("doc_a", "doc_b"), "left_outer")
+        .groupBy(pmod(col("doc_a"), lit(nStrata.toLong)).cast("int")
+          .as("probe_bucket"))
         .agg(count(lit(1)).as("n_exact"), count(col("found")).as("n_found"))
-        .select(lit(m).as("method"), col("n_exact"), col("n_found"),
+        .select(lit(m).as("method"), col("probe_bucket"), col("n_exact"),
+          col("n_found"),
           round(col("n_found") / col("n_exact"), 4).as("recall"))
-    }.reduce(_ unionByName _).orderBy(col("method"))
+    }.reduce(_ unionByName _)
+      .withColumn("min_recall", min(col("recall")).over(wm))
+      .withColumn("mean_recall",
+        round(sum(col("n_found")).over(wm) / sum(col("n_exact")).over(wm),
+          4))
+      .orderBy(col("method"), col("probe_bucket"))
   }
 
   def q86NeardupRecall(s: SparkSession, d: String): DataFrame =
@@ -2431,21 +2451,28 @@ object Dedup {
          |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
          |stats AS (
          |  SELECT 'minhash_lsh' AS method,
-         |    (SELECT count(*) FROM exactp) AS n_exact,
-         |    (SELECT count(*) FROM exactp e
-         |      WHERE EXISTS (SELECT 1 FROM mhp m
-         |        WHERE m.doc_a = e.doc_a AND m.doc_b = e.doc_b))
-         |      AS n_found
+         |    CAST(e.doc_a % 8 AS INT) AS probe_bucket,
+         |    count(*) AS n_exact,
+         |    count(CASE WHEN EXISTS (SELECT 1 FROM mhp m
+         |      WHERE m.doc_a = e.doc_a AND m.doc_b = e.doc_b)
+         |      THEN 1 END) AS n_found
+         |  FROM exactp e GROUP BY 2
          |  UNION ALL
-         |  SELECT 'simhash',
-         |    (SELECT count(*) FROM exactp),
-         |    (SELECT count(*) FROM exactp e
-         |      WHERE EXISTS (SELECT 1 FROM simp s2
-         |        WHERE s2.doc_a = e.doc_a AND s2.doc_b = e.doc_b)))
-         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
-         |  CAST(n_found AS BIGINT) AS n_found,
-         |  round(CAST(n_found AS DOUBLE) / n_exact, 4) AS recall
-         |FROM stats ORDER BY method""".stripMargin,
+         |  SELECT 'simhash', CAST(e.doc_a % 8 AS INT), count(*),
+         |    count(CASE WHEN EXISTS (SELECT 1 FROM simp s2
+         |      WHERE s2.doc_a = e.doc_a AND s2.doc_b = e.doc_b)
+         |      THEN 1 END)
+         |  FROM exactp e GROUP BY 2),
+         |per AS (
+         |  SELECT method, probe_bucket, CAST(n_exact AS BIGINT) AS n_exact,
+         |    CAST(n_found AS BIGINT) AS n_found,
+         |    round(CAST(n_found AS DOUBLE) / n_exact, 4) AS recall
+         |  FROM stats)
+         |SELECT method, probe_bucket, n_exact, n_found, recall,
+         |  min(recall) OVER (PARTITION BY method) AS min_recall,
+         |  round(CAST(sum(n_found) OVER (PARTITION BY method) AS DOUBLE)
+         |    / sum(n_exact) OVER (PARTITION BY method), 4) AS mean_recall
+         |FROM per ORDER BY method, probe_bucket""".stripMargin,
     // q87: the funnel stage by stage — each stage's CTE mirrors its
     // declared operator's oracle exactly (q35 keep-first, q36 pairs at
     // 0.5 over the s1 survivors, q62's keep, q65's >= 10 shared

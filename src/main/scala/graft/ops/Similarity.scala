@@ -852,32 +852,159 @@ object Similarity {
   // O-92: ANN recall audit — the governance metric every production
   // ANN deployment watches (VERDICT r8 #3): recall@10 of the two
   // declared approximate probes (q74's IVF-PQ ADC, q37b's multi-probe
-  // sign-LSH) against the exact q37 answer, for the fixed probe vector
-  // (vec_id 0). Deterministic by construction — every side is exact
-  // integer arithmetic, so the oracle replays the approximations
-  // themselves and the hit counts bit-for-bit. Reported as exact
-  // integer hits out of k (no float recall — the driver compare
-  // stringifies, and hits/k is the consumer's one division).
+  // sign-LSH) against the exact q37-rule answer, for a FIXED 8-probe
+  // panel (round 10; a single probe was an existence proof a
+  // lucky/unlucky query vector could mask). Deterministic by
+  // construction — every side is exact integer arithmetic, so the
+  // oracle replays the approximations themselves and the hit counts
+  // bit-for-bit. Reported per probe as exact integer hits out of k
+  // plus per-method min/sum (no float recall — the driver compare
+  // stringifies, and hits/k is the consumer's one division; min is
+  // the page threshold, sum/P the mean).
   //
-  // Scale: each side is the declared probe's own plan (the ADC side
-  // re-runs the write-time layout, the honest benched cost, same as
-  // q74); the intersections join two k-row sets — driver-trivial at
-  // any corpus size. At 100 TB this query IS the nightly recall job:
-  // probes a fixed query panel against the exact scan and alerts on
-  // recall regression when the corpus drifts from its trained
-  // centroids (the re-train trigger; see SCALE.md "Recall
-  // governance").
+  // Scale: ONE layout build + one pruned union-of-cells code scan for
+  // the whole panel (panelAdc), one exact corpus scan and one
+  // bucketed scan shared across probes via broadcast panels — cost is
+  // O(corpus scan), not O(P probes). At 100 TB this query IS the
+  // nightly recall job: it alerts on recall drift when the corpus
+  // moves away from its trained centroids (the re-train trigger; see
+  // SCALE.md "Recall governance").
+  /** The fixed recall-audit probe panel (round 10, closing O-92's
+    * "fixed probe panel" promise): 8 ids that exist at every fixture
+    * scale, mixing coarse-quantizer seeds (< 16) with ordinary corpus
+    * vectors. A single probe is an existence proof a lucky query can
+    * fake; the panel's per-probe rows localize drift and its min is
+    * the alert threshold a nightly job pages on. */
+  private[graft] val ProbePanel: Seq[Long] =
+    Seq(0L, 3L, 7L, 11L, 17L, 42L, 137L, 311L)
+
+  /** Exact top-k for EVERY panel probe in one corpus scan: broadcast
+    * the P probe vectors, one codegen dot per (row, probe), window
+    * top-k per probe — per-probe rows identical to q37's
+    * orderBy-limit rule (same total order). */
+  private def panelExact(emb: DataFrame, panel: Seq[Long],
+      k: Int): DataFrame = {
+    val probes = broadcast(emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id").as("probe_id"),
+        quantize(col("embedding")).as("qv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** Sign-LSH top-k for every panel probe in one bucketed scan (the
+    * q37b path, panel-broadcast like [[panelExact]]). */
+  private def panelLsh(emb: DataFrame, panel: Seq[Long],
+      k: Int): DataFrame = {
+    val masks = (0 until NPlanes).map(planeMask)
+    val bucketed = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("bucket", SignLshSignature(col("qe"), masks))
+    val probes = broadcast(bucketed.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id").as("probe_id"), col("qe").as("qv"),
+        col("bucket").as("qbucket")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+    bucketed.join(probes, expr("bit_count(bucket ^ qbucket) <= 3"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** ADC top-k for every panel probe against ONE stored layout: the
+    * per-probe nprobe cell ranking is a driver computation over the
+    * collected centroid table (k x P integer dots — the documented
+    * bounded point-read, same math as ivfPqProbe's rank), then the
+    * whole panel shares ONE partition-pruned read of the UNION of
+    * probed cells, one broadcast panel LUT keyed (probe_id, m, code),
+    * and a window top-k per probe confined to that probe's own cells
+    * via the broadcast (probe_id, cell_id) table. Cost: one pruned
+    * code scan for the panel, vs P full probes. */
+  private def panelAdc(s: SparkSession, store: String, emb: DataFrame,
+      panel: Seq[Long], nprobe: Int, k: Int, m: Int): DataFrame = {
+    import s.implicits._
+    val pvs = emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val cents = s.read.parquet(s"$store/centroids")
+      .select(col("cell_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    def idot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // ivfPqProbe's rank rule per probe: (qdot DESC, cell_id)
+    val probeCells = pvs.flatMap { case (pid, qv) =>
+      cents.map { case (cid, ce) => (cid, idot(ce, qv)) }
+        .sortBy { case (cid, qd) => (-qd, cid) }
+        .take(nprobe).map { case (cid, _) => (pid, cid) }
+    }
+    val cellSet = probeCells.map(_._2).distinct
+    val subDim = pvs.head._2.length / m
+    val qsubs = pvs.flatMap { case (pid, qv) =>
+      (0 until m).map(j =>
+        (pid, j, qv.slice(j * subDim, (j + 1) * subDim).toSeq))
+    }.toDF("probe_id", "m", "qs")
+    val lut = s.read.parquet(s"$store/codebook")
+      .join(qsubs, Seq("m"))
+      .select(col("probe_id"), col("m"), col("seed").as("code"),
+        LongArrayDot(col("cv"), col("qs")).as("ld"))
+    val pcDf = probeCells.toDF("probe_id", "cell_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("est_dot_e12").desc, col("vec_id"))
+    s.read.parquet(s"$store/vectors")
+      .filter(col("cell_id").isin(cellSet: _*)) // partition prune
+      .join(broadcast(pcDf), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("ld")).as("est_dot_e12"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
   def q84AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = similarityTopK(embeddings(s, d)).select(col("vec_id"))
+    import s.implicits._
+    // ONE layout build for the whole panel, into q74's own fixed store
+    // key (VERDICT r9 #7: the audit previously re-ran q74 wholesale,
+    // paying the write per audited method) — mode("overwrite") writes
+    // of identical content make the share order-independent.
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
+    ivfPqWrite(s, d, store)
+    val emb = embeddings(s, d)
+    val exact = Dedup.materializeBounded(
+      panelExact(emb, ProbePanel, 10)) // P x k rows, probed per method
+    val panelDf = ProbePanel.toDF("probe_id")
     val sides = Seq(
-      ("ivfpq_adc", q74IvfPqProbe(s, d).select(col("vec_id"))),
-      ("sign_lsh", similarityLsh(embeddings(s, d)).select(col("vec_id"))))
-    sides.map { case (m, approx) =>
-      approx.join(exact, Seq("vec_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(m).as("method"), col("hits"),
-          lit(10L).as("k"))
-    }.reduce(_ unionByName _).orderBy(col("method"))
+      ("ivfpq_adc", panelAdc(s, store, emb, ProbePanel,
+        nprobe = 4, k = 10, m = 8)),
+      ("sign_lsh", panelLsh(emb, ProbePanel, 10)))
+    val wm = Window.partitionBy(col("method"))
+    sides.map { case (meth, approx) =>
+      // left join FROM the panel so a zero-hit probe still reports 0
+      panelDf.join(
+          approx.join(exact, Seq("probe_id", "vec_id"))
+            .groupBy(col("probe_id"))
+            .agg(count(lit(1)).as("h")),
+          Seq("probe_id"), "left_outer")
+        .select(lit(meth).as("method"), col("probe_id"),
+          coalesce(col("h"), lit(0L)).as("hits"), lit(10L).as("k"))
+    }.reduce(_ unionByName _)
+      .withColumn("min_hits", min(col("hits")).over(wm))
+      .withColumn("sum_hits", sum(col("hits")).over(wm))
+      .orderBy(col("method"), col("probe_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -955,7 +1082,7 @@ object Similarity {
   /** IVF result in SQL (coarse assignment by max centroid dot, probe =
     * the 4 cells nearest the query, exact re-rank inside them) — the
     * oracle of BOTH q37c (in-query IVF) and q68 (stored-layout probe). */
-  private val ivfOracleSql =
+  private val ivfOracleSql: String =
     s"""WITH q AS (
        |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
        |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
@@ -979,14 +1106,20 @@ object Similarity {
        |WHERE a.vec_id != 0
        |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
 
-  private val q37OracleSql =
-    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  /** q37's exact-scan oracle for an arbitrary probe id (round 10: the
+    * q84 panel re-binds it once per panel member; the q37 entry stays
+    * the vec 0 binding). */
+  private def q37OracleSqlFor(pid: Long): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = $pid)
          |SELECT vec_id, label,
          |  ${dotSql.format("embedding", "qv", "embedding")} AS dot_e12
-         |FROM embeddings, q WHERE vec_id != 0
+         |FROM embeddings, q WHERE vec_id != $pid
          |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
 
-  private val q37bOracleSql =
+  private val q37OracleSql: String = q37OracleSqlFor(0L)
+
+  private def q37bOracleSqlFor(pid: Long): String =
     s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
          |b AS (
@@ -996,17 +1129,21 @@ object Similarity {
                 s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")}
          |      AS BIGINT) AS bucket
          |  FROM q),
-         |qv AS (SELECT qe AS qq, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |qv AS (SELECT qe AS qq, bucket AS qbucket FROM b
+         |  WHERE vec_id = $pid)
          |SELECT b.vec_id, b.label, b.bucket,
          |  ${qdotSql("b.qe", "qv.qq")} AS dot_e12
          |FROM b, qv
-         |WHERE b.vec_id != 0 AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
+         |WHERE b.vec_id != $pid
+         |  AND bit_count(xor(b.bucket, qv.qbucket)) <= 3
          |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
+
+  private val q37bOracleSql: String = q37bOracleSqlFor(0L)
 
   // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
   // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
   // — the oracle replays the approximation itself, not the exact dot
-  private val q74OracleSql =
+  private def q74OracleSqlFor(pid: Long): String =
     s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
          |  WHERE vec_id IS NOT NULL),
@@ -1020,7 +1157,7 @@ object Similarity {
          |    SELECT *, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS rn
          |    FROM dots) WHERE rn = 1),
-         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = $pid),
          |probe AS (
          |  SELECT cell_id FROM cent, qv
          |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4),
@@ -1059,8 +1196,10 @@ object Similarity {
          |JOIN probe USING (cell_id)
          |JOIN est e ON e.vec_id = a.vec_id
          |JOIN q ON q.vec_id = a.vec_id
-         |WHERE a.vec_id != 0
+         |WHERE a.vec_id != $pid
          |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin
+
+  private val q74OracleSql: String = q74OracleSqlFor(0L)
 
   val oracles: Map[String, String] = Map(
     // same quantization, sub-slicing, aa-2ab+bb distance, and packed
@@ -1273,20 +1412,33 @@ object Similarity {
          |FROM assigned a LEFT JOIN dropped d USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
     // the three probes' own oracle queries as derived tables (DuckDB
-    // allows WITH inside a subquery), then hits = |method top-10 ∩
-    // exact top-10| — the oracle replays both approximations AND the
-    // exact scan, so the recall figures are engine-exact integers
-    "q84_ann_recall" ->
-      s"""WITH exact10 AS (SELECT vec_id FROM ($q37OracleSql)),
-         |adc10 AS (SELECT vec_id FROM ($q74OracleSql)),
-         |lsh10 AS (SELECT vec_id FROM ($q37bOracleSql))
-         |SELECT method, hits, k FROM (
-         |  SELECT 'ivfpq_adc' AS method,
-         |    CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
-         |  FROM adc10 JOIN exact10 USING (vec_id)
-         |  UNION ALL
-         |  SELECT 'sign_lsh', CAST(count(*) AS BIGINT), CAST(10 AS BIGINT)
-         |  FROM lsh10 JOIN exact10 USING (vec_id))
-         |ORDER BY method""".stripMargin,
+    // allows WITH inside a subquery), re-bound once per panel probe
+    // (round 10), then hits = |method top-10 ∩ exact top-10| per
+    // (method, probe) plus per-method min/sum windows — the oracle
+    // replays both approximations AND the exact scan for every panel
+    // member, so the recall figures are engine-exact integers
+    "q84_ann_recall" -> {
+      val terms = ProbePanel.flatMap { pid =>
+        Seq(
+          s"""SELECT 'ivfpq_adc' AS method,
+             |    CAST($pid AS BIGINT) AS probe_id,
+             |    CAST(count(*) AS BIGINT) AS hits
+             |  FROM (SELECT vec_id FROM (${q74OracleSqlFor(pid)})) a
+             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+             |    USING (vec_id)""".stripMargin,
+          s"""SELECT 'sign_lsh', CAST($pid AS BIGINT),
+             |    CAST(count(*) AS BIGINT)
+             |  FROM (SELECT vec_id FROM (${q37bOracleSqlFor(pid)})) a
+             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+             |    USING (vec_id)""".stripMargin)
+      }
+      s"""WITH per AS (
+         |${terms.mkString("", "\nUNION ALL\n", "")})
+         |SELECT method, probe_id, hits, CAST(10 AS BIGINT) AS k,
+         |  min(hits) OVER (PARTITION BY method) AS min_hits,
+         |  CAST(sum(hits) OVER (PARTITION BY method) AS BIGINT)
+         |    AS sum_hits
+         |FROM per ORDER BY method, probe_id""".stripMargin
+    },
   )
 }
