@@ -441,6 +441,175 @@ object Dedup {
     neardupMerge(s, store, newBatch)
   }
 
+  // O-97 (q89): incremental CLUSTER maintenance — the missing binding
+  // between q85's admission machinery and the q61 cluster tables
+  // (VERDICT r9 #2). A standing corpus keeps THREE tables on disk: the
+  // band index (q85's layout), the verified near-dup EDGE set, and the
+  // resolved CLUSTER table (q61's contract). A daily batch then updates
+  // the clusters in O(new edges), not O(corpus): new edges come from
+  // the pruned band-index join (q85's machinery, keeping BOTH ids
+  // instead of dropping the match), only the components TOUCHED by a
+  // new edge have their standing edges pulled back in, and the CC
+  // rerun is bounded by that touched subgraph — every other cluster's
+  // rows pass through byte-identical. Incremental-equals-full-recompute
+  // is the correctness property (the q88 append-equals-rebuild pattern):
+  // an edge between two untouched components cannot exist (it would
+  // have touched them), so relabeling the touched subgraph from
+  // scratch reproduces exactly the full graph's components.
+  /** Write the standing cluster store: band index (q85 layout) +
+    * verified edge set + resolved cluster table. The edge set is
+    * written once and CC runs over the written table (lineage break —
+    * the signature pipeline never re-runs for the label pass). */
+  def neardupClusterStoreWrite(docs: DataFrame, store: String): Unit = {
+    val s = docs.sparkSession
+    neardupIndexWrite(docs, s"$store/bands")
+    minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$store/edges")
+    connectedComponents(s.read.parquet(s"$store/edges"))
+      .write.mode("overwrite").parquet(s"$store/clusters")
+  }
+
+  /** The merge computation, exposed as parts so the persist path can
+    * reuse them: (new verified edges, updated cluster table). Plan
+    * shape: the band-index read is partition-pruned to the batch's kb
+    * buckets (q85's static-IN argument); the batch's band table is
+    * materialized once and feeds the bucket collect + both verify
+    * joins; touched-cluster ids and new-edge endpoints are
+    * edge-bounded and BROADCAST against the standing label/edge
+    * tables; the CC rerun sees only new + touched edges. The standing
+    * tables are scanned once each (label table twice: the touched
+    * probe and the untouched pass-through) — pair-graph-bounded scans,
+    * never the corpus. */
+  /** The batch's new verified edges as an UNmaterialized plan — the
+    * pruned-band-index join shape PlanShapeSpec pins (the merge itself
+    * materializes this before CC, which hides the shape from the final
+    * plan). */
+  private[graft] def clusterMergeNewEdgesPlan(s: SparkSession,
+      store: String, newDocs: DataFrame): DataFrame = {
+    val batch = newDocs.filter(col("doc_id").isNotNull)
+    val batchBands = materializeBounded(bandRows(q36bSig(batch))
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
+    val nMatch = graft.functions.LongArrayEqCount(
+      col("x.mins"), col("y.mins"))
+    val keys = batchBands.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
+    val crossEdges =
+      if (keys.isEmpty)
+        batch.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+          .limit(0)
+      else
+        s.read.parquet(s"$store/bands")
+          .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
+          .join(batchBands.as("y").hint("shuffle_hash"),
+            col("x.band") === col("y.band") &&
+              col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2"))
+          .filter(nMatch * 2 >= NHashes)
+          // a re-ingest under the SAME id is a self-pair, not an edge
+          .filter(col("x.doc_id") =!= col("y.doc_id"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          .distinct()
+    val intraEdges = batchBands.as("x").hint("shuffle_hash")
+      .join(batchBands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
+          col("x.k2") === col("y.k2") && col("x.doc_id") < col("y.doc_id"))
+      .filter(nMatch * 2 >= NHashes)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    crossEdges.unionByName(intraEdges).distinct()
+  }
+
+  private def clusterMergeParts(s: SparkSession, store: String,
+      newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val newEdges = materializeBounded(
+      clusterMergeNewEdgesPlan(s, store, newDocs))
+    val clusters = s.read.parquet(s"$store/clusters")
+    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val touched = materializeBounded(
+      clusters.join(broadcast(endpoints), Seq("doc_id"))
+        .select(col("cluster_id")).distinct())
+    // an edge's endpoints share a cluster by construction, so doc_a
+    // alone attributes the edge to its component
+    val touchedEdges = s.read.parquet(s"$store/edges")
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    // materialized: the touched subgraph is edge-bounded, and CC's
+    // internal self-union over a live nested-union+semi-join lineage
+    // trips Union constraint rewriting (observed NoSuchElementException
+    // in UnionBase.rewriteConstraints) — a leaf input sidesteps it and
+    // is the CC convention anyway
+    val subCc = connectedComponents(materializeBounded(
+      newEdges.unionByName(touchedEdges).distinct()))
+    val untouched = clusters
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+    (newEdges, untouched.unionByName(
+      subCc.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))))
+  }
+
+  /** Updated cluster table for the standing corpus plus `newDocs`,
+    * computed incrementally against the stored band/edge/cluster
+    * tables — equals `connectedComponents` over the FULL corpus ∪
+    * batch pair set (the oracle replays exactly that). Read-only: see
+    * [[neardupClusterStoreUpdate]] for the persisting twin. */
+  def neardupClusterMerge(s: SparkSession, store: String,
+      newDocs: DataFrame): DataFrame =
+    clusterMergeParts(s, store, newDocs)._2
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  /** Persist the merge: append the batch's band rows (future merges
+    * near-dup-check against them), append the new edges, and swap in
+    * the updated cluster table via a sibling staging dir (Spark
+    * refuses a read-and-overwrite of the same path — the compaction
+    * pass's idiom). The label rewrite is pair-graph-bounded (nodes
+    * with >= 1 near-dup edge — orders below the corpus); the O(new)
+    * claim is about the CC COMPUTE, which touches only new + touched
+    * edges. */
+  def neardupClusterStoreUpdate(s: SparkSession, store: String,
+      newDocs: DataFrame): Unit = {
+    val (newEdges, merged) = clusterMergeParts(s, store, newDocs)
+    val tmp = s"$store/clusters_staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    newEdges.write.mode("append").parquet(s"$store/edges")
+    neardupIndexWrite(newDocs.filter(col("doc_id").isNotNull),
+      s"$store/bands", mode = "append")
+    s.read.parquet(tmp).write.mode("overwrite")
+      .parquet(s"$store/clusters")
+    // re-cache any CACHED dataset over the store; note that DataFrames
+    // CREATED before this swap hold the pre-swap file listing (Spark's
+    // snapshot semantics) — collect them before updating, or re-create
+    // them after
+    s.catalog.refreshByPath(store)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Declared write-then-merge binding (the q85 pattern lifted to the
+    * cluster table): docs 0-249 are the standing corpus with its band
+    * index, edge set, and resolved clusters on disk; the batch is docs
+    * 250+ plus re-identified copies of docs 0-49 (planted 16/16
+    * matches that must weld each copy into its source's cluster,
+    * exercising the touched-component relabel). Oracle: one-shot CC
+    * over the ENTIRE corpus ∪ batch pair set — the
+    * incremental-equals-full-recompute property. */
+  def q89ClusterMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_nd_cluster_q89")
+    neardupClusterStoreWrite(docs.filter(col("doc_id") < 250), store)
+    val newBatch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
+    neardupClusterMerge(s, store, newBatch)
+  }
+
   /** Shingle rows keyed by 64-bit hash: (doc_id, h). Shuffling/joining
     * 8-byte longs instead of ~25-char strings cuts exchange and compare
     * cost ~3x; intersection counts are identical to the string
@@ -1856,6 +2025,7 @@ object Dedup {
     "q35_dedup_exact" -> (q35DedupExact _),
     "q83_corpus_merge" -> (q83CorpusMerge _),
     "q85_neardup_merge" -> (q85NeardupMerge _),
+    "q89_cluster_merge" -> (q89ClusterMerge _),
     "q86_neardup_recall" -> (q86NeardupRecall _),
     "q87_curation_funnel" -> (q87CurationFunnel _),
     "q36_near_dup" -> (q36NearDup _),
@@ -2400,6 +2570,58 @@ object Dedup {
          |  AND NOT EXISTS
          |    (SELECT 1 FROM intrahit h WHERE h.doc_id = f.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q89: incremental-equals-full-recompute — the oracle is the
+    // ONE-SHOT pair set + recursive-CTE CC over the ENTIRE corpus ∪
+    // batch (q61's reach/comp formulation over the q85 verify rule);
+    // band collisions partition into corpus-corpus / corpus-batch /
+    // batch-batch, which is exactly the union the incremental side
+    // assembles from the stored edges + the pruned-index joins
+    "q89_cluster_merge" ->
+      s"""WITH RECURSIVE alld AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + $ReKeyOffset AS doc_id, text
+         |  FROM documents WHERE doc_id < 50),
+         |${shingleSqlFor("alld", "A")},
+         |sigA AS (
+         |  SELECT doc_id, ${minExprs("m")}
+         |  FROM shA GROUP BY doc_id),
+         |bandA AS (
+         |  SELECT doc_id, b,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+         |    CASE b ${(0 until NBands).map(b =>
+              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+         |  FROM sigA, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bandA x JOIN bandA y
+         |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
+         |  WHERE x.doc_id < y.doc_id),
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT c.doc_a, c.doc_b,
+         |      ${(0 until NHashes).map(j =>
+              s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS n_match
+         |    FROM cand c
+         |    JOIN sigA sa ON c.doc_a = sa.doc_id
+         |    JOIN sigA sb ON c.doc_b = sb.doc_id)
+         |  WHERE n_match * 2 >= $NHashes),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS cluster_size,
+         |  id = cluster_id AS is_canonical
+         |FROM comp ORDER BY cluster_id, doc_id""".stripMargin,
     // q86: each family's pair set as its own scoped-WITH derived table
     // (the q61c composition pattern), then per-family recall against
     // the exact pair set

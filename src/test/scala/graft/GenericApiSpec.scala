@@ -297,6 +297,59 @@ class GenericApiSpec extends SparkSpec {
       Seq(31L))
   }
 
+  test("neardupClusterStore lifecycle: two incremental merges equal " +
+    "the full recompute and weld batch docs into touched clusters") {
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def txt(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    // standing corpus: a 2-cluster graph {1,2} (same text) plus
+    // isolated docs 3, 4
+    val corpus = docsOf(1L -> txt("alpha"), 2L -> txt("alpha"),
+      3L -> txt("beta"), 4L -> txt("gamma"))
+    val store = java.nio.file.Files
+      .createTempDirectory("nd_cluster_").toString
+    ops.Dedup.neardupClusterStoreWrite(corpus, store)
+    def clusterRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"))
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+        .sortBy(r => (r._2, r._1))
+    assert(clusterRows(spark.read.parquet(s"$store/clusters")) ===
+      Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false)))
+    // batch 1: a copy of beta (welds 3 into a NEW cluster — doc 3 had
+    // no standing edges), a copy of alpha (touches cluster 1), and an
+    // unrelated doc
+    val batch1 = docsOf(10L -> txt("beta"), 11L -> txt("alpha"),
+      12L -> txt("delta"))
+    // collected BEFORE the store update: the merge plan snapshots the
+    // pre-swap file listing (documented on neardupClusterStoreUpdate)
+    val merged1 = clusterRows(
+      ops.Dedup.neardupClusterMerge(spark, store, batch1))
+    assert(merged1 === Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (11L, 1L, 3L, false),
+      (3L, 3L, 2L, true), (10L, 3L, 2L, false)))
+    // full-recompute equality on corpus ∪ batch1
+    assert(merged1 === clusterRows(
+      ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
+        corpus.unionByName(batch1)))))
+    // persist, then batch 2 must near-dup-match batch-1 docs too:
+    // a delta copy welds onto doc 12's (previously edgeless) doc
+    ops.Dedup.neardupClusterStoreUpdate(spark, store, batch1)
+    assert(clusterRows(spark.read.parquet(s"$store/clusters")) ===
+      merged1)
+    val batch2 = docsOf(20L -> txt("delta"), 21L -> txt("epsilon"))
+    val merged2 = ops.Dedup.neardupClusterMerge(spark, store, batch2)
+    assert(clusterRows(merged2) === clusterRows(
+      ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
+        corpus.unionByName(batch1).unionByName(batch2)))))
+    // the new weld is there, and untouched clusters passed through
+    assert(clusterRows(merged2).contains((20L, 12L, 2L, false)))
+    assert(clusterRows(merged2).contains((1L, 1L, 3L, true)))
+  }
+
   test("curationFunnel drops exactly one planted doc per stage") {
     import spark.implicits._
     // 2-letter prefixes keep the mean token length inside q62's 3-6

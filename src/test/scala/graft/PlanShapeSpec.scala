@@ -81,6 +81,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q89: cluster merge prunes the band index and plans no cartesian") {
+    // the merge materializes its edge plan before CC, so the final
+    // query plan can't show the band joins — pin the edge plan
+    // directly: the stored band read partition-filters on the batch's
+    // kb set, the verify joins are hash joins, no nested loop. The
+    // final merged-table plan must also stay cartesian-free.
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Tables.documents(spark, sf)
+    val store = graft.util.Ephemeral.fixedDir("graft_nd_cluster_q89")
+    ops.Dedup.neardupClusterStoreWrite(
+      docs.filter(col("doc_id") < 250), store)
+    val edgePlan = ops.Dedup.clusterMergeNewEdgesPlan(spark, store,
+        docs.filter(col("doc_id") >= 250))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(edgePlan.contains("PartitionFilters: [kb"), edgePlan)
+    assert(edgePlan.contains("ShuffledHashJoin"), edgePlan)
+    assert(!edgePlan.contains("CartesianProduct"), edgePlan)
+    assert(!edgePlan.contains("BroadcastNestedLoopJoin"), edgePlan)
+    val merged = formatted("q89_cluster_merge")
+    assert(!merged.contains("CartesianProduct"), merged)
+    assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
+  }
+
   test("q86/q87: audit and funnel compose without corpus-wide loops") {
     // both are compositions of declared operators — the assertion is
     // that composition introduces no cartesian/nested-loop join and
