@@ -75,10 +75,11 @@ object Bench {
       // round 6: driver-cold 3.88 vs warm 2.15).
       // round 9 adds q83/q84/q85 (hash-index merge, recall audit, and
       // the band-index merge — the latter runs the same JIT-heavy
-      // MinHash signature loops as q36b/q67)
+      // MinHash signature loops as q36b/q67); round 10 adds q89 (the
+      // cluster merge runs those loops plus the CC rounds)
       val heavy = Seq("q35", "q36", "q37", "q38", "q41", "q42", "q43",
         "q44", "q47", "q58", "q61", "q65", "q67", "q71", "q74", "q83",
-        "q84", "q85", "q86", "q87")
+        "q84", "q85", "q86", "q87", "q89")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => heavy.exists(n.startsWith) }
         .foreach { case (_, fn) => warm(fn(spark, heavyWarmDir).count()) }
