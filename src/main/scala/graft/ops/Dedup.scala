@@ -457,13 +457,26 @@ object Dedup {
   // have touched them), so relabeling the touched subgraph from
   // scratch reproduces exactly the full graph's components.
   /** Write the standing cluster store: band index (q85 layout) +
-    * verified edge set + resolved cluster table. The edge set is
-    * written once and CC runs over the written table (lineage break —
-    * the signature pipeline never re-runs for the label pass). */
+    * verified edge set + resolved cluster table. ONE signature pass
+    * over the corpus: the edge set derives from the just-WRITTEN band
+    * table (8-byte keys + mins — the q36b self-join re-expressed over
+    * the stored rows, identical pair set), so the shingle/digest
+    * pipeline runs exactly once at build time; CC then runs over the
+    * written edge table (lineage break — no signature or join
+    * re-runs for the label pass). */
   def neardupClusterStoreWrite(docs: DataFrame, store: String): Unit = {
     val s = docs.sparkSession
     neardupIndexWrite(docs, s"$store/bands")
-    minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+    val bands = s.read.parquet(s"$store/bands")
+    val nMatch = graft.functions.LongArrayEqCount(
+      col("x.mins"), col("y.mins"))
+    bands.as("x").hint("shuffle_hash")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
+          col("x.k2") === col("y.k2") && col("x.doc_id") < col("y.doc_id"))
+      .filter(nMatch * 2 >= NHashes)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
       .write.mode("overwrite").parquet(s"$store/edges")
     connectedComponents(s.read.parquet(s"$store/edges"))
       .write.mode("overwrite").parquet(s"$store/clusters")
@@ -590,6 +603,38 @@ object Dedup {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     catch { case _: java.io.IOException => () }
+  }
+
+  /** Bound the cluster store's file counts under daily merges: bands
+    * compact via the shared bucket pass (neardupIndexCompact), and the
+    * unpartitioned edge table — which gains one file-set per merge —
+    * is rewritten to at most `maxFilesPerBucket` files (coalesce, no
+    * shuffle; DISTINCT keeps the pass idempotent) through the staged
+    * swap the compaction family uses. The cluster table itself is
+    * fully rewritten by every update, so it never accumulates files.
+    * Returns the compacted band-bucket ids. */
+  def neardupClusterStoreCompact(s: SparkSession, store: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] = {
+    val bandBuckets = neardupIndexCompact(s, s"$store/bands",
+      maxFilesPerBucket)
+    val edgesPath = new org.apache.hadoop.fs.Path(s"$store/edges")
+    val fs = edgesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nFiles =
+      if (fs.exists(edgesPath))
+        fs.listStatus(edgesPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else 0
+    if (nFiles > maxFilesPerBucket) {
+      val tmp = s"$store/edges_compacting"
+      s.read.parquet(s"$store/edges").distinct()
+        .coalesce(maxFilesPerBucket)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).write.mode("overwrite")
+        .parquet(s"$store/edges")
+      try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      catch { case _: java.io.IOException => () }
+    }
+    bandBuckets
   }
 
   /** Declared write-then-merge binding (the q85 pattern lifted to the

@@ -341,13 +341,33 @@ class GenericApiSpec extends SparkSpec {
     assert(clusterRows(spark.read.parquet(s"$store/clusters")) ===
       merged1)
     val batch2 = docsOf(20L -> txt("delta"), 21L -> txt("epsilon"))
-    val merged2 = ops.Dedup.neardupClusterMerge(spark, store, batch2)
-    assert(clusterRows(merged2) === clusterRows(
+    val merged2 = clusterRows(
+      ops.Dedup.neardupClusterMerge(spark, store, batch2))
+    assert(merged2 === clusterRows(
       ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
         corpus.unionByName(batch1).unionByName(batch2)))))
     // the new weld is there, and untouched clusters passed through
-    assert(clusterRows(merged2).contains((20L, 12L, 2L, false)))
-    assert(clusterRows(merged2).contains((1L, 1L, 3L, true)))
+    assert(merged2.contains((20L, 12L, 2L, false)))
+    assert(merged2.contains((1L, 1L, 3L, true)))
+    // compaction bounds the edge table's file count under repeated
+    // updates without changing the stored edges or the next merge
+    ops.Dedup.neardupClusterStoreUpdate(spark, store, batch2)
+    def edgeFiles: Int = new java.io.File(s"$store/edges").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(edgeFiles > 1)
+    val edgesBefore = spark.read.parquet(s"$store/edges")
+      .as[(Long, Long)].collect().toSet
+    ops.Dedup.neardupClusterStoreCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(edgeFiles === 1)
+    assert(spark.read.parquet(s"$store/edges")
+      .as[(Long, Long)].collect().toSet === edgesBefore)
+    val merged3 = clusterRows(ops.Dedup.neardupClusterMerge(spark, store,
+      docsOf(30L -> txt("epsilon"))))
+    assert(merged3 === clusterRows(
+      ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
+        corpus.unionByName(batch1).unionByName(batch2)
+          .unionByName(docsOf(30L -> txt("epsilon")))))))
   }
 
   test("curationFunnel drops exactly one planted doc per stage") {

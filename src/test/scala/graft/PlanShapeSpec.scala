@@ -105,6 +105,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
   }
 
+  test("q84: the panel ADC side prunes cells and broadcast-joins the LUT") {
+    // the whole 8-probe panel shares ONE partition-pruned read of the
+    // union of probed cells (cell_id is the store's partition column),
+    // and the per-(probe, m, code) lookup table joins as a broadcast —
+    // the corpus-sized side never shuffles for the LUT
+    val plan = formatted("q84_ann_recall")
+    assert(plan.contains("PartitionFilters: [cell_id"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q86/q87: audit and funnel compose without corpus-wide loops") {
     // both are compositions of declared operators — the assertion is
     // that composition introduces no cartesian/nested-loop join and
