@@ -259,6 +259,69 @@ object Sampling {
   def q82DatasetCard(s: SparkSession, d: String): DataFrame =
     datasetCard(documents(s, d))
 
+  private[graft] val ShuffleSeed = "shuf1"
+  private[graft] val NShards = 8
+
+  // O-98 (q90): deterministic corpus shuffle + shard materialization —
+  // the LAST step of a training-data pipeline, after dedup/quality/
+  // mix/split: the curated corpus is written as N shards in a
+  // pseudo-random global order so a sequential reader sees shuffled
+  // data. rand() fails every requirement at 100 TB (irreproducible
+  // across reruns/engines, unstable under repartitioning); the order
+  // key is the stable seeded md5 the split family already uses —
+  // reshuffling for a new epoch is a seed change, not a new mechanism.
+  //
+  // Scale shape: shard = row-local map on the key's leading bytes (the
+  // write's partition column); ONE shuffle keyed shard; the
+  // within-shard order is a per-partition sort (sortWithinPartitions
+  // at write time, a window here for the declared/oracle form). There
+  // is deliberately NO global sort: shard-then-position IS the global
+  // shuffle order read shard-by-shard, which is how trainers consume
+  // shards — a total-order sort would pay a range-partition sample +
+  // skew for an ordering nobody reads across files.
+  /** Generic deterministic shuffle over any (doc_id, source) table:
+    * (doc_id, source, shard, pos) — shard in [0, nShards), pos = 1-based
+    * position in the shard's shuffled order (seeded md5, ties on
+    * doc_id). */
+  def shuffleShards(docs: DataFrame, nShards: Int = NShards,
+      seed: String = ShuffleSeed): DataFrame = {
+    val k = md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), k.as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Materialize the shuffled corpus: one parquet file per shard,
+    * rows in shuffled order inside each file (a trainer streams a
+    * shard sequentially and sees the seeded pseudo-random order).
+    * repartition(nShards, shard) puts each shard dir's rows in one
+    * task => one file; the sort is per-partition, never global. */
+  def shuffleShardWrite(docs: DataFrame, store: String,
+      nShards: Int = NShards, seed: String = ShuffleSeed): Unit = {
+    val k = md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
+      .cast("binary"))
+    docs.filter(col("doc_id").isNotNull)
+      .withColumn("k", k)
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+      .drop("k")
+      .write.mode("overwrite").partitionBy("shard").parquet(store)
+  }
+
+  def q90ShuffleShards(s: SparkSession, d: String): DataFrame =
+    shuffleShards(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
@@ -267,6 +330,7 @@ object Sampling {
     "q66_source_mix" -> (q66SourceMix _),
     "q78_chunk_overlap" -> (q78ChunkOverlap _),
     "q82_dataset_card" -> (q82DatasetCard _),
+    "q90_shuffle_shards" -> (q90ShuffleShards _),
   )
 
   private val bucketSql =
@@ -396,5 +460,21 @@ object Sampling {
         |    AS top_lang_docs,
         |  round(CAST(sum(chars) AS DOUBLE) / sum(n), 4) AS avg_chars
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q90: seeded md5 shuffle key; shard from the key's leading 8 hex
+    // chars (the bucketSql construction), pos = within-shard rank
+    "q90_shuffle_shards" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |sharded AS (
+         |  SELECT doc_id, source, k,
+         |    CAST(CAST('0x' || substr(k, 1, 8) AS BIGINT) % $NShards
+         |      AS INT) AS shard
+         |  FROM keyed)
+         |SELECT doc_id, source, shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+         |FROM sharded ORDER BY shard, pos""".stripMargin,
   )
 }

@@ -370,6 +370,48 @@ class GenericApiSpec extends SparkSpec {
           .unionByName(docsOf(30L -> txt("epsilon")))))))
   }
 
+  test("shuffleShardWrite materializes one file per shard in the " +
+    "declared shuffled order, deterministically") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val store = java.nio.file.Files
+      .createTempDirectory("shuf_shards_").toString
+    ops.Sampling.shuffleShardWrite(docs, store, nShards = 4)
+    // one parquet file per shard dir
+    val shardDirs = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+    assert(shardDirs.length === 4)
+    assert(shardDirs.forall(_.listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) === 1))
+    // file order (parquet preserves within-file row order) equals the
+    // declared (shard, pos) order, and every doc is present once
+    val declared = ops.Sampling.shuffleShards(docs, nShards = 4)
+      .select(col("doc_id"), col("shard"))
+      .as[(Long, Int)].collect().toSeq
+    val written = (0 until 4).flatMap { sh =>
+      spark.read.parquet(s"$store/shard=$sh")
+        .select(col("doc_id")).as[Long].collect().toSeq
+        .map(id => (id, sh))
+    }
+    assert(written === declared)
+    // deterministic: a second write produces the identical layout
+    val store2 = java.nio.file.Files
+      .createTempDirectory("shuf_shards2_").toString
+    ops.Sampling.shuffleShardWrite(docs, store2, nShards = 4)
+    val written2 = (0 until 4).flatMap { sh =>
+      spark.read.parquet(s"$store2/shard=$sh")
+        .select(col("doc_id")).as[Long].collect().toSeq.map(id => (id, sh))
+    }
+    assert(written2 === written)
+    // a different seed is a different epoch order over the same docs
+    val epoch2 = ops.Sampling.shuffleShards(docs, nShards = 4,
+      seed = "shuf2")
+      .select(col("doc_id"), col("shard")).as[(Long, Int)].collect().toSeq
+    assert(epoch2 !== declared)
+    assert(epoch2.map(_._1).sorted === declared.map(_._1).sorted)
+  }
+
   test("curationFunnel drops exactly one planted doc per stage") {
     import spark.implicits._
     // 2-letter prefixes keep the mean token length inside q62's 3-6
