@@ -2112,6 +2112,65 @@ object Dedup {
   private val qtoksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"""
 
+  /** One-shot full-graph cluster table in SQL over an arbitrary
+    * (doc_id, text) relation body `alldSql`: MinHash-banded candidates,
+    * >= NHashes/2 verify (the q85 rule), recursive-CTE CC (q61's
+    * reach/comp formulation), q61's presentation contract. Shared by
+    * the q89 oracle (corpus ∪ batch ∪ re-keys) and the s15 oracle
+    * (corpus ∪ stream) — incremental-equals-full-recompute stated
+    * once. */
+  private def fullGraphClusterSql(alldSql: String): String =
+    s"""WITH RECURSIVE alld AS (
+       |  $alldSql),
+       |${shingleSqlFor("alld", "A")},
+       |sigA AS (
+       |  SELECT doc_id, ${minExprs("m")}
+       |  FROM shA GROUP BY doc_id),
+       |bandA AS (
+       |  SELECT doc_id, b,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
+       |    CASE b ${(0 until NBands).map(b =>
+            s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
+       |  FROM sigA, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandA x JOIN bandA y
+       |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
+       |  WHERE x.doc_id < y.doc_id),
+       |prs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      ${(0 until NHashes).map(j =>
+            s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS n_match
+       |    FROM cand c
+       |    JOIN sigA sa ON c.doc_a = sa.doc_id
+       |    JOIN sigA sb ON c.doc_b = sb.doc_id)
+       |  WHERE n_match * 2 >= $NHashes),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, l) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+       |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |    AS cluster_size,
+       |  id = cluster_id AS is_canonical
+       |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Oracle SQL for the streaming cluster maintenance (s15): the
+    * one-shot full-graph cluster table over corpus ∪ stream = ALL
+    * documents — the q89 full-recompute form without the planted
+    * re-keys. */
+  private[graft] def streamClusterMaintainOracle: String =
+    fullGraphClusterSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL")
+
   /** DuckDB twins of q36bSig's min-hash columns (same salted-sha256-slice
     * family, classic GROUP BY formulation over exploded shingles). */
   private def minExprs(prefix: String): String =
@@ -2621,52 +2680,11 @@ object Dedup {
     // band collisions partition into corpus-corpus / corpus-batch /
     // batch-batch, which is exactly the union the incremental side
     // assembles from the stored edges + the pruned-index joins
-    "q89_cluster_merge" ->
-      s"""WITH RECURSIVE alld AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+    "q89_cluster_merge" -> fullGraphClusterSql(
+      s"""SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
          |  UNION ALL
          |  SELECT doc_id + $ReKeyOffset AS doc_id, text
-         |  FROM documents WHERE doc_id < 50),
-         |${shingleSqlFor("alld", "A")},
-         |sigA AS (
-         |  SELECT doc_id, ${minExprs("m")}
-         |  FROM shA GROUP BY doc_id),
-         |bandA AS (
-         |  SELECT doc_id, b,
-         |    CASE b ${(0 until NBands).map(b =>
-              s"WHEN $b THEN m${2 * b}").mkString(" ")} END AS k1,
-         |    CASE b ${(0 until NBands).map(b =>
-              s"WHEN $b THEN m${2 * b + 1}").mkString(" ")} END AS k2
-         |  FROM sigA, UNNEST(generate_series(0, ${NBands - 1})) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bandA x JOIN bandA y
-         |    ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2
-         |  WHERE x.doc_id < y.doc_id),
-         |prs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT c.doc_a, c.doc_b,
-         |      ${(0 until NHashes).map(j =>
-              s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
-              .mkString(" + ")} AS n_match
-         |    FROM cand c
-         |    JOIN sigA sa ON c.doc_a = sa.doc_id
-         |    JOIN sigA sb ON c.doc_b = sb.doc_id)
-         |  WHERE n_match * 2 >= $NHashes),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM prs
-         |  UNION SELECT doc_b, doc_a FROM prs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(id, l) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
-         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
-         |SELECT id AS doc_id, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-         |    AS cluster_size,
-         |  id = cluster_id AS is_canonical
-         |FROM comp ORDER BY cluster_id, doc_id""".stripMargin,
+         |  FROM documents WHERE doc_id < 50""".stripMargin),
     // q86: each family's pair set as its own scoped-WITH derived table
     // (the q61c composition pattern), then per-family recall against
     // the exact pair set

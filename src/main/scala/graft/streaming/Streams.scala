@@ -503,6 +503,42 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  // O-99 (s15): ingest-time cluster maintenance — q89's streaming twin
+  // and the production steady state: each arriving micro-batch runs
+  // the PERSISTED incremental update (Dedup.neardupClusterStoreUpdate)
+  // via foreachBatch against the standing band/edge/cluster store; the
+  // answer is the store's cluster table after the stream drains.
+  // Incremental-equals-full-recompute (the q89 property) applies PER
+  // BATCH and composes: however AvailableNow slices the arrivals, the
+  // final table equals the one-shot CC over corpus ∪ stream — which is
+  // exactly why a streaming query whose batch boundaries are an
+  // execution detail can carry a deterministic oracle at all. Per
+  // batch the store pays O(batch edges) of CC compute plus the
+  // pair-graph-bounded label rewrite; the corpus is never rescanned.
+  def s15StreamClusterMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_nd_cluster_s15")
+    graft.ops.Dedup.neardupClusterStoreWrite(
+      docs.filter(col("doc_id") < 250), store)
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val q = docStream.filter(col("doc_id") >= 250)
+      .writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // an empty micro-batch (trailing no-data trigger) carries no
+        // edges — skip the store round-trip it would pay for nothing
+        if (!batch.isEmpty)
+          graft.ops.Dedup.neardupClusterStoreUpdate(
+            batch.sparkSession, store, batch)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$store/clusters")
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** Raw parquet schema of embeddings (column order matches the file). */
   private val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -640,6 +676,7 @@ object Streams {
     "s12_resume_increment" -> (s12ResumeIncrement _),
     "s13_stream_outlier_screen" -> (s13StreamOutlierScreen _),
     "s14_stream_neardup_screen" -> (s14StreamNeardupScreen _),
+    "s15_stream_cluster_maintain" -> (s15StreamClusterMaintain _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -674,6 +711,11 @@ object Streams {
     // to the private signature SQL generators it reuses)
     "s14_stream_neardup_screen" ->
       graft.ops.Dedup.streamNeardupScreenOracle,
+    // the one-shot full-graph cluster table over corpus ∪ stream:
+    // incremental-equals-full-recompute holds per micro-batch and
+    // composes, so the final store state is batch-split-independent
+    "s15_stream_cluster_maintain" ->
+      graft.ops.Dedup.streamClusterMaintainOracle,
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->
