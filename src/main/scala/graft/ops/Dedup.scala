@@ -498,18 +498,30 @@ object Dedup {
     * materializes this before CC, which hides the shape from the final
     * plan). */
   private[graft] def clusterMergeNewEdgesPlan(s: SparkSession,
-      store: String, newDocs: DataFrame): DataFrame = {
-    val batch = newDocs.filter(col("doc_id").isNotNull)
-    val batchBands = materializeBounded(bandRows(q36bSig(batch))
-      .withColumn("kb",
-        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
+      store: String, newDocs: DataFrame): DataFrame =
+    newEdgesFromBands(s, store, batchBandsOf(newDocs))
+
+  /** The batch's materialized band table (the q85 merge shape): band
+    * rows + the kb bucket hash, localCheckpointed once — it feeds the
+    * bucket-set collect, both verify joins, and (in the persisting
+    * update) the band-index append, so the batch's signature pipeline
+    * runs exactly once per merge. */
+  private def batchBandsOf(newDocs: DataFrame): DataFrame =
+    materializeBounded(
+      bandRows(q36bSig(newDocs.filter(col("doc_id").isNotNull)))
+        .withColumn("kb",
+          pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
+
+  private def newEdgesFromBands(s: SparkSession, store: String,
+      batchBands: DataFrame): DataFrame = {
     val nMatch = graft.functions.LongArrayEqCount(
       col("x.mins"), col("y.mins"))
     val keys = batchBands.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
     val crossEdges =
       if (keys.isEmpty)
-        batch.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+        batchBands
+          .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
           .limit(0)
       else
         s.read.parquet(s"$store/bands")
@@ -534,9 +546,10 @@ object Dedup {
   }
 
   private def clusterMergeParts(s: SparkSession, store: String,
-      newDocs: DataFrame): (DataFrame, DataFrame) = {
+      newDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val batchBands = batchBandsOf(newDocs)
     val newEdges = materializeBounded(
-      clusterMergeNewEdgesPlan(s, store, newDocs))
+      newEdgesFromBands(s, store, batchBands))
     val clusters = s.read.parquet(s"$store/clusters")
     val endpoints = newEdges.select(col("doc_a").as("doc_id"))
       .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
@@ -561,7 +574,7 @@ object Dedup {
       .join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
-    (newEdges, untouched.unionByName(
+    (batchBands, newEdges, untouched.unionByName(
       subCc.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))))
   }
@@ -573,7 +586,7 @@ object Dedup {
     * [[neardupClusterStoreUpdate]] for the persisting twin. */
   def neardupClusterMerge(s: SparkSession, store: String,
       newDocs: DataFrame): DataFrame =
-    clusterMergeParts(s, store, newDocs)._2
+    clusterMergeParts(s, store, newDocs)._3
       .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Persist the merge: append the batch's band rows (future merges
@@ -586,12 +599,19 @@ object Dedup {
     * edges. */
   def neardupClusterStoreUpdate(s: SparkSession, store: String,
       newDocs: DataFrame): Unit = {
-    val (newEdges, merged) = clusterMergeParts(s, store, newDocs)
+    val (batchBands, newEdges, merged) = clusterMergeParts(s, store, newDocs)
     val tmp = s"$store/clusters_staging"
     merged.write.mode("overwrite").parquet(tmp)
     newEdges.write.mode("append").parquet(s"$store/edges")
-    neardupIndexWrite(newDocs.filter(col("doc_id").isNotNull),
-      s"$store/bands", mode = "append")
+    // append the merge's OWN materialized band table (neardupIndexWrite
+    // layout) instead of re-running the batch's signature pipeline a
+    // second time — one signature pass per persisted merge
+    batchBands
+      .select(col("doc_id"), col("mins"), col("band"), col("k1"),
+        col("k2"), col("kb")) // neardupIndexWrite's column order
+      .repartition(64, col("kb"))
+      .sortWithinPartitions(col("kb"), col("band"), col("k1"), col("k2"))
+      .write.mode("append").partitionBy("kb").parquet(s"$store/bands")
     s.read.parquet(tmp).write.mode("overwrite")
       .parquet(s"$store/clusters")
     // re-cache any CACHED dataset over the store; note that DataFrames

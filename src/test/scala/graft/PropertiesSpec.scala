@@ -261,6 +261,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards is invariant to input partitioning and total") {
+    import spark.implicits._
+    val docGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.pick(n, 0L until 500L)).map(_.toSeq)
+    forAll(docGen, Gen.chooseNum(1, 7)) { (ids, parts) =>
+      val docs = ids.map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+      val base = ops.Sampling.shuffleShards(docs, nShards = 4)
+        .as[(Long, String, Int, Int)].collect().toSeq
+      // a rand()-keyed shuffle breaks here; the seeded-hash key does not
+      val repart = ops.Sampling
+        .shuffleShards(docs.repartition(parts), nShards = 4)
+        .as[(Long, String, Int, Int)].collect().toSeq
+      assert(repart === base)
+      // a permutation: every doc appears exactly once, pos is 1..n
+      // contiguous within each shard
+      assert(base.map(_._1).sorted === ids.sorted)
+      base.groupBy(_._3).values.foreach { shard =>
+        assert(shard.map(_._4).sorted === (1 to shard.size).toSeq)
+      }
+    }
+  }
+
   test("chunkOverlap: chunks tile the doc — exact slices, full coverage") {
     import spark.implicits._
     val docGen = Gen.listOfN(8,
