@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    e.injectOptimizerRule(_ => graft.plans.EqCountRewrite)
   }
 }
 
@@ -132,6 +133,10 @@ object GraftExtensions {
         .contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.DotProductRewrite)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EqCountRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.EqCountRewrite)
   }
 
   /** Register the sf-dir parquet tables as temp views so the whole query

@@ -269,7 +269,11 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, bos)
+        // write() returns false (writing NOTHING) when the JRE carries
+        // no writer for the format — fail fast instead of feeding an
+        // empty payload into a confusing oracle mismatch
+        require(javax.imageio.ImageIO.write(img, fmt, bos),
+          s"no ImageIO writer for '$fmt' in this JRE")
         MediaRecord(i, "image", bos.toByteArray, "generated")
       } else {
         val n = wavFrames(i.toInt - dims.size)

@@ -283,17 +283,25 @@ object Sampling {
     * (doc_id, source, shard, pos) — shard in [0, nShards), pos = 1-based
     * position in the shard's shuffled order (seeded md5, ties on
     * doc_id). */
+  /** The seeded shuffle key and its shard derivation, stated ONCE for
+    * both the declared query and the writer (a drifting copy would
+    * silently diverge the on-disk order from the declared/oracle
+    * order): key = md5("seed:doc_id") hex, shard = the key's leading
+    * 8 hex chars mod nShards (the bucket() construction, seeded). */
+  private def shuffleKey(seed: String): Column =
+    md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
+      .cast("binary"))
+
+  private def shardOf(k: Column, nShards: Int): Column =
+    (conv(substring(k, 1, 8), 16, 10).cast("long") % nShards).cast("int")
+
   def shuffleShards(docs: DataFrame, nShards: Int = NShards,
       seed: String = ShuffleSeed): DataFrame = {
-    val k = md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
-      .cast("binary"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("k"), col("doc_id"))
     docs.filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("source"), k.as("k"))
-      .withColumn("shard",
-        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
-          .cast("int"))
+      .select(col("doc_id"), col("source"), shuffleKey(seed).as("k"))
+      .withColumn("shard", shardOf(col("k"), nShards))
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
@@ -306,13 +314,9 @@ object Sampling {
     * task => one file; the sort is per-partition, never global. */
   def shuffleShardWrite(docs: DataFrame, store: String,
       nShards: Int = NShards, seed: String = ShuffleSeed): Unit = {
-    val k = md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
-      .cast("binary"))
     docs.filter(col("doc_id").isNotNull)
-      .withColumn("k", k)
-      .withColumn("shard",
-        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards)
-          .cast("int"))
+      .withColumn("k", shuffleKey(seed))
+      .withColumn("shard", shardOf(col("k"), nShards))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
       .drop("k")

@@ -515,6 +515,15 @@ object Streams {
   // execution detail can carry a deterministic oracle at all. Per
   // batch the store pays O(batch edges) of CC compute plus the
   // pair-graph-bounded label rewrite; the corpus is never rescanned.
+  //
+  // Delivery caveat: foreachBatch is AT-LEAST-ONCE — a crash between
+  // the store update and the batch commit replays the batch, which
+  // re-appends its band rows and edges. The CLUSTER table stays
+  // correct (a replayed merge derives the same edges; every consumer
+  // distinct-s its edge input), so the only replay cost is duplicate
+  // band/edge storage until neardupClusterStoreCompact's DISTINCT
+  // rewrite reclaims it — the standing posture of all three index
+  // families (q83/q85/q88 appends share it).
   def s15StreamClusterMaintain(s: SparkSession, d: String): DataFrame = {
     val docs = graft.ops.Tables.documents(s, d)
     val store = graft.util.Ephemeral.fixedDir("graft_nd_cluster_s15")

@@ -27,7 +27,8 @@ object ProfileQ89 {
       val t1 = System.nanoTime()
       val newBatch = docs.filter(col("doc_id") >= 250)
         .unionByName(docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + 1000000000L))
+          .withColumn("doc_id",
+            col("doc_id") + graft.ops.Dedup.ReKeyOffset))
       val n = graft.ops.Dedup.neardupClusterMerge(spark, store, newBatch)
         .count()
       val t2 = System.nanoTime()
