@@ -509,8 +509,13 @@ class GenericApiSpec extends SparkSpec {
       def run(algo: String) =
         try {
           spark.conf.set("spark.graft.cc.algo", algo)
+          // keep exercising the DISTRIBUTED loops on these small graphs
+          spark.conf.set("spark.graft.cc.localThreshold", "0")
           ops.Dedup.connectedComponents(pairs).collect().map(_.toSeq)
-        } finally spark.conf.unset("spark.graft.cc.algo")
+        } finally {
+          spark.conf.unset("spark.graft.cc.algo")
+          spark.conf.unset("spark.graft.cc.localThreshold")
+        }
       val jump = run("jump")
       val star = run("star")
       assert(star.toSeq === jump.toSeq)

@@ -56,6 +56,8 @@ class MinhashStoreSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
     spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    // reliable-mode rounds are the subject — keep the loop distributed
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
     try {
       // a 12-node path forces several materialized rounds, so the
       // convergence compare runs repeatedly under reliable mode's 2x
@@ -75,6 +77,9 @@ class MinhashStoreSpec extends SparkSpec {
         try stream.anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
         finally stream.close()
       assert(wroteRdd, s"no rdd-* checkpoint data under $dir")
-    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localThreshold")
+    }
   }
 }
