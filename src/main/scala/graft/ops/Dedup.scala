@@ -545,8 +545,22 @@ object Dedup {
     crossEdges.unionByName(intraEdges).distinct()
   }
 
+  /** Fail fast with the store layout's own vocabulary when a cluster
+    * store is missing or partial — a raw parquet path error from deep
+    * inside the merge would name none of it. */
+  private def requireClusterStore(s: SparkSession, store: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("bands", "edges", "clusters").foreach { part =>
+      val p = new org.apache.hadoop.fs.Path(s"$store/$part")
+      require(p.getFileSystem(conf).exists(p),
+        s"cluster store at '$store' has no '$part' table — build it " +
+          "with neardupClusterStoreWrite before merging")
+    }
+  }
+
   private def clusterMergeParts(s: SparkSession, store: String,
       newDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    requireClusterStore(s, store)
     val batchBands = batchBandsOf(newDocs)
     val newEdges = materializeBounded(
       newEdgesFromBands(s, store, batchBands))

@@ -368,6 +368,14 @@ class GenericApiSpec extends SparkSpec {
       ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
         corpus.unionByName(batch1).unionByName(batch2)
           .unionByName(docsOf(30L -> txt("epsilon")))))))
+    // a missing/partial store fails with the layout's own vocabulary,
+    // not a raw parquet path error
+    val noStore = intercept[IllegalArgumentException] {
+      ops.Dedup.neardupClusterMerge(spark,
+        java.nio.file.Files.createTempDirectory("nd_empty_").toString,
+        batch1)
+    }
+    assert(noStore.getMessage.contains("neardupClusterStoreWrite"))
   }
 
   test("shuffleShardWrite materializes one file per shard in the " +
