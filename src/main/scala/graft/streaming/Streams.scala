@@ -544,7 +544,12 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // drop the kb partition column the bucketed label table carries
+    // (round-11 pruned-rewrite layout) — the declared answer is the
+    // q61 cluster contract
     s.read.parquet(s"$store/clusters")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 

@@ -378,6 +378,65 @@ class GenericApiSpec extends SparkSpec {
     assert(noStore.getMessage.contains("neardupClusterStoreWrite"))
   }
 
+  test("neardupClusterStoreUpdate rewrites only dirty label buckets: " +
+    "untouched bucket files are byte-identical across a merge") {
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def txt(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    // two standing clusters chosen so their label rows land in known
+    // pmod(doc_id, 64) buckets: {5,6} (alpha) -> kb 5,6 and {70,71}
+    // (beta) -> kb 6,7. Bucket 6 holds rows of BOTH clusters.
+    val corpus = docsOf(5L -> txt("alpha"), 6L -> txt("alpha"),
+      70L -> txt("beta"), 71L -> txt("beta"))
+    val store = java.nio.file.Files
+      .createTempDirectory("nd_cluster_prune_").toString
+    ops.Dedup.neardupClusterStoreWrite(corpus, store)
+    def bucketFiles(kb: Int): Seq[(String, Seq[Byte])] = {
+      val d = new java.io.File(s"$store/clusters/kb=$kb")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+        .map(f => (f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq))
+    }
+    val b7Before = bucketFiles(7)
+    val b6Before = bucketFiles(6)
+    assert(b7Before.nonEmpty && b6Before.nonEmpty)
+    // the batch doc (kb 8) welds into the alpha cluster: dirty
+    // buckets are {5, 6, 8} - bucket 7 (beta's doc 71) is untouched
+    ops.Dedup.neardupClusterStoreUpdate(spark, store,
+      docsOf(200L -> txt("alpha")))
+    assert(bucketFiles(7) === b7Before,
+      "untouched bucket kb=7 must be byte-identical across the merge")
+    assert(bucketFiles(6) !== b6Before,
+      "dirty bucket kb=6 must be rewritten")
+    // bucket 6 still carries the untouched beta cluster's doc 70 row
+    // (pass-through within a dirty bucket), and the read-back table
+    // equals the full recompute
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"))
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+        .sortBy(r => (r._2, r._1))
+    val after = rows(spark.read.parquet(s"$store/clusters"))
+    assert(after.contains((70L, 70L, 2L, true)))
+    assert(after === rows(
+      ops.Dedup.connectedComponents(ops.Dedup.minhashLshPairs(
+        corpus.unionByName(docsOf(200L -> txt("alpha")))))))
+    // torn-store fail-fast: an edge whose endpoints never entered the
+    // cluster table (the crashed-update signature) fails the next
+    // merge with the store's own vocabulary
+    Seq((900L, 901L)).toDF("doc_a", "doc_b")
+      .write.mode("append").parquet(s"$store/edges")
+    val torn = intercept[IllegalArgumentException] {
+      ops.Dedup.neardupClusterMerge(spark, store,
+        docsOf(300L -> txt("gamma")))
+    }
+    assert(torn.getMessage.contains("torn"))
+  }
+
   test("shuffleShardWrite materializes one file per shard in the " +
     "declared shuffled order, deterministically") {
     import spark.implicits._
