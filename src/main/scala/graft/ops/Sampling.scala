@@ -127,9 +127,11 @@ object Sampling {
   // the sources present) and counts n_i, the largest feasible mixture
   // is T = min_i(n_i * W DIV w_i) rows, and source i contributes
   // k_i = w_i * T DIV W docs chosen in stable hash order. The counts,
-  // W, T, and k_i tables are all at most |sources| rows (broadcast
-  // scalars); the corpus pays exactly one shuffle — the per-source rank
-  // window — so the shape is q60's with data-derived quotas.
+  // W, T, and k_i tables are all at most |sources| rows (W/T/k_i
+  // derived driver-side from the one |sources|-row counts collect,
+  // re-broadcast as a local relation); the corpus pays exactly one
+  // shuffle — the per-source rank window — so the shape is q60's with
+  // data-derived quotas.
   /** Generic mixture resampling over any (doc_id, source) table:
     * integer target weights per source (defaultWeight for unlisted
     * sources; weight <= 0 drops the source entirely). */
@@ -149,12 +151,27 @@ object Sampling {
       .filter(col("w") > 0)
     val counts = weighted.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("n"))
-    val wSum = counts.agg(sum(col("w")).as("wsum"))
-    val tVal = counts.crossJoin(broadcast(wSum))
-      .agg(min(expr("n * wsum DIV w")).as("t"))
-    val quota = counts
-      .crossJoin(broadcast(tVal)).crossJoin(broadcast(wSum))
-      .select(col("source"), expr("w * t DIV wsum").as("k"))
+    // ONE |sources|-row collect replaces the previous W/T/quota
+    // broadcast chain (three additional tiny exchanges and their
+    // scheduler rounds — measured as the bulk of this query's fixed
+    // cost): broadcast() ships exactly these rows through the driver
+    // anyway, so deriving W, T, and the quotas here is the same data
+    // movement with fewer stages. Integer arithmetic identical to the
+    // previous DIV formulation. The quotas re-enter the plan as a
+    // broadcast LOCAL relation — built without a job, O(1) hash
+    // probe per row (a literal-map lookup would linear-scan per row
+    // at real |sources| cardinality).
+    val countRows = counts.collect() // one row per source — bounded
+    val wsum = countRows.map(_.getAs[Int]("w").toLong).sum
+    val t =
+      if (countRows.isEmpty) 0L
+      else countRows.map(r =>
+        r.getAs[Long]("n") * wsum / r.getAs[Int]("w")).min
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val quota = countRows.toSeq
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("w") * t / wsum))
+      .toDF("source", "k")
     val bySource = Window.partitionBy(col("source"))
       .orderBy(col("bucket"), col("doc_id"))
     weighted
