@@ -129,8 +129,18 @@ object Dedup {
     * into. */
   def dedupIndexWrite(docs: DataFrame, store: String,
       mode: String = "overwrite"): Unit =
-    docs.filter(col("doc_id").isNotNull)
-      .select(sha2(col("text").cast("binary"), 256).as("content_hash"))
+    dedupIndexWriteHashes(
+      docs.filter(col("doc_id").isNotNull)
+        .select(sha2(col("text").cast("binary"), 256).as("content_hash")),
+      store, mode)
+
+  /** Hash-level index writer (s16's append path): a batch's ADMITTED
+    * rows already carry content_hash — corpusMerge computed it — so
+    * the per-batch index append need not re-hash text. Same layout
+    * and co-location as dedupIndexWrite. */
+  def dedupIndexWriteHashes(hashes: DataFrame, store: String,
+      mode: String): Unit =
+    hashes.select(col("content_hash"))
       .distinct()
       .withColumn("bucket",
         pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))

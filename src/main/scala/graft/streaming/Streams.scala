@@ -553,6 +553,58 @@ object Streams {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  // O-100 (s16): ingest-time EXACT-dedup screen — the streaming twin
+  // of q83 and the first screen every real ingest runs (the cheapest
+  // of the three admission families: a 32 B/doc hash index, read
+  // partition-pruned to the batch's buckets). Each micro-batch runs
+  // corpusMerge against the standing index via foreachBatch, persists
+  // its admitted rows, and APPENDS the admitted hashes back into the
+  // index (hash-level append — corpusMerge already computed
+  // content_hash, so the batch is hashed exactly once) so later
+  // batches dedup against earlier ones, not just the corpus. The
+  // declared answer is the admitted set after the stream drains;
+  // oracle = the q83 NOT EXISTS closed form over corpus ∪ stream.
+  //
+  // Delivery caveat (the family's standing posture): foreachBatch is
+  // AT-LEAST-ONCE — a replayed batch re-derives the same admitted
+  // rows, so the index append is value-idempotent (duplicate hash
+  // rows until dedupIndexCompact's DISTINCT reclaims them) but the
+  // admitted SINK would carry the replayed rows twice; a production
+  // sink dedups on doc_id or writes through an idempotent committer.
+  def s16StreamDedupScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_dedup_index_s16")
+    graft.ops.Dedup.dedupIndexWrite(
+      docs.filter(col("doc_id") < 250), store)
+    // fresh per invocation: the sink accumulates via append
+    val admittedDir = graft.util.Ephemeral.dir("graft_dedup_admit_s16")
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val batchIn = docStream.filter(col("doc_id") >= 250)
+      .unionByName(docStream.filter(col("doc_id") < 50)
+        .withColumn("doc_id",
+          col("doc_id") + graft.ops.Dedup.ReKeyOffset))
+    val q = batchIn.writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // materialize the admitted set ONCE (it reads the standing
+          // index, which the append below is about to grow — and the
+          // sink write plus the hash append must see the same rows)
+          val admitted = graft.ops.Dedup
+            .corpusMerge(batch.sparkSession, store, batch)
+            .localCheckpoint()
+          admitted.write.mode("append").parquet(admittedDir)
+          graft.ops.Dedup.dedupIndexWriteHashes(
+            admitted.select(col("content_hash")), store, "append")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(admittedDir).orderBy(col("doc_id"))
+  }
+
   /** Raw parquet schema of embeddings (column order matches the file). */
   private val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -691,6 +743,7 @@ object Streams {
     "s13_stream_outlier_screen" -> (s13StreamOutlierScreen _),
     "s14_stream_neardup_screen" -> (s14StreamNeardupScreen _),
     "s15_stream_cluster_maintain" -> (s15StreamClusterMaintain _),
+    "s16_stream_dedup_screen" -> (s16StreamDedupScreen _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -730,6 +783,13 @@ object Streams {
     // composes, so the final store state is batch-split-independent
     "s15_stream_cluster_maintain" ->
       graft.ops.Dedup.streamClusterMaintainOracle,
+    // the exact-dedup ingest screen replays q83's fixture through the
+    // stream: a one-shot AvailableNow drain admits exactly the batch
+    // docs whose hash is absent from corpus ∪ earlier arrivals, so
+    // the closed form IS q83's NOT EXISTS oracle (the s11/q65
+    // pairing applied to the exact-hash family)
+    "s16_stream_dedup_screen" ->
+      graft.ops.Dedup.oracles("q83_corpus_merge"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

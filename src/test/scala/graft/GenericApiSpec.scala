@@ -228,11 +228,11 @@ class GenericApiSpec extends SparkSpec {
     val admitted1 = ops.Dedup.corpusMerge(spark, store,
       docsOf(10L -> "beta", 11L -> "gamma", 12L -> "gamma"))
     assert(admitted1.select("doc_id").as[Long].collect().toSeq === Seq(11L))
-    // append the admitted hashes: the index now covers gamma too
-    ops.Dedup.dedupIndexWrite(admitted1.select(col("doc_id"),
-        lit("x").as("lang"), lit("t").as("source"), col("n_chars"),
-        col("content_hash"))
-      .withColumn("text", lit("gamma")), store, mode = "append")
+    // append the admitted HASHES (the s16 per-batch path — corpusMerge
+    // already computed content_hash, no re-hash): the index now covers
+    // gamma too
+    ops.Dedup.dedupIndexWriteHashes(
+      admitted1.select(col("content_hash")), store, "append")
     val admitted2 = ops.Dedup.corpusMerge(spark, store,
       docsOf(20L -> "gamma", 21L -> "delta"))
     assert(admitted2.select("doc_id").as[Long].collect().toSeq === Seq(21L))
