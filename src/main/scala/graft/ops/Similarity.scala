@@ -541,12 +541,29 @@ object Similarity {
     val seeds = sub.filter(col("vec_id") < k)
       .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"),
         col("aa").as("bb"))
+    pqPackedAgainst(sub, seeds)
+  }
+
+  /** The argmin-encode against an EXPLICIT (m, seed, cv, bb) codebook
+    * — factored out so the incremental path (ivfPqAppend) encodes a
+    * batch against the STORE'S frozen codebook instead of re-deriving
+    * seeds from the batch (whose first-k rows are not the model). */
+  private def pqPackedAgainst(sub: DataFrame,
+      seeds: DataFrame): DataFrame =
     sub.join(broadcast(seeds), "m")
       .withColumn("dist", col("aa") -
         LongArrayDot(col("sv"), col("cv")) * 2 + col("bb"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("dist") * 64 + col("seed")).as("packed"))
-  }
+
+  /** (vec_id, codes): the m-sorted code array a packed table folds to
+    * — shared by the store writer, the incremental append, and (as a
+    * string) the declared encoder. */
+  private def packedToCodes(packed: DataFrame): DataFrame =
+    packed.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("packed")))),
+        x => x.getField("packed") % 64).as("codes"))
 
   def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16,
       dim: Int = 64): DataFrame =
@@ -609,8 +626,16 @@ object Similarity {
     * share the one corpus scan's exchange; the (vec_id)-keyed join that
     * zips them shuffles ids+codes, not vectors. */
   def ivfPqWrite(s: SparkSession, d: String, storeDir: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64): Unit =
+    ivfPqWriteDf(embeddings(s, d), storeDir, m, k, dim)
+
+  /** The same layout over any (vec_id, embedding, label) DataFrame —
+    * the form the retrain-then-rebuild binding (q91) composes with:
+    * a rebuild IS this writer over corpus ∪ batch (the model tables —
+    * trained centroids + codebook — are re-derived from the data
+    * passed in, which is exactly what "retrain" means here). */
+  def ivfPqWriteDf(emb: DataFrame, storeDir: String,
       m: Int = 8, k: Int = 16, dim: Int = 64): Unit = {
-    val emb = embeddings(s, d)
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
@@ -618,11 +643,7 @@ object Similarity {
     val centroids = trainedCentroids(quantized, 16)
     val assigned = coarseAssign(quantized, centroids)
       .select(col("vec_id"), col("label"), col("cell_id"))
-    val codes = pqPacked(emb, m, k, dim)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("packed")))),
-        x => x.getField("packed") % 64).as("codes"))
+    val codes = packedToCodes(pqPacked(emb, m, k, dim))
     assigned.join(codes, "vec_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$storeDir/vectors")
@@ -630,6 +651,32 @@ object Similarity {
       .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"))
       .write.mode("overwrite").parquet(s"$storeDir/codebook")
     centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
+  }
+
+  /** O-82 incremental path for the IVF-PQ layout (the ivfAppend
+    * reasoning applied to the code store): each new vector is assigned
+    * against the store's FROZEN centroids and encoded against its
+    * FROZEN codebook (both broadcast model tables — assignment and
+    * encode are row-local maps over the batch), then appended into its
+    * cell partition. Ingest cost is O(batch); probes immediately see
+    * corpus ∪ batch THROUGH THE STALE MODEL — which is exactly the
+    * drift q84's recall panel detects and q91's retrain repairs. */
+  def ivfPqAppend(s: SparkSession, storeDir: String, emb: DataFrame,
+      m: Int = 8, dim: Int = 64): Unit = {
+    val centroids = s.read.parquet(s"$storeDir/centroids")
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+    val assigned = coarseAssign(quantized, centroids)
+      .select(col("vec_id"), col("label"), col("cell_id"))
+    val seeds = s.read.parquet(s"$storeDir/codebook")
+      .select(col("m"), col("seed"), col("cv"),
+        LongArrayDot(col("cv"), col("cv")).as("bb"))
+    val codes = packedToCodes(
+      pqPackedAgainst(pqSubVectors(emb, m, dim / m), seeds))
+    assigned.join(codes, "vec_id")
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$storeDir/vectors")
   }
 
   /** ADC probe: rank centroids (tiny scan + driver point-read of nprobe
@@ -993,18 +1040,81 @@ object Similarity {
       ("sign_lsh", panelLsh(emb, ProbePanel, 10)))
     val wm = Window.partitionBy(col("method"))
     sides.map { case (meth, approx) =>
-      // left join FROM the panel so a zero-hit probe still reports 0
-      panelDf.join(
-          approx.join(exact, Seq("probe_id", "vec_id"))
-            .groupBy(col("probe_id"))
-            .agg(count(lit(1)).as("h")),
-          Seq("probe_id"), "left_outer")
-        .select(lit(meth).as("method"), col("probe_id"),
-          coalesce(col("h"), lit(0L)).as("hits"), lit(10L).as("k"))
+      panelHits(meth, approx, exact, panelDf)
     }.reduce(_ unionByName _)
       .withColumn("min_hits", min(col("hits")).over(wm))
       .withColumn("sum_hits", sum(col("hits")).over(wm))
       .orderBy(col("method"), col("probe_id"))
+  }
+
+  /** Per-probe hit counts of one approximate method against the exact
+    * panel — left-joined FROM the panel so a zero-hit probe still
+    * reports 0 (shared by q84's audit and q91's before/after drift
+    * readout). */
+  private def panelHits(method: String, approx: DataFrame,
+      exact: DataFrame, panelDf: DataFrame): DataFrame =
+    panelDf.join(
+        approx.join(exact, Seq("probe_id", "vec_id"))
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("h")),
+        Seq("probe_id"), "left_outer")
+      .select(lit(method).as("method"), col("probe_id"),
+        coalesce(col("h"), lit(0L)).as("hits"), lit(10L).as("k"))
+
+  // O-101 (q91): the declared RETRAIN binding that closes the ANN
+  // model-lifecycle loop (VERDICT r10 #4). The production cadence the
+  // store family documents is: batches land against a FROZEN model
+  // (q88/ivfPqAppend), the nightly recall panel (q84) watches for
+  // drift, and when it drifts the codebook+centroids retrain OFFLINE
+  // and the layout rebuilds. q91 declares that whole loop once: build
+  // the store WITHOUT the drifted day, append the drifted day against
+  // the frozen model, read the panel (phase 'before' — the paging
+  // signal), then retrain on corpus ∪ batch (trainedCentroids = q75's
+  // Lloyd round with the division applied; the codebook re-derives
+  // from the same first-k construction q73 declares) and REBUILD the
+  // layout from scratch — after which the store is byte-equal to a
+  // never-appended build over the full corpus (the q88
+  // append-equals-rebuild property, lifted to the model tables;
+  // pinned in IvfStoreSpec) — and read the panel again (phase
+  // 'after').
+  //
+  // Oracle: both phases have closed forms because ivfPqAppend is a
+  // pure function of (vector, frozen model): the 'before' store
+  // equals a from-scratch layout whose MODEL trained on the base
+  // corpus only (assignment and codes are row-local maps, so
+  // append-time rows get exactly what build-time rows get under the
+  // same model), and the 'after' store equals the full-corpus q74
+  // layout — so the oracle re-binds q74's replay SQL with the
+  // training CTE restricted to the base corpus for 'before' and
+  // unrestricted for 'after', against the same full-corpus exact
+  // panel.
+  def q91AnnRetrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q91")
+    val emb = embeddings(s, d)
+    // the drifted day: every third vector outside the seed range —
+    // big enough (~1/3 of the corpus) that the frozen cells genuinely
+    // misshape, deterministic at every fixture scale
+    val driftPred = col("vec_id") >= 16 && col("vec_id") % 3 === 1
+    ivfPqWriteDf(emb.filter(!driftPred), store)
+    ivfPqAppend(s, store, emb.filter(driftPred))
+    val exact = Dedup.materializeBounded(panelExact(emb, ProbePanel, 10))
+    val panelDf = ProbePanel.toDF("probe_id")
+    def phasePanel(phase: String): DataFrame = {
+      val wp = Window.partitionBy(col("phase"))
+      panelHits(phase, panelAdc(s, store, emb, ProbePanel,
+          nprobe = 4, k = 10, m = 8), exact, panelDf)
+        .withColumnRenamed("method", "phase")
+        .withColumn("min_hits", min(col("hits")).over(wp))
+        .withColumn("sum_hits", sum(col("hits")).over(wp))
+    }
+    // the 'before' readout must MATERIALIZE before the rebuild: the
+    // panel plan holds the store's pre-rebuild file listing (the
+    // documented snapshot caveat on neardupClusterStoreUpdate)
+    val before = Dedup.materializeBounded(phasePanel("before"))
+    ivfPqWriteDf(emb, store) // retrain on corpus ∪ batch + rebuild
+    before.unionByName(phasePanel("after"))
+      .orderBy(col("phase"), col("probe_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1023,6 +1133,7 @@ object Similarity {
     "q80_knn_join" -> (q80KnnJoin _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q84_ann_recall" -> (q84AnnRecall _),
+    "q91_ann_retrain" -> (q91AnnRetrain _),
   )
 
   private val dotSql =
@@ -1055,13 +1166,20 @@ object Similarity {
     * (the q79 division convention) — emitted as a `cent(cell_id, ce)`
     * CTE over an existing `q(vec_id, qe)` CTE. Shared by the q81 and
     * q74 oracles so the trained-assignment semantics are stated once. */
-  private val trainedCentSql =
-    s"""cent0 AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+  private val trainedCentSql = trainedCentSqlOver("q")
+
+  /** The same block with the TRAINING corpus parameterized (q91: the
+    * 'before' phase's model trained on the base corpus only, while
+    * assignment/encode still run over the full one — exactly what a
+    * frozen-model append produces). `src` must be a CTE with
+    * (vec_id, qe). */
+  private def trainedCentSqlOver(src: String): String =
+    s"""cent0 AS (SELECT vec_id AS cell_id, qe AS ce FROM $src
        |  WHERE vec_id < 16),
        |dots0 AS (
-       |  SELECT q.vec_id, q.qe, cent0.cell_id,
-       |    ${qdotSql("q.qe", "cent0.ce")} AS cdot
-       |  FROM q, cent0),
+       |  SELECT $src.vec_id, $src.qe, cent0.cell_id,
+       |    ${qdotSql(s"$src.qe", "cent0.ce")} AS cdot
+       |  FROM $src, cent0),
        |a0 AS (
        |  SELECT vec_id, qe, cell_id FROM (
        |    SELECT *, row_number() OVER (
@@ -1144,10 +1262,28 @@ object Similarity {
   // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
   // — the oracle replays the approximation itself, not the exact dot
   private def q74OracleSqlFor(pid: Long): String =
+    q74OracleSqlTrained(pid, "q")
+
+  /** q74's replay with the model-training corpus parameterized: src
+    * "q" is the standard full-corpus layout; src "qb" (injected as a
+    * base-corpus CTE) replays a frozen-model store after an append —
+    * assignment, codes, probe, and LUT all still run over the full
+    * corpus, only the trained centroids see the restricted set. (The
+    * codebook CTE keeps `vec_id < 16` over the full corpus: seeds are
+    * below the drift predicate's floor, so base and full agree —
+    * matching the store, whose appended batch encodes against the
+    * frozen codebook.) */
+  private def q74OracleSqlTrained(pid: Long, src: String): String = {
+    val baseCte =
+      if (src == "q") ""
+      else s"""
+         |$src AS (
+         |  SELECT * FROM q
+         |  WHERE NOT (vec_id >= 16 AND vec_id % 3 = 1)),""".stripMargin
     s"""WITH q AS (
          |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
-         |  WHERE vec_id IS NOT NULL),
-         |$trainedCentSql,
+         |  WHERE vec_id IS NOT NULL),$baseCte
+         |${trainedCentSqlOver(src)},
          |dots AS (
          |  SELECT q.vec_id, cent.cell_id,
          |    ${qdotSql("q.qe", "cent.ce")} AS cdot
@@ -1198,6 +1334,7 @@ object Similarity {
          |JOIN q ON q.vec_id = a.vec_id
          |WHERE a.vec_id != $pid
          |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin
+  }
 
   private val q74OracleSql: String = q74OracleSqlFor(0L)
 
@@ -1439,6 +1576,31 @@ object Similarity {
          |  CAST(sum(hits) OVER (PARTITION BY method) AS BIGINT)
          |    AS sum_hits
          |FROM per ORDER BY method, probe_id""".stripMargin
+    },
+    // before = the frozen-model appended store (its closed form: a
+    // from-scratch layout whose model trained on the base corpus
+    // only); after = the retrained full-corpus layout (= q74's).
+    // Both phases replay the ADC approximation per panel probe
+    // against the full-corpus exact scan.
+    "q91_ann_retrain" -> {
+      val terms = Seq(("before", "qb"), ("after", "q")).flatMap {
+        case (phase, src) => ProbePanel.map { pid =>
+          s"""SELECT '$phase' AS phase,
+             |    CAST($pid AS BIGINT) AS probe_id,
+             |    CAST(count(*) AS BIGINT) AS hits
+             |  FROM (SELECT vec_id
+             |        FROM (${q74OracleSqlTrained(pid, src)})) a
+             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+             |    USING (vec_id)""".stripMargin
+        }
+      }
+      s"""WITH per AS (
+         |${terms.mkString("", "\nUNION ALL\n", "")})
+         |SELECT phase, probe_id, hits, CAST(10 AS BIGINT) AS k,
+         |  min(hits) OVER (PARTITION BY phase) AS min_hits,
+         |  CAST(sum(hits) OVER (PARTITION BY phase) AS BIGINT)
+         |    AS sum_hits
+         |FROM per ORDER BY phase, probe_id""".stripMargin
     },
   )
 }

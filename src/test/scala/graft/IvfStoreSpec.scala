@@ -122,4 +122,38 @@ class IvfStoreSpec extends SparkSpec {
       .filter(col("vec_id") === 1L).count() === 1L)
     assert(probeRows(storeInc) === probeRows(storeFull))
   }
+
+  test("ivfPqAppend lands codes against the frozen model; " +
+    "retrain-then-rebuild equals a from-scratch build (q91)") {
+    val emb = Tables.embeddings(spark, sf)
+    val drift = col("vec_id") >= 16 && col("vec_id") % 3 === 1
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfpq_retrain_").toString
+    Similarity.ivfPqWriteDf(emb.filter(!drift), store)
+    Similarity.ivfPqAppend(spark, store, emb.filter(drift))
+    // the frozen-model append covers the full corpus exactly once,
+    // codes-only (no raw vectors slip in through the append path)
+    val vecs = spark.read.parquet(s"$store/vectors")
+    assert(vecs.count() === emb.count())
+    assert(vecs.select("vec_id").distinct().count() === emb.count())
+    assert(vecs.columns.toSet ===
+      Set("vec_id", "label", "codes", "cell_id"))
+    def rows(dir: String, t: String, order: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$dir/$t")
+        .orderBy(order.map(col): _*).collect().map(_.toString).toSeq
+    // retrain on corpus ∪ batch and rebuild in place; a never-appended
+    // from-scratch build over the same corpus must be table-for-table
+    // identical (the q88 append-equals-rebuild property lifted to the
+    // model tables — what makes the q91 'after' phase oracle-closed)
+    Similarity.ivfPqWriteDf(emb, store)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("ivfpq_scratch_").toString
+    Similarity.ivfPqWriteDf(emb, scratch)
+    assert(rows(store, "vectors", Seq("vec_id")) ===
+      rows(scratch, "vectors", Seq("vec_id")))
+    assert(rows(store, "centroids", Seq("cell_id")) ===
+      rows(scratch, "centroids", Seq("cell_id")))
+    assert(rows(store, "codebook", Seq("m", "seed")) ===
+      rows(scratch, "codebook", Seq("m", "seed")))
+  }
 }
