@@ -637,6 +637,52 @@ object Streams {
       .orderBy(col("vec_id"))
   }
 
+  // O-102 (s17): ingest-time VECTOR ingest — q88's streaming twin,
+  // completing the persisted-streaming-binding triple across the
+  // three index families (s16 exact hashes, s15 near-dup clusters,
+  // s17 ANN cells). Each arriving micro-batch of vectors runs the
+  // frozen-model append (Similarity.ivfAppend: row-local assignment
+  // against the store's centroids, cell-partitioned parquet append —
+  // O(batch), no corpus rescan) via foreachBatch; the declared answer
+  // is the store's probe for vec 0 after the stream drains, which
+  // must equal the never-streamed full-corpus build — q88's
+  // append-equals-rebuild, composed across however AvailableNow
+  // slices the arrivals (each append is a pure function of (vector,
+  // frozen model), so the final vectors table is batch-split-
+  // independent).
+  //
+  // Delivery caveat (the family posture): foreachBatch is
+  // AT-LEAST-ONCE — a replayed batch re-appends its rows; the probe
+  // tolerates nothing, but ivfCompact's DISTINCT rewrite reclaims the
+  // duplicates (pinned in IvfStoreSpec's triple-append test), which
+  // is the same reclaim path the band/edge/hash appends document.
+  def s17StreamVectorIngest(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.ops.Tables.embeddings(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_ivf_store_s17")
+    // q88's split: the 16 seed vectors stay in the corpus so the
+    // frozen codebook matches the full rebuild the oracle replays
+    val batchPred = col("vec_id") >= 16 && col("vec_id") % 5 === 0
+    graft.ops.Similarity.ivfWriteDf(emb.filter(!batchPred), store)
+    val vecStream = s.readStream.schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+    val q = vecStream.filter(batchPred)
+      .writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.ivfAppend(batch.sparkSession, store, batch)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions.quantize(
+        col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    graft.ops.Similarity.ivfProbe(s, store, queryVec,
+      nprobe = 4, k = 10, excludeVecId = Some(0L))
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -744,6 +790,7 @@ object Streams {
     "s14_stream_neardup_screen" -> (s14StreamNeardupScreen _),
     "s15_stream_cluster_maintain" -> (s15StreamClusterMaintain _),
     "s16_stream_dedup_screen" -> (s16StreamDedupScreen _),
+    "s17_stream_vector_ingest" -> (s17StreamVectorIngest _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -790,6 +837,11 @@ object Streams {
     // pairing applied to the exact-hash family)
     "s16_stream_dedup_screen" ->
       graft.ops.Dedup.oracles("q83_corpus_merge"),
+    // append-equals-rebuild composed across micro-batches: the drained
+    // store's probe equals the full-corpus build's, so the closed form
+    // IS q88's (= q68's) full-rebuild probe SQL
+    "s17_stream_vector_ingest" ->
+      graft.ops.Similarity.oracles("q88_ivf_append"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

@@ -65,6 +65,19 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming vector ingest (s17) == batch frozen-model append (q88)") {
+    // append-equals-rebuild composed across micro-batches: however
+    // AvailableNow slices the arriving vectors, the drained store's
+    // probe must equal the one-shot q88 append's (each ivfAppend is a
+    // pure function of (vector, frozen model))
+    val batch = ops.Similarity.q88IvfAppend(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s17StreamVectorIngest(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stateful counter (s07) == batch per-user aggregate") {
     import org.apache.spark.sql.functions._
     val batch = ops.Tables.events(spark, sf)
