@@ -189,6 +189,69 @@ object Sampling {
   def q66SourceMix(s: SparkSession, d: String): DataFrame =
     sourceMix(documents(s, d), Map("src0" -> 3, "src1" -> 2))
 
+  // O-103 token-budget mixture: q66 re-denominated in TOKENS — the unit
+  // trainers actually specify mixtures in ("500B tokens at 3:2:1").
+  // Doc-count mixing over-represents sources with short documents; here
+  // source i's contribution is capped by a token quota
+  // q_i = w_i * T DIV W with T = min_i(tok_i * W DIV w_i) the largest
+  // total budget every source can serve at its weight, and the source's
+  // docs are admitted in stable hash order while their cumulative token
+  // count stays within the quota (greedy prefix — the first doc that
+  // would cross the boundary ends the source's contribution; a crossing
+  // doc is DROPPED, not truncated, because mixture sampling is a row
+  // filter — truncation is the chunker's (q78) job). Same exact-integer
+  // construction as q66 (no rand(), no floats) and the same scale
+  // shape: the per-source token totals are ONE |sources|-row driver
+  // collect (W/T/quotas derived driver-side, re-broadcast as a local
+  // relation), and the corpus pays exactly one shuffle — the per-source
+  // cumulative-sum window (q64's frame) — before the presentation sort.
+  /** Generic token-budget mixture over any (doc_id, source, text)
+    * table: integer target weights per source (defaultWeight for
+    * unlisted sources; weight <= 0 drops the source entirely). */
+  def tokenMix(docs: DataFrame, weights: Map[String, Int],
+      defaultWeight: Int = 1): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col("source") === src, wt).otherwise(acc)
+    }
+    val weighted = docs
+      // NULL sources excluded up front for the q66 reason: they would
+      // otherwise inflate W and T and then vanish at the quota join
+      .filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        bucket(col("doc_id")).as("bucket"),
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .withColumn("w", wExpr)
+      .filter(col("w") > 0)
+    // one row per source — bounded by |sources|, never the corpus
+    val countRows = weighted.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tok")).as("tok")).collect()
+    val wsum = countRows.map(_.getAs[Int]("w").toLong).sum
+    val t =
+      if (countRows.isEmpty) 0L
+      else countRows.map(r =>
+        r.getAs[Long]("tok") * wsum / r.getAs[Int]("w")).min
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val quota = countRows.toSeq
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("w") * t / wsum))
+      .toDF("source", "tok_quota")
+    val cumW = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted
+      .withColumn("cum_tok", sum(col("n_tok")).over(cumW))
+      .join(broadcast(quota), "source")
+      .filter(col("cum_tok") <= col("tok_quota"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
+        col("tok_quota"))
+      .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+  }
+
+  def q66bTokenMix(s: SparkSession, d: String): DataFrame =
+    tokenMix(documents(s, d), Map("src0" -> 3, "src1" -> 2))
+
   // O-74 overlapping document chunking: split each document into
   // fixed-width token windows (width W, stride S < W) — the context-
   // window preparation step of a retrieval / long-context pipeline
@@ -349,6 +412,7 @@ object Sampling {
     "q63_stratified_sample" -> (q63StratifiedSample _),
     "q64_sequence_pack" -> (q64SequencePack _),
     "q66_source_mix" -> (q66SourceMix _),
+    "q66b_token_mix" -> (q66bTokenMix _),
     "q78_chunk_overlap" -> (q78ChunkOverlap _),
     "q82_dataset_card" -> (q82DatasetCard _),
     "q90_shuffle_shards" -> (q90ShuffleShards _),
@@ -381,6 +445,34 @@ object Sampling {
          |FROM ranked r JOIN ki USING (source)
          |WHERE r.rn <= ki.k
          |ORDER BY source, rn""".stripMargin,
+    // Token-budget twin: same weights and hash order, quotas and the
+    // admission boundary in TOKENS via the q64 cumulative-sum frame.
+    "q66b_token_mix" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $bucketSql AS bucket,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t != '')) AS BIGINT) AS n_tok,
+         |    CASE WHEN source = 'src0' THEN 3
+         |         WHEN source = 'src1' THEN 2 ELSE 1 END AS w
+         |  FROM documents WHERE source IS NOT NULL),
+         |counts AS (SELECT source, w, CAST(sum(n_tok) AS BIGINT) AS tok
+         |  FROM b GROUP BY 1, 2),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
+         |tv AS (SELECT CAST(min(tok * wsum // w) AS BIGINT) AS t
+         |  FROM counts, ws),
+         |ki AS (SELECT source, CAST(w * t // wsum AS BIGINT) AS tok_quota
+         |  FROM counts, tv, ws),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tok
+         |  FROM b)
+         |SELECT c.doc_id, c.source, c.n_tok, c.cum_tok, ki.tok_quota
+         |FROM c JOIN ki USING (source)
+         |WHERE c.cum_tok <= ki.tok_quota
+         |ORDER BY source, cum_tok, doc_id""".stripMargin,
     "q59_hash_split" ->
       s"""SELECT doc_id, source, $bucketSql AS bucket,
          |  CASE WHEN $bucketSql < 80 THEN 'train'

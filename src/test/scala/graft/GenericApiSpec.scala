@@ -81,6 +81,36 @@ class GenericApiSpec extends SparkSpec {
     assert(perSourceNull.toMap === Map("a" -> 6, "b" -> 3))
   }
 
+  test("tokenMix admits a greedy token-bounded prefix per source") {
+    import spark.implicits._
+    // 4 docs of a (3 tokens each = 12), 4 of b (3 each = 12), weights
+    // 2:1 -> W=3, T=min(12*3/2, 12*3/1)=18, quotas q_a = 2*18/3 = 12
+    // (all of a), q_b = 18/3 = 6 (two docs of b)
+    val sdocs = ((1L to 4L).map((_, "a")) ++ (11L to 14L).map((_, "b")))
+      .map { case (id, s) => (id, s, "x y z") }
+    val df = sdocs.toDF("doc_id", "source", "text")
+    val out = ops.Sampling.tokenMix(df, Map("a" -> 2), defaultWeight = 1)
+      .collect()
+    val perSource = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perSource.toMap === Map("a" -> 4, "b" -> 2))
+    // greedy prefix: per source the selected cumulative tokens stay
+    // within the quota, and one more doc would cross it
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val quota = rows.head.getLong(4)
+      val maxCum = rows.map(_.getLong(3)).max
+      assert(maxCum <= quota && maxCum + 3 > quota)
+    }
+    // a doc that would CROSS the boundary is dropped, not truncated:
+    // same corpus but b's docs are 5 tokens (total 20) -> T =
+    // min(12*3/2, 20*3) = 18, q_b = 6 -> only ONE 5-token b doc fits
+    val uneven = ((1L to 4L).map((_, "a", "x y z")) ++
+      (11L to 14L).map((_, "b", "v w x y z"))).toDF(
+      "doc_id", "source", "text")
+    val out2 = ops.Sampling.tokenMix(uneven, Map("a" -> 2)).collect()
+    val bRows = out2.filter(_.getString(1) == "b")
+    assert(bRows.length === 1 && bRows.head.getLong(3) === 5L)
+  }
+
   test("decontaminate flags only docs overlapping the benchmark set") {
     import spark.implicits._
     // doc 2 shares 4 shingles with the benchmark doc ("the quick brown",
