@@ -236,7 +236,11 @@ object Dedup {
   private[graft] def compactBuckets(s: SparkSession, store: String,
       partCol: String, projection: Seq[org.apache.spark.sql.Column],
       sortCols: Seq[org.apache.spark.sql.Column],
-      maxFilesPerBucket: Int): Seq[Int] = {
+      maxFilesPerBucket: Int,
+      // the per-bucket rewrite: DISTINCT by default (idempotent-fact
+      // stores: hashes, band rows); the tf store passes a SUM fold
+      // because its delta rows compact by addition, not dedup
+      fold: Option[DataFrame => DataFrame] = None): Seq[Int] = {
     val root = new org.apache.hadoop.fs.Path(store)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val over =
@@ -250,10 +254,11 @@ object Dedup {
         .sorted
     if (over.isEmpty) return over
     val tmp = store + "_compacting"
-    s.read.parquet(store)
+    val pruned = s.read.parquet(store)
       .filter(col(partCol).isin(over: _*)) // partition prune
-      .select(projection :+ col(partCol): _*)
-      .distinct()
+    fold.fold(
+      pruned.select(projection :+ col(partCol): _*).distinct())(
+      f => f(pruned))
       // one task per bucket => one file per bucket dir (the
       // dedupIndexWrite co-location reasoning)
       .repartition(over.length, col(partCol))

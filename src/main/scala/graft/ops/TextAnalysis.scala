@@ -322,12 +322,30 @@ object TextAnalysis {
     * twice and shuffled never (the position->doc aggregate shuffles
     * per-doc partial sums, not positions). */
   def corpusFreqScore(docs: DataFrame, rarePct: Int = 1): DataFrame = {
-    val pos = docsParallel(docs)
+    val pos = tokenPositions(docs)
+    scoreAgainstModel(pos,
+      pos.groupBy(col("tok")).agg(count(lit(1)).as("c")), rarePct)
+  }
+
+  /** One row per (doc, token position) — the shared scan both the
+    * in-query train pass (q72) and the standing-model scorer (q92)
+    * feed from. */
+  private def tokenPositions(docs: DataFrame): DataFrame =
+    docsParallel(docs)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(toks).as("tok"))
-    val tf = pos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  /** The SCORE pass against any (tok, c) unigram model. The join is
+    * LEFT OUTER with c coalesced to 0 so a token the model has never
+    * seen scores as maximally rare — the correct reading when a
+    * standing model (q92) scores documents newer than its last merge;
+    * for the self-trained q72 every token is present and the outer
+    * rows are empty, so the two paths stay pointwise equal. */
+  private def scoreAgainstModel(pos: DataFrame, tf: DataFrame,
+      rarePct: Int): DataFrame = {
     val tot = tf.agg(sum(col("c")).as("total"))
-    pos.join(broadcast(tf), "tok")
+    pos.join(broadcast(tf), Seq("tok"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -349,6 +367,96 @@ object TextAnalysis {
 
   def q72CorpusFreqScore(s: SparkSession, d: String): DataFrame =
     corpusFreqScore(documents(s, d))
+
+  // O-104: incremental TERM-FREQUENCY model store — the standing-index
+  // idiom (q83 hashes / q85 bands / q88 cells) applied to the TEXT-
+  // MODEL family. q72 retrains its unigram model from scratch on every
+  // run; at a daily cadence over a 100 TB corpus the model must
+  // instead live on disk and absorb each batch in O(batch): the store
+  // keeps per-epoch count-DELTA rows (epoch, tok, c) in 64 token-hash
+  // buckets, a merge appends the batch's OWN groupBy(token) counts
+  // (the corpus is never rescanned — sum-of-deltas associativity does
+  // the merge at read time, in the model fold), and compaction folds
+  // oversized buckets back toward one row per token. The epoch column
+  // is the replay ledger: a re-delivered batch re-appends IDENTICAL
+  // (epoch, tok, c) rows, and the model fold's DISTINCT reclaims them
+  // — the at-least-once posture the hash/edge stores document, made to
+  // work for non-idempotent counts by tagging the delta's origin.
+  // Compaction erases epochs (folds them into a -1 total), so it must
+  // run only behind the replay window (after the stream's checkpoint
+  // commits) — the one ordering constraint this store adds.
+  /** Write (or append, for a merge) the tf store: one partially
+    * aggregated groupBy(token) pass over the given docs — the q72
+    * train pass — bucketed by token hash, one task and file per
+    * bucket (the dedupIndexWrite small-files reasoning). */
+  def tfStoreWrite(docs: DataFrame, store: String,
+      mode: String = "overwrite", epoch: Long = 0L): Unit =
+    tokenPositions(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(64)).cast("int"))
+      .repartition(64, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("tok"))
+      .write.mode(mode).partitionBy("bucket").parquet(store)
+
+  /** Merge a batch into the standing model: O(batch tokens), zero
+    * store reads. Distinct epoch per batch is the caller's contract
+    * (a streaming binding passes its batchId) — it is what makes a
+    * replayed append reclaimable. */
+  def tfStoreMerge(s: SparkSession, store: String, newDocs: DataFrame,
+      epoch: Long): Unit =
+    tfStoreWrite(newDocs, store, mode = "append", epoch = epoch)
+
+  /** The standing model, dictionary-sized: DISTINCT delta rows (the
+    * replay reclaim), then sum per token. */
+  def tfModel(s: SparkSession, store: String): DataFrame =
+    s.read.parquet(store)
+      .select(col("epoch"), col("tok"), col("c")).distinct()
+      .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+
+  /** Compact oversized buckets: the shared partition-pruned
+    * enumerate-stage-swap pass (Dedup.compactBuckets), with a SUM
+    * fold instead of DISTINCT — delta rows compact by addition. Each
+    * folded bucket is rewritten WHOLE as epoch -1 totals (one row per
+    * token), so repeated folds cannot double-count: a bucket never
+    * holds two (-1, tok) rows. Run behind the replay window. */
+  def tfStoreCompact(s: SparkSession, store: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    Dedup.compactBuckets(s, store, "bucket", Seq.empty,
+      Seq(col("bucket"), col("tok")), maxFilesPerBucket,
+      fold = Some(df => df
+        .select(col("epoch"), col("tok"), col("c"), col("bucket"))
+        .distinct()
+        .groupBy(col("bucket"), col("tok")).agg(sum(col("c")).as("c"))
+        .withColumn("epoch", lit(-1L))
+        .select(col("tok"), col("c"), col("epoch"), col("bucket"))))
+
+  /** q72's SCORE pass bound to the STANDING model instead of an
+    * in-query retrain — the consumer a daily pipeline actually runs:
+    * the corpus-sized side pays the same scan + broadcast join; the
+    * model side is a dictionary-sized store read. */
+  def corpusFreqScoreFromStore(docs: DataFrame, store: String,
+      rarePct: Int = 1): DataFrame =
+    scoreAgainstModel(tokenPositions(docs),
+      tfModel(docs.sparkSession, store), rarePct)
+
+  /** Declared O-104 binding: build the store WITHOUT every fifth doc,
+    * merge those back as the batch (epoch 1), compact (exercising the
+    * sum fold in the declared path — every touched bucket holds two
+    * epoch files), then score the full corpus against the standing
+    * model. Oracle: q72's SQL VERBATIM — the store was built in two
+    * increments and folded, yet scoring against it must equal scoring
+    * against a from-scratch retrain (merge-equals-full-recompute,
+    * proven through the model's consumer). */
+  def q92TfStoreScore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_tf_store_q92")
+    val docs = documents(s, d)
+    val batchPred = pmod(col("doc_id"), lit(5)) === 2
+    tfStoreWrite(docs.filter(!batchPred), store)
+    tfStoreMerge(s, store, docs.filter(batchPred), epoch = 1L)
+    tfStoreCompact(s, store, maxFilesPerBucket = 1)
+    corpusFreqScoreFromStore(docs, store)
+  }
 
   /** q69: piiScrub over a deterministically PII-injected view of the
     * documents table — the fixture corpus carries no PII (synthetic
@@ -380,6 +488,7 @@ object TextAnalysis {
     "q62b_repetition_filter" -> (q62bRepetitionFilter _),
     "q69_pii_scrub" -> (q69PiiScrub _),
     "q72_corpus_freq_score" -> (q72CorpusFreqScore _),
+    "q92_tf_store_score" -> (q92TfStoreScore _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -401,12 +510,15 @@ object TextAnalysis {
        |  ELSE NULL END""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    // two-pass corpus-frequency score: unigram counts -> per-doc
-    // position stats; exact-integer arithmetic until the final rounded
-    // double divisions (mirrors the Spark side operation-for-operation)
-    "q72_corpus_freq_score" ->
-      s"""WITH tk AS (
+  // two-pass corpus-frequency score: unigram counts -> per-doc
+  // position stats; exact-integer arithmetic until the final rounded
+  // double divisions (mirrors the Spark side operation-for-operation).
+  // Shared by q72 (in-query retrain) and q92 (standing tf store):
+  // merge-equals-full-recompute proven THROUGH the model's consumer —
+  // scoring against the incrementally built (and folded) store must
+  // equal scoring against the from-scratch retrain.
+  private val corpusFreqSql =
+    s"""WITH tk AS (
          |  SELECT doc_id, $toksSql AS w FROM documents
          |  WHERE doc_id IS NOT NULL),
          |pos AS (SELECT doc_id, t.tok FROM tk, UNNEST(w) AS t(tok)),
@@ -425,7 +537,11 @@ object TextAnalysis {
          |  round(CAST(n_rare AS DOUBLE) / n_tok, 4) AS rare_frac,
          |  round(CAST(c_sum * 1000 AS DOUBLE) / (n_tok * total), 4)
          |    AS mean_tf_permille
-         |FROM per ORDER BY doc_id""".stripMargin,
+         |FROM per ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q72_corpus_freq_score" -> corpusFreqSql,
+    "q92_tf_store_score" -> corpusFreqSql,
     // modal token/bigram counts via the classic group-by formulation
     // (the oracle needn't mirror Spark's array expressions, only the
     // result); bigram construction matches the shingle oracle pattern

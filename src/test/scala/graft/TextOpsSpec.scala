@@ -117,6 +117,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, 10L, 1L, 0.1, 860.0)))
   }
 
+  test("tf store: merge, replay reclaim, and sum-fold compaction " +
+      "preserve the model") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("tf_").toString
+    val base = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val batch = Seq((3L, "a c c")).toDF("doc_id", "text")
+    def model(): Map[String, Long] =
+      TextAnalysis.tfModel(spark, store).as[(String, Long)]
+        .collect().toMap
+    TextAnalysis.tfStoreWrite(base, store)
+    TextAnalysis.tfStoreMerge(spark, store, batch, epoch = 1L)
+    val merged = Map("a" -> 3L, "b" -> 2L, "c" -> 3L)
+    assert(model() === merged)
+    // at-least-once replay: the SAME epoch re-appends identical delta
+    // rows; the model fold's DISTINCT reclaims them
+    TextAnalysis.tfStoreMerge(spark, store, batch, epoch = 1L)
+    assert(model() === merged)
+    // compaction folds every bucket (two epoch files each) into one
+    // epoch -1 total row per token — model unchanged, and a second
+    // fold cannot double-count (the bucket is rewritten whole)
+    val folded = TextAnalysis.tfStoreCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(folded.nonEmpty)
+    assert(model() === merged)
+    TextAnalysis.tfStoreCompact(spark, store, maxFilesPerBucket = 0)
+    assert(model() === merged)
+    // a NEW epoch after the fold still lands additively
+    TextAnalysis.tfStoreMerge(spark, store,
+      Seq((4L, "c d")).toDF("doc_id", "text"), epoch = 2L)
+    assert(model() === Map("a" -> 3L, "b" -> 2L, "c" -> 4L, "d" -> 1L))
+    // scoring docs NEWER than the model: unseen tokens read as c=0
+    // (maximally rare) through the left-outer score join
+    val out = TextAnalysis.corpusFreqScoreFromStore(
+      Seq((9L, "a zz")).toDF("doc_id", "text"), store, rarePct = 20)
+      .select("doc_id", "n_tok", "n_rare").as[(Long, Long, Long)]
+      .collect()
+    assert(out === Array((9L, 2L, 1L))) // zz rare, a (3/10) not at 20%
+  }
+
   test("pii scrub redacts emails and phones, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
