@@ -683,6 +683,44 @@ object Streams {
       nprobe = 4, k = 10, excludeVecId = Some(0L))
   }
 
+  // O-105 (s18): ingest-time TEXT-MODEL maintenance — q92's streaming
+  // twin, extending the persisted-streaming-binding set to the fourth
+  // standing-index family (s16 exact hashes, s15 near-dup clusters,
+  // s17 ANN cells, s18 the unigram model). Each arriving micro-batch
+  // appends its OWN groupBy(token) count deltas into the standing tf
+  // store (tfStoreMerge — O(batch tokens), ZERO reads of the store;
+  // sum-of-deltas associativity defers the merge to the model fold),
+  // with the foreachBatch batchId as the delta's EPOCH tag: a restart
+  // re-delivers a batch under the SAME batchId, so the replayed
+  // append's rows are byte-identical and the model fold's DISTINCT
+  // reclaims them — the at-least-once posture made exact for
+  // non-idempotent counts (the one store family where DISTINCT alone
+  // wouldn't do). The declared answer scores the full corpus against
+  // the drained store; model additivity makes it independent of how
+  // AvailableNow slices the arrivals, so the oracle is q72's SQL —
+  // scoring against the stream-built model must equal scoring against
+  // a from-scratch retrain.
+  def s18StreamTfMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+    val store = graft.util.Ephemeral.fixedDir("graft_tf_store_s18")
+    val batchPred = pmod(col("doc_id"), lit(5)) === 2
+    graft.ops.TextAnalysis.tfStoreWrite(docs.filter(!batchPred), store)
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val q = docStream.filter(batchPred)
+      .writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.TextAnalysis.tfStoreMerge(
+            batch.sparkSession, store, batch, epoch = batchId)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.TextAnalysis.corpusFreqScoreFromStore(docs, store)
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -791,6 +829,7 @@ object Streams {
     "s15_stream_cluster_maintain" -> (s15StreamClusterMaintain _),
     "s16_stream_dedup_screen" -> (s16StreamDedupScreen _),
     "s17_stream_vector_ingest" -> (s17StreamVectorIngest _),
+    "s18_stream_tf_maintain" -> (s18StreamTfMaintain _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -842,6 +881,11 @@ object Streams {
     // IS q88's (= q68's) full-rebuild probe SQL
     "s17_stream_vector_ingest" ->
       graft.ops.Similarity.oracles("q88_ivf_append"),
+    // model additivity across micro-batches: scoring against the
+    // stream-built tf store equals scoring against a from-scratch
+    // retrain, so the closed form IS q72's (= q92's) SQL
+    "s18_stream_tf_maintain" ->
+      graft.ops.TextAnalysis.oracles("q92_tf_store_score"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

@@ -78,6 +78,18 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming tf maintenance (s18) == batch retrain (q72)") {
+    // model additivity across micro-batches: however AvailableNow
+    // slices the arriving docs, scoring against the stream-built store
+    // must equal scoring against the in-query full retrain
+    val batch = ops.TextAnalysis.q72CorpusFreqScore(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val stream = Streams.s18StreamTfMaintain(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stateful counter (s07) == batch per-user aggregate") {
     import org.apache.spark.sql.functions._
     val batch = ops.Tables.events(spark, sf)
