@@ -282,6 +282,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q66b: quota broadcasts; corpus pays one hash shuffle (window)") {
+    val plan = formatted("q66b_token_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the driver-side quota derivation leaves exactly ONE corpus hash
+    // exchange: the per-source cumulative-sum window (the second
+    // exchange is the presentation sort's range partitioning)
+    val hashExchanges = "Arguments: hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges === 1, plan)
+  }
+
+  test("q92: standing tf model broadcasts into the score join") {
+    val plan = formatted("q92_tf_store_score")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the model side is the store READ (parquet), not an in-query
+    // retrain of the position rows
+    assert(plan.contains("graft_tf_store_q92"), plan)
+  }
+
   test("q73: PQ codebook broadcasts; distances run as LongArrayDot") {
     val plan = formatted("q73_pq_encode")
     assert(plan.contains("BroadcastHashJoin"), plan)
