@@ -93,25 +93,77 @@ object TextAnalysis {
   // stopword ratio via cross-multiplication, mean token length band) —
   // zero float ops, so the score is engine- and order-exact.
   def qualityScore(docs: DataFrame): DataFrame =
+    scoredRows(docs).orderBy(col("doc_id"))
+
+  /** The q42 rubric pass with optional pass-through columns — shared
+    * by the per-doc readout (q42) and the per-source calibration
+    * (q93, which needs `source` carried through the same scan). */
+  private def scoredRows(docs: DataFrame, extra: Column*): DataFrame =
     docsParallel(docs)
       .withColumn("toks", toks)
-      .select(col("doc_id"),
+      .select((Seq(col("doc_id")) ++ extra ++ Seq(
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         size(filter(col("toks"), t => t === "the" || t === "a"))
           .as("n_stop"),
         aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
-          .as("sum_token_len"))
+          .as("sum_token_len"))): _*)
       .withColumn("quality_score",
         when(col("n_tokens").between(10, 1000), 40).otherwise(0) +
           when(col("n_distinct") * 2 >= col("n_tokens"), 30).otherwise(0) +
           when(col("n_stop") * 10 <= col("n_tokens") * 3, 20).otherwise(0) +
           when(col("sum_token_len").between(col("n_tokens") * 3,
             col("n_tokens") * 8), 10).otherwise(0))
-      .orderBy(col("doc_id"))
 
   def q42QualityScore(s: SparkSession, d: String): DataFrame =
     qualityScore(documents(s, d))
+
+  // O-106: quality-threshold calibration — the governance readout that
+  // turns q42's absolute rubric into a per-source DECISION table: what
+  // score distribution does each source actually have, and what
+  // fraction survives a proposed keep threshold? The score domain is
+  // bounded (integer multiples of 10 in [0, 100]), so the quantiles
+  // are EXACT by counting, never an approximate or interpolating
+  // sketch: per source, p_q is the lowest score whose cumulative count
+  // reaches ceil(q*n/100) (type-1 lower quantile, cross-multiplied —
+  // cum*100 >= n*q — so the whole table is integer arithmetic until
+  // the one rounded keep_frac division, the q42/q72 convention).
+  //
+  // Scale shape: the corpus pays its one rubric scan, partial-agg'd
+  // into groupBy(source, score) — at most |sources| x 11 rows cross
+  // the exchange; the window + final aggregate run over that tiny
+  // table. The decision this table feeds (drop a source, move its
+  // threshold) is exactly the mixture-step input q66/q66b consume.
+  /** Per-source exact score quantiles + keep rate at `keepAt` over any
+    * (doc_id, source, text) table. */
+  def qualityCalibration(docs: DataFrame, keepAt: Int = 50): DataFrame = {
+    val byScore = scoredRows(docs, col("source"))
+      .groupBy(col("source"), col("quality_score"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col("source"))
+    def pq(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n_docs") * q,
+        col("quality_score"))).as(s"p$q")
+    byScore
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n_docs", sum(col("cnt")).over(allW))
+      .withColumn("n_keep",
+        sum(when(col("quality_score") >= keepAt, col("cnt"))
+          .otherwise(lit(0L))).over(allW))
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"), // constant per group
+        pq(10), pq(50), pq(90),
+        min(col("n_keep")).as("n_keep"))
+      .withColumn("keep_frac",
+        round(col("n_keep").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  def q93QualityCalibration(s: SparkSession, d: String): DataFrame =
+    qualityCalibration(documents(s, d))
 
   // O-61 token counting: whitespace tokens + a BPE-ish regex pass
   // (word-runs and single punctuation marks, the GPT-2 pre-tokenizer
@@ -489,6 +541,7 @@ object TextAnalysis {
     "q69_pii_scrub" -> (q69PiiScrub _),
     "q72_corpus_freq_score" -> (q72CorpusFreqScore _),
     "q92_tf_store_score" -> (q92TfStoreScore _),
+    "q93_quality_calibration" -> (q93QualityCalibration _),
   )
 
   /** DuckDB twin of RollingHashMin(text, w): min over window positions of
@@ -687,6 +740,46 @@ object TextAnalysis {
          |  + (CASE WHEN sum_token_len BETWEEN n_tokens * 3 AND n_tokens * 8
          |     THEN 10 ELSE 0 END) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+    // per-source exact type-1 quantiles by counting over the bounded
+    // score domain; same cross-multiplied boundary (cum*100 >= n*q)
+    // and the single rounded keep_frac division
+    "q93_quality_calibration" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+         |    + (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+         |       THEN 30 ELSE 0 END)
+         |    + (CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a')))
+         |       * 10 <= len(toks) * 3 THEN 20 ELSE 0 END)
+         |    + (CASE WHEN coalesce(list_sum(list_transform(toks,
+         |         t -> length(t))), 0) BETWEEN len(toks) * 3
+         |         AND len(toks) * 8 THEN 10 ELSE 0 END) AS q
+         |  FROM t),
+         |b AS (SELECT source, q, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM m GROUP BY 1, 2),
+         |c AS (
+         |  SELECT source, q, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT)
+         |      AS n_docs,
+         |    CAST(sum(CASE WHEN q >= 50 THEN cnt ELSE 0 END)
+         |      OVER (PARTITION BY source) AS BIGINT) AS n_keep
+         |  FROM b)
+         |SELECT source, min(n_docs) AS n_docs,
+         |  CAST(min(CASE WHEN cum * 100 >= n_docs * 10 THEN q END)
+         |    AS INT) AS p10,
+         |  CAST(min(CASE WHEN cum * 100 >= n_docs * 50 THEN q END)
+         |    AS INT) AS p50,
+         |  CAST(min(CASE WHEN cum * 100 >= n_docs * 90 THEN q END)
+         |    AS INT) AS p90,
+         |  min(n_keep) AS n_keep,
+         |  round(CAST(min(n_keep) AS DOUBLE) / min(n_docs), 4)
+         |    AS keep_frac
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q43_token_count" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INT) AS n_chars_m,

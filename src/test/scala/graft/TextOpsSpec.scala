@@ -117,6 +117,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, 10L, 1L, 0.1, 860.0)))
   }
 
+  test("quality calibration: exact type-1 quantiles and keep rate") {
+    import spark.implicits._
+    // "good" scores 100 (len band 40 + distinct 30 + stopword 20 +
+    // mean-len 10); "a a" scores 30 (distinct rule only)
+    val good = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, "x", good), (2L, "x", good), (3L, "x", "a a"),
+      (4L, "y", "a a")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.qualityCalibration(docs)
+      .select("source", "n_docs", "p10", "p50", "p90", "n_keep",
+        "keep_frac")
+      .as[(String, Long, Int, Int, Int, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // x: scores (30, 100, 100) -> p10 = 1st = 30, p50 = 2nd = 100,
+    // p90 = 3rd = 100; keep@50 = 2/3
+    assert(out("x") === (("x", 3L, 30, 100, 100, 2L, 0.6667)))
+    assert(out("y") === (("y", 1L, 30, 30, 30, 0L, 0.0)))
+  }
+
   test("tf store: merge, replay reclaim, and sum-fold compaction " +
       "preserve the model") {
     import spark.implicits._
