@@ -1000,7 +1000,8 @@ object Dedup {
   // reproduces precisely the naive output — SAME oracle. Wins when
   // token frequency is skewed (the 100 TB case); loses on this small
   // uniform corpus, which is why both formulations ship.
-  def nearDupPairsPrefix(docs: DataFrame): DataFrame =
+  def nearDupPairsPrefix(docs: DataFrame, tNum: Int = 1,
+      tDen: Int = 2): DataFrame =
     // materialize-via-exchange, but on doc_id — NOT h as q36 does: q36e's
     // two shingle consumers are the doc-frequency aggregate (partial-aggs
     // map-side; indifferent to distribution) and docAgg's groupBy(doc_id)
@@ -1011,11 +1012,19 @@ object Dedup {
     // repartition(doc_id) 2.8s warm and 3x better than none on a cold
     // JVM, because the exchange still dedups the shingling+digest pass
     // across both consumers.
-    nearDupPairsPrefixFrom(hashedShingles(docs).repartition(col("doc_id")))
+    nearDupPairsPrefixFrom(
+      hashedShingles(docs).repartition(col("doc_id")), tNum, tDen)
 
   /** q36e pipeline from a prepared (doc_id, h) hashed-shingle table —
-    * package-visible so ProfileQ36e can A/B exchange placements. */
-  private[graft] def nearDupPairsPrefixFrom(sh: DataFrame): DataFrame = {
+    * package-visible so ProfileQ36e can A/B exchange placements. The
+    * Jaccard threshold is the RATIONAL tNum/tDen (default 1/2, q36e's
+    * 0.5): every prune below — prefix length, size filter, positional
+    * bound, final verification — is integer cross-multiplied from it,
+    * so a sweep floor like 3/10 (q94) reuses the whole pipeline with
+    * no float boundary anywhere. */
+  private[graft] def nearDupPairsPrefixFrom(sh: DataFrame, tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum >= 1 && tNum < tDen, s"need 0 < t < 1, got $tNum/$tDen")
     // global doc-frequency table is tiny relative to the corpus (distinct
     // shingles only) -> broadcast, no shuffle on the big side
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1045,12 +1054,15 @@ object Dedup {
       // than persist() (measured 3.5x a recompute, round-2 note) and
       // cluster-native.
       .repartition(col("doc_id"))
-    // prefix length for t = 0.5: n - ceil(t*n) + 1 = n DIV 2 + 1.
+    // prefix length: n - ceil(t*n) + 1, integer form
+    // n - (n*tNum + tDen - 1) DIV tDen + 1 (= n DIV 2 + 1 at t = 1/2).
     // posexplode keeps each prefix shingle's 0-based position p for the
     // positional filter below.
+    val prefixLen = (col("c")
+      - ((col("c") * tNum + (tDen - 1)) / lit(tDen)).cast("long")
+      + 1).cast("int")
     val prefix = docAgg.select(col("doc_id"), col("c"),
-      posexplode(slice(col("set"), lit(1),
-        (size(col("set")).cast("long") / lit(2L)).cast("int") + 1))
+      posexplode(slice(col("set"), lit(1), prefixLen))
         .as(Seq("p", "h")))
     // Candidate-time pruning, both lossless (PPJoin):
     //  - size filter: jaccard >= 0.5 forces max(|A|,|B|) <= 2*min(|A|,|B|);
@@ -1070,9 +1082,11 @@ object Dedup {
     val cand = prefix.as("a").hint("shuffle_hash")
       .join(prefix.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.c"), col("b.c")) <= least(col("a.c"), col("b.c")) * 2 &&
+        greatest(col("a.c"), col("b.c")) * tNum <=
+          least(col("a.c"), col("b.c")) * tDen &&
         (lit(1) + least(col("a.c") - col("a.p") - 1,
-          col("b.c") - col("b.p") - 1)) * 3 >= col("a.c") + col("b.c"))
+          col("b.c") - col("b.p") - 1)) * (tNum + tDen) >=
+          (col("a.c") + col("b.c")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verification sets re-sorted ASCENDING BY HASH (the prefix order is
@@ -1090,7 +1104,11 @@ object Dedup {
           col("set_a"), col("set_b")))
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      // integer form of jaccard >= tNum/tDen: inter*(tNum+tDen) >=
+      // tNum*(n_a+n_b) — the identical boundary to the float >= 0.5
+      // it replaces at the 1/2 default
+      .filter(col("inter") * (tNum + tDen) >=
+        (col("n_a") + col("n_b")) * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1098,6 +1116,42 @@ object Dedup {
 
   def q36eNearDupPrefix(s: SparkSession, d: String): DataFrame =
     nearDupPairsPrefix(documents(s, d))
+
+  // O-107 (q94): near-dup THRESHOLD SWEEP — q93's calibration idea
+  // applied to the dedup family. The 0.5 the near-dup queries run at
+  // is a policy choice, and the right way to choose it is to see the
+  // whole pair-count curve: how many pairs would each candidate
+  // threshold flag? One PPJoin pass at a sweep FLOOR (default 3/10 —
+  // the prefix/size/positional prunes all still apply, just wider)
+  // produces every exact pair with Jaccard >= floor; the pairs then
+  // bin by floor(10*j) (integer: inter*10 DIV union) and a descending
+  // cumulative gives pairs-at-or-above each candidate threshold. The
+  // sweep output is <= 11 rows — the decision table, not the pairs.
+  //
+  // Scale: identical plan family to q36e (the prunes are lossless at
+  // any rational t); the extra cost of a lower floor is real
+  // candidate growth, which is why the floor is a parameter — sweep
+  // only the range under consideration, never to 0 (t=0 would be the
+  // quadratic all-pairs join the prefix filter exists to avoid).
+  /** Pair-count curve over candidate Jaccard thresholds >= tNum/tDen. */
+  def nearDupThresholdSweep(docs: DataFrame, tNum: Int = 3,
+      tDen: Int = 10): DataFrame = {
+    val pairs = nearDupPairsPrefix(docs, tNum, tDen)
+    val fromAbove = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("bin",
+        ((col("inter") * 10) /
+          (col("n_a") + col("n_b") - col("inter"))).cast("int"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      // <= 11 rows reach this point: the single-partition window is a
+      // driver-scale fold, not a corpus operation
+      .withColumn("n_at_least", sum(col("n_pairs")).over(fromAbove))
+      .orderBy(col("bin"))
+  }
+
+  def q94NeardupThresholdSweep(s: SparkSession, d: String): DataFrame =
+    nearDupThresholdSweep(documents(s, d))
 
   private val NHashes = 16
   private val NBands = 8 // 2 rows per band
@@ -2284,6 +2338,7 @@ object Dedup {
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
+    "q94_neardup_threshold_sweep" -> (q94NeardupThresholdSweep _),
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
@@ -2674,6 +2729,30 @@ object Dedup {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the sweep's exact twin: same naive pair CTEs, the integer 3/10
+    // floor (inter*13 >= 3*(a+b)), floor(10*j) bins by integer
+    // division, descending cumulative for pairs-at-or-above
+    "q94_neardup_threshold_sweep" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (
+         |  SELECT CAST((inter * 10) // (ca.c + cb.c - inter) AS INT)
+         |    AS bin
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE inter * 13 >= (ca.c + cb.c) * 3),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM j GROUP BY bin)
+         |SELECT bin, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_at_least
+         |FROM g ORDER BY bin""".stripMargin,
     // directional re-read of the same pair table: one row per
     // (container, contained) direction clearing containment >= 0.8
     "q36g_containment" ->

@@ -81,6 +81,33 @@ class GenericApiSpec extends SparkSpec {
     assert(perSourceNull.toMap === Map("a" -> 6, "b" -> 3))
   }
 
+  test("prefix-filter pairs at a 3/10 floor contain exactly the 0.5 " +
+      "pairs above 0.5") {
+    // the PPJoin prunes are lossless at ANY rational threshold: the
+    // pairs found with the sweep floor 3/10, re-filtered to jaccard >=
+    // 1/2 (integer boundary), must equal the t=1/2 run pairwise
+    val docs = ops.Tables.documents(spark, sf)
+    val at30 = ops.Dedup.nearDupPairsPrefix(docs, 3, 10)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val at50 = ops.Dedup.nearDupPairsPrefix(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at30.nonEmpty && at30.length >= at50.size)
+    val refiltered = at30
+      .filter { case (_, _, inter, na, nb) => inter * 3 >= na + nb }
+      .map { case (a, b, _, _, _) => (a, b) }.toSet
+    assert(refiltered === at50)
+    // and the sweep is that pair set folded to a decision table: bin
+    // counts sum to the floor run's pair count, cumulative is monotone
+    val sweep = ops.Dedup.nearDupThresholdSweep(docs)
+      .select("bin", "n_pairs", "n_at_least").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._2).sum === at30.length.toLong)
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).toSeq.sorted.reverse)
+  }
+
   test("tokenMix admits a greedy token-bounded prefix per source") {
     import spark.implicits._
     // 4 docs of a (3 tokens each = 12), 4 of b (3 each = 12), weights
