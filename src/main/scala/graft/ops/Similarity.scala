@@ -679,6 +679,15 @@ object Similarity {
       .parquet(s"$storeDir/vectors")
   }
 
+  /** The IVF-PQ code store's compaction twin (ivfPqAppend appends one
+    * file set per touched cell per batch — the same small-files leak
+    * every standing index bounds; 8-byte code rows, never vectors). */
+  def ivfPqCompact(s: SparkSession, storeDir: String,
+      maxFilesPerCell: Int = 4): Seq[Int] =
+    Dedup.compactBuckets(s, s"$storeDir/vectors", "cell_id",
+      Seq(col("vec_id"), col("label"), col("codes")),
+      Seq(col("cell_id"), col("vec_id")), maxFilesPerCell)
+
   /** ADC probe: rank centroids (tiny scan + driver point-read of nprobe
     * ids, same documented shape as ivfProbe), build the k*m-entry
     * lookup table of dot(query-sub, codebook-entry) — once per QUERY,

@@ -155,5 +155,21 @@ class IvfStoreSpec extends SparkSpec {
       rows(scratch, "centroids", Seq("cell_id")))
     assert(rows(store, "codebook", Seq("m", "seed")) ===
       rows(scratch, "codebook", Seq("m", "seed")))
+    // the code store compacts like every standing index: replayed
+    // appends accumulate files, the pruned rewrite bounds them to one
+    // per cell, DISTINCT reclaims the duplicate code rows, and the
+    // table is value-identical after
+    (0 until 3).foreach { _ =>
+      Similarity.ivfPqAppend(spark, store,
+        emb.filter(col("vec_id") === 1L))
+    }
+    assert(Similarity.ivfPqCompact(spark, store,
+      maxFilesPerCell = 1).nonEmpty)
+    assert(Similarity.ivfPqCompact(spark, store,
+      maxFilesPerCell = 1).isEmpty)
+    assert(spark.read.parquet(s"$store/vectors")
+      .filter(col("vec_id") === 1L).count() === 1L)
+    assert(rows(store, "vectors", Seq("vec_id")) ===
+      rows(scratch, "vectors", Seq("vec_id")))
   }
 }
