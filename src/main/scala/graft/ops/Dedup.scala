@@ -1153,6 +1153,88 @@ object Dedup {
   def q94NeardupThresholdSweep(s: SparkSession, d: String): DataFrame =
     nearDupThresholdSweep(documents(s, d))
 
+  // O-108 (q95): corpus SNAPSHOT DIFF — the ops tool a daily pipeline
+  // runs before promoting a new corpus build: which documents were
+  // added, removed, or content-changed since the last snapshot, per
+  // source? Classification is by (doc_id, content hash): both sides
+  // reduce to 40-byte (id, source, sha256) projections BEFORE the
+  // join — the corpus text never moves — and a single full-outer join
+  // on doc_id classifies every row (added = new only, removed = old
+  // only, changed = hash differs, same otherwise), partial-agg'd
+  // straight down to the per-source decision table.
+  //
+  // Scale: one shuffle per side on doc_id over hash-sized rows (the
+  // q35 argument: 32 B/doc, orders smaller than the corpus); at a
+  // standing-store cadence you'd feed the two DEDUP INDEX generations
+  // in as the projections and skip the hashing scan entirely. The
+  // output is |sources| rows.
+  /** Per-source added/removed/changed/same counts between two corpus
+    * snapshots of any (doc_id, source, text) shape. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def proj(df: DataFrame, tag: String): DataFrame =
+      df.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source").as(s"src_$tag"),
+          sha2(col("text").cast("binary"), 256).as(s"h_$tag"))
+    proj(oldDocs, "o").join(proj(newDocs, "n"), Seq("doc_id"),
+        "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("h_o").isNull, "added")
+          .when(col("h_n").isNull, "removed")
+          .when(col("h_o") =!= col("h_n"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L))
+          .as("n_same"))
+      .orderBy(col("source"))
+  }
+
+  // O-109 (q96): SPLIT-LEAKAGE audit — the pipeline bug every eval
+  // number silently inherits: near-duplicate documents landing on
+  // opposite sides of the train/val/test split. The pair set is the
+  // exact-Jaccard near-dup relation (the q36e PPJoin pass); each
+  // pair's two splits are then computed ROW-LOCALLY (the split is a
+  // pure hash function of doc_id — Sampling.splitOf — so the audit
+  // needs NO join against a split table), normalized (least/greatest)
+  // and folded to a (split_a, split_b) count matrix: the cross-split
+  // rows are the leakage, the diagonal is context. Cost at 100 TB:
+  // the near-dup pass you already run, plus a per-pair map — the
+  // audit itself is free.
+  /** Near-dup pair counts by (ordered) split pair over any
+    * (doc_id, text) table. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val sa = graft.ops.Sampling.splitOf(col("doc_a"))
+    val sb = graft.ops.Sampling.splitOf(col("doc_b"))
+    nearDupPairsPrefix(docs)
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  def q96SplitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakage(documents(s, d))
+
+  /** Declared O-108 binding: old = the corpus without the doc_id%10==7
+    * slice (so those read as ADDED), new = without %10==2 (REMOVED)
+    * and with %10==4's text suffixed (CHANGED) — both snapshot views
+    * are pure deterministic functions of the fixture, rebuilt
+    * identically by the oracle. */
+  def q95SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 4,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    snapshotDiff(oldSnap, newSnap)
+  }
+
   private val NHashes = 16
   private val NBands = 8 // 2 rows per band
 
@@ -2339,6 +2421,8 @@ object Dedup {
     "q36c_simhash" -> (q36cSimhash _),
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q94_neardup_threshold_sweep" -> (q94NeardupThresholdSweep _),
+    "q95_snapshot_diff" -> (q95SnapshotDiff _),
+    "q96_split_leakage" -> (q96SplitLeakage _),
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
@@ -2753,6 +2837,57 @@ object Dedup {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS BIGINT) AS n_at_least
          |FROM g ORDER BY bin""".stripMargin,
+    // same deterministic snapshot views (drop %10==7 from old, %10==2
+    // from new, suffix %10==4's text in new), same full-outer
+    // hash-projection classification
+    "q95_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, source, sha256(text) AS h FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 10 != 7),
+         |n AS (
+         |  SELECT doc_id, source,
+         |    sha256(CASE WHEN doc_id % 10 = 4 THEN text || ' v2'
+         |      ELSE text END) AS h
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 10 != 2),
+         |c AS (
+         |  SELECT coalesce(n.source, o.source) AS source,
+         |    CASE WHEN o.h IS NULL THEN 'added'
+         |         WHEN n.h IS NULL THEN 'removed'
+         |         WHEN o.h != n.h THEN 'changed'
+         |         ELSE 'same' END AS status
+         |  FROM o FULL OUTER JOIN n USING (doc_id))
+         |SELECT source,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // the q36 exact pair set, each end's split computed by the q59
+    // bucket hash, least/greatest normalization, (split_a, split_b)
+    // counts
+    "q96_split_leakage" ->
+      s"""WITH $shinglesSql,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b,
+         |    ${graft.ops.Sampling.splitSqlOf("doc_a")} AS sa,
+         |    ${graft.ops.Sampling.splitSqlOf("doc_b")} AS sb
+         |  FROM pairs
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE inter * 3 >= ca.c + cb.c)
+         |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     // directional re-read of the same pair table: one row per
     // (container, contained) direction clearing containment >= 0.8
     "q36g_containment" ->

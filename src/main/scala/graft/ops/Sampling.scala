@@ -23,16 +23,30 @@ object Sampling {
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** The 80/10/10 split as a pure row-local function of doc_id — one
+    * definition shared by hashSplit and the leakage audit (q96), which
+    * needs the split of BOTH ends of a pair without a join. */
+  private[graft] def splitOf(id: Column): Column = {
+    val b = bucket(id)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of splitOf over an arbitrary id expression (the q59
+    * bucket SQL parameterized by column). */
+  private[graft] def splitSqlOf(idExpr: String): String = {
+    val b = s"(CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8) " +
+      "AS BIGINT) % 100)"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
   // Train/val/test split 80/10/10 by stable hash bucket: new data lands
   // in the same split on every backfill, and membership is decided
   // row-locally (no shuffle at all before the presentation sort).
   def hashSplit(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .orderBy(col("doc_id"))
 
   def q59HashSplit(s: SparkSession, d: String): DataFrame =

@@ -329,6 +329,34 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(finalPlan).size >= 1, finalPlan)
   }
 
+  test("q95: snapshot diff joins hash projections, text never moves") {
+    val plan = formatted("q95_snapshot_diff")
+    // each snapshot side reduces to (doc_id, source, sha256) BEFORE the
+    // full-outer join — the scan reads only the three needed columns
+    // (lang/n_chars pruned) and the join itself carries no text column
+    assert(plan.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val joinSection = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("Join"))
+      .mkString("\n")
+    assert(!joinSection.contains("text#"), plan)
+  }
+
+  test("q96: split labels computed row-locally on the pair set") {
+    // the split is a pure hash of doc_id (Sampling.splitOf), so the
+    // audit adds NO join beyond the near-dup pass itself: exactly the
+    // q36e join count, and no join keyed on a split/bucket column
+    val plan = formatted("q96_split_leakage")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val base = formatted("q36e_near_dup_prefix")
+    def joins(p: String): Int =
+      p.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin"))
+    assert(joins(plan) == joins(base), plan)
+  }
+
   test("q61b: non-canonical id set anti-joins as a broadcast") {
     val plan = formatted("q61b_canonical_corpus")
     assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight")
