@@ -1164,10 +1164,12 @@ object Dedup {
   // straight down to the per-source decision table.
   //
   // Scale: one shuffle per side on doc_id over hash-sized rows (the
-  // q35 argument: 32 B/doc, orders smaller than the corpus); at a
-  // standing-store cadence you'd feed the two DEDUP INDEX generations
-  // in as the projections and skip the hashing scan entirely. The
-  // output is |sources| rows.
+  // q35 argument: 32 B/doc, orders smaller than the corpus); a
+  // pipeline that persists its (doc_id, source, content_hash)
+  // manifest per generation feeds those in via snapshotDiffProjected
+  // and skips the hashing scan entirely (the standing dedup INDEX
+  // itself cannot — it is hash-only by design, which is what makes it
+  // 32 B/doc). The output is |sources| rows.
   /** Per-source added/removed/changed/same counts between two corpus
     * snapshots of any (doc_id, source, text) shape. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
@@ -1175,8 +1177,15 @@ object Dedup {
       df.filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("source").as(s"src_$tag"),
           sha2(col("text").cast("binary"), 256).as(s"h_$tag"))
-    proj(oldDocs, "o").join(proj(newDocs, "n"), Seq("doc_id"),
-        "full_outer")
+    snapshotDiffProjected(proj(oldDocs, "o"), proj(newDocs, "n"))
+  }
+
+  /** The diff over pre-hashed generation manifests — two tables of
+    * (doc_id, src_o/src_n, h_o/h_n) shape, e.g. persisted per corpus
+    * build — so a standing-manifest cadence never rescans text. */
+  def snapshotDiffProjected(oldProj: DataFrame,
+      newProj: DataFrame): DataFrame = {
+    oldProj.join(newProj, Seq("doc_id"), "full_outer")
       .select(coalesce(col("src_n"), col("src_o")).as("source"),
         when(col("h_o").isNull, "added")
           .when(col("h_n").isNull, "removed")
