@@ -530,7 +530,7 @@ object Similarity {
     * as dist*64+seed (the integer tie-break both engines agree on) —
     * shared by the declared encoder (q74's store writer consumes the
     * same codes). */
-  private def pqPacked(emb: DataFrame, m: Int, k: Int,
+  private[graft] def pqPacked(emb: DataFrame, m: Int, k: Int,
       dim: Int): DataFrame = {
     // the *64 packing reserves 6 bits for the seed id; a wider codebook
     // needs a wider pack factor, so fail loudly instead of colliding
@@ -559,7 +559,7 @@ object Similarity {
   /** (vec_id, codes): the m-sorted code array a packed table folds to
     * — shared by the store writer, the incremental append, and (as a
     * string) the declared encoder. */
-  private def packedToCodes(packed: DataFrame): DataFrame =
+  private[graft] def packedToCodes(packed: DataFrame): DataFrame =
     packed.groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("m"), col("packed")))),
@@ -633,22 +633,61 @@ object Similarity {
     * the form the retrain-then-rebuild binding (q91) composes with:
     * a rebuild IS this writer over corpus ∪ batch (the model tables —
     * trained centroids + codebook — are re-derived from the data
-    * passed in, which is exactly what "retrain" means here). */
+    * passed in, which is exactly what "retrain" means here).
+    *
+    * Plan shape (round 11): both model tables are k-bounded, so the
+    * PQ codebook is collected ONCE (k rows) and the whole encode —
+    * cell assignment AND codes — runs as two row-local codegen
+    * expressions ([[graft.functions.ArgmaxCodebookDot]],
+    * [[graft.functions.PqEncodeCodes]]) over a single corpus scan
+    * straight into the partitioned write: no explode, no join, no
+    * aggregation anywhere in the vectors job. (The previous
+    * compositional encode — 8x sub-vector explode, broadcast seed
+    * join, two wide groupBys, then a vec_id join back onto the
+    * assignment — survives as q73's declared encoder and is the
+    * independent implementation PqEncodeSpec pins this one against.)
+    * The codebook table is materialized from the same collected model
+    * rather than re-scanned. */
   def ivfPqWriteDf(emb: DataFrame, storeDir: String,
       m: Int = 8, k: Int = 16, dim: Int = 64): Unit = {
+    require(k >= 1 && k <= 64, s"pq codebook size $k not in [1,64]")
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim not divisible into $m sub-spaces")
+    val s = emb.sparkSession
+    import s.implicits._
+    val subDim = dim / m
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
     // q75-trained cells, not raw seeds (see trainedCentroids scaladoc)
     val centroids = trainedCentroids(quantized, 16)
-    val assigned = coarseAssign(quantized, centroids)
-      .select(col("vec_id"), col("label"), col("cell_id"))
-    val codes = packedToCodes(pqPacked(emb, m, k, dim))
-    assigned.join(codes, "vec_id")
-      .write.mode("overwrite").partitionBy("cell_id")
+    // the PQ model: first-k full vectors, collected (k-bounded by
+    // definition), sliced into the per-sub-space codebook driver-side
+    val seeds = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .filter(_._2.length == dim)
+      .sortBy(_._1).toIndexedSeq
+    val encoded =
+      if (seeds.isEmpty) // degenerate corpus: empty store, schema kept
+        quantized.limit(0)
+          .select(col("vec_id"), col("label"),
+            lit(null).cast("array<bigint>").as("codes"),
+            lit(0L).as("cell_id"))
+      else
+        coarseAssign(quantized, centroids)
+          .withColumn("codes", graft.functions.PqEncodeCodes(col("qe"),
+            seeds.map(_._1),
+            (0 until m).flatMap(mi => seeds.flatMap(
+              _._2.slice(mi * subDim, (mi + 1) * subDim))), m, subDim))
+          .select(col("vec_id"), col("label"), col("codes"),
+            col("cell_id"))
+    encoded.write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$storeDir/vectors")
-    pqSubVectors(emb, m, dim / m).filter(col("vec_id") < k)
-      .select(col("m"), col("vec_id").as("seed"), col("sv").as("cv"))
+    seeds.flatMap { case (id, qe) =>
+      (0 until m).map(mi =>
+        (mi, id, qe.slice(mi * subDim, (mi + 1) * subDim)))
+    }.toDF("m", "seed", "cv")
       .write.mode("overwrite").parquet(s"$storeDir/codebook")
     centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
   }
@@ -656,25 +695,36 @@ object Similarity {
   /** O-82 incremental path for the IVF-PQ layout (the ivfAppend
     * reasoning applied to the code store): each new vector is assigned
     * against the store's FROZEN centroids and encoded against its
-    * FROZEN codebook (both broadcast model tables — assignment and
-    * encode are row-local maps over the batch), then appended into its
+    * FROZEN codebook (both k-bounded model tables, collected once and
+    * riding as codegen reference objects — assignment and encode are
+    * row-local maps over the batch), then appended into its
     * cell partition. Ingest cost is O(batch); probes immediately see
     * corpus ∪ batch THROUGH THE STALE MODEL — which is exactly the
     * drift q84's recall panel detects and q91's retrain repairs. */
   def ivfPqAppend(s: SparkSession, storeDir: String, emb: DataFrame,
       m: Int = 8, dim: Int = 64): Unit = {
+    val subDim = dim / m
     val centroids = s.read.parquet(s"$storeDir/centroids")
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
-    val assigned = coarseAssign(quantized, centroids)
-      .select(col("vec_id"), col("label"), col("cell_id"))
-    val seeds = s.read.parquet(s"$storeDir/codebook")
-      .select(col("m"), col("seed"), col("cv"),
-        LongArrayDot(col("cv"), col("cv")).as("bb"))
-    val codes = packedToCodes(
-      pqPackedAgainst(pqSubVectors(emb, m, dim / m), seeds))
-    assigned.join(codes, "vec_id")
+    // the store's FROZEN codebook is k x m rows — collect it once and
+    // encode the batch row-locally (the writer's plan shape: one batch
+    // scan, two codegen expressions, the partitioned append)
+    val cbRows = s.read.parquet(s"$storeDir/codebook")
+      .select(col("m"), col("seed"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2))
+    if (cbRows.isEmpty) return // empty model: nothing can encode
+    val seedIds = cbRows.filter(_._1 == 0).map(_._2).toIndexedSeq
+    require(cbRows.length == m * seedIds.length &&
+      cbRows.forall(_._3.length == subDim),
+      s"store codebook is not $m sub-spaces x ${seedIds.length} " +
+        s"seeds of $subDim dims")
+    coarseAssign(quantized, centroids)
+      .withColumn("codes", graft.functions.PqEncodeCodes(col("qe"),
+        seedIds, cbRows.flatMap(_._3).toIndexedSeq, m, subDim))
+      .select(col("vec_id"), col("label"), col("codes"), col("cell_id"))
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$storeDir/vectors")
   }
@@ -938,7 +988,7 @@ object Similarity {
     * the P probe vectors, one codegen dot per (row, probe), window
     * top-k per probe — per-probe rows identical to q37's
     * orderBy-limit rule (same total order). */
-  private def panelExact(emb: DataFrame, panel: Seq[Long],
+  private[graft] def panelExact(emb: DataFrame, panel: Seq[Long],
       k: Int): DataFrame = {
     val probes = broadcast(emb.filter(col("vec_id").isin(panel: _*))
       .select(col("vec_id").as("probe_id"),
@@ -984,7 +1034,7 @@ object Similarity {
     * and a window top-k per probe confined to that probe's own cells
     * via the broadcast (probe_id, cell_id) table. Cost: one pruned
     * code scan for the panel, vs P full probes. */
-  private def panelAdc(s: SparkSession, store: String, emb: DataFrame,
+  private[graft] def panelAdc(s: SparkSession, store: String, emb: DataFrame,
       panel: Seq[Long], nprobe: Int, k: Int, m: Int): DataFrame = {
     import s.implicits._
     val pvs = emb.filter(col("vec_id").isin(panel: _*))
@@ -1060,7 +1110,7 @@ object Similarity {
     * panel — left-joined FROM the panel so a zero-hit probe still
     * reports 0 (shared by q84's audit and q91's before/after drift
     * readout). */
-  private def panelHits(method: String, approx: DataFrame,
+  private[graft] def panelHits(method: String, approx: DataFrame,
       exact: DataFrame, panelDf: DataFrame): DataFrame =
     panelDf.join(
         approx.join(exact, Seq("probe_id", "vec_id"))

@@ -281,6 +281,56 @@ class TierCSpec extends SparkSpec {
     assert(viaExpr === viaLiteral)
   }
 
+  test("PqEncodeCodes agrees with the compositional encoder (fixture)") {
+    import spark.implicits._
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val (m, k, dim) = (8, 16, 64)
+    val subDim = dim / m
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("qe"))
+    val seeds = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toIndexedSeq
+    val viaExpr = quantized
+      .select(col("vec_id"), graft.functions.PqEncodeCodes(col("qe"),
+        seeds.map(_._1),
+        (0 until m).flatMap(mi => seeds.flatMap(
+          _._2.slice(mi * subDim, (mi + 1) * subDim))), m, subDim)
+        .as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaJoin = Similarity.packedToCodes(
+      Similarity.pqPacked(emb, m, k, dim))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr === viaJoin)
+  }
+
+  test("PqEncodeCodes ties go to the lowest seed; malformed rows NULL") {
+    import spark.implicits._
+    // two seeds at the SAME point: every vector is equidistant from
+    // both, so the dist*64+seed pack must pick seed 0, never seed 1
+    val seedIds = Seq(0L, 1L)
+    val flat = Seq(5L, 5L, /* m0: seed0, seed1 */ 7L, 7L) // m=2, subDim=1
+    val rows = Seq(
+      (1L, Seq(3L, 9L)),
+      (2L, Seq(5L, 7L))
+    ).toDF("vec_id", "qe")
+    val out = rows.select(col("vec_id"),
+      graft.functions.PqEncodeCodes(col("qe"), seedIds, flat, 2, 1)
+        .as("codes")).as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) === Seq(0L, 0L))
+    assert(out(2L) === Seq(0L, 0L))
+    // wrong-length and null vectors encode to NULL (the documented
+    // divergence from the compositional path's array-of-NULLs — both
+    // are unusable sentinels the store's consumers never read)
+    val bad = Seq((3L, Some(Seq(1L))), (4L, Option.empty[Seq[Long]]))
+      .toDF("vec_id", "qe")
+    val badOut = bad.select(
+      graft.functions.PqEncodeCodes(col("qe"), seedIds, flat, 2, 1)
+        .as("codes")).collect()
+    assert(badOut.forall(_.isNullAt(0)))
+  }
+
   test("ArgmaxCodebookDot plans and assigns at k=256 (no literal blowup)") {
     import spark.implicits._
     val dim = 64
