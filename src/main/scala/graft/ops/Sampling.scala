@@ -420,6 +420,45 @@ object Sampling {
   def q90ShuffleShards(s: SparkSession, d: String): DataFrame =
     shuffleShards(documents(s, d))
 
+  // O-110 (q97): SHARD-BALANCE audit — the straggler readout on O-98's
+  // materialized shards: a data loader pulls shards in parallel, so
+  // epoch wall-clock is gated by the HEAVIEST shard, and "heaviest" is
+  // measured in TOKENS (step count), not docs. Per shard: docs,
+  // tokens, the exact integer token share in ppm, and the load factor
+  // vs the ideal 1/N — the number a trainer alerts on (1.0 = perfectly
+  // balanced; the max row's value = the epoch slowdown factor).
+  //
+  // Scale: the shard is the same row-local key map the writer uses
+  // (the shared shuffleKey/shardOf definitions — an audit computed
+  // with a drifting copy of the shard rule would audit nothing), so
+  // the corpus pays ONE partial-agg'd shuffle down to nShards rows;
+  // the share/factor windows run single-partition over those nShards
+  // rows — a driver-scale fold, the q93/q94 decision-table posture.
+  // Integer ppm stays exact while a SHARD holds < 2^63/1e6 ≈ 9.2e12
+  // tokens — comfortably true at 100 TB (≈ 2.5e13 corpus tokens) at
+  // any production shard count; one final rounded division for the
+  // load factor.
+  /** Per-shard balance profile over any (doc_id, text) table. */
+  def shardBalance(docs: DataFrame, nShards: Int = NShards,
+      seed: String = ShuffleSeed): DataFrame = {
+    val w = Window.partitionBy()
+    docs.filter(col("doc_id").isNotNull)
+      .select(shardOf(shuffleKey(seed), nShards).as("shard"),
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("t"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) DIV total").as("tok_ppm"),
+        round(col("n_tokens") * nShards / col("total"), 4)
+          .as("load_factor"))
+      .orderBy(col("shard"))
+  }
+
+  def q97ShardBalance(s: SparkSession, d: String): DataFrame =
+    shardBalance(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_hash_split" -> (q59HashSplit _),
     "q60_source_quota" -> (q60SourceQuota _),
@@ -430,6 +469,7 @@ object Sampling {
     "q78_chunk_overlap" -> (q78ChunkOverlap _),
     "q82_dataset_card" -> (q82DatasetCard _),
     "q90_shuffle_shards" -> (q90ShuffleShards _),
+    "q97_shard_balance" -> (q97ShardBalance _),
   )
 
   private val bucketSql =
@@ -603,5 +643,25 @@ object Sampling {
          |  CAST(row_number() OVER (
          |    PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
          |FROM sharded ORDER BY shard, pos""".stripMargin,
+    // same seeded shard rule as q90, folded to the nShards-row balance
+    // table: exact integer ppm, one rounded division for load_factor
+    "q97_shard_balance" ->
+      s"""WITH t AS (
+         |  SELECT CAST(CAST('0x' || substr(
+         |      md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % $NShards AS INT) AS shard,
+         |    CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
+         |      t -> t != '')) AS BIGINT) AS tok
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |g AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tok) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY shard)
+         |SELECT shard, n_docs, n_tokens,
+         |  CAST((n_tokens * 1000000) // (sum(n_tokens) OVER ())
+         |    AS BIGINT) AS tok_ppm,
+         |  round(n_tokens * $NShards / (sum(n_tokens) OVER ()), 4)
+         |    AS load_factor
+         |FROM g ORDER BY shard""".stripMargin,
   )
 }

@@ -357,6 +357,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins(plan) == joins(base), plan)
   }
 
+  test("q97: shard audit reads two columns, one corpus exchange") {
+    val plan = formatted("q97_shard_balance")
+    // the scan reads only the shard key input and the token source;
+    // the corpus-sized exchange is the one partial-agg'd groupBy —
+    // everything after runs over nShards rows
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("q61b: non-canonical id set anti-joins as a broadcast") {
     val plan = formatted("q61b_canonical_corpus")
     assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight")
