@@ -493,7 +493,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .write.mode("overwrite").parquet(s"$store/edges")
-    connectedComponents(s.read.parquet(s"$store/edges"))
+    connectedComponents(clusterEdgesTable(s, store))
       .withColumn("kb", clusterBucket(col("doc_id")))
       // co-locate each bucket into one task before the partitioned
       // write (the dedupIndexWrite reasoning): one file per bucket dir
@@ -512,6 +512,25 @@ object Dedup {
     * q90 shared-key convention). */
   private def clusterBucket(docId: Column): Column =
     pmod(docId, lit(64)).cast("int")
+
+  /** Schema'd readers for the edge and label tables: an EMPTY standing
+    * table must stay readable — a corpus can legitimately have ZERO
+    * verified near-dup edges (the sf0.1 q89 fixture corpus does), and
+    * a partitionBy write of zero rows emits NO schema-bearing files
+    * (unlike a non-partitioned write, which keeps one empty file), so
+    * schema inference would fail on exactly the stores that most need
+    * the fail-fast checks to run. One definition per table, shared by
+    * the build/check/merge/update paths and the s15 readback. */
+  private[graft] def clusterEdgesTable(s: SparkSession,
+      store: String): DataFrame =
+    s.read.schema("doc_a BIGINT, doc_b BIGINT")
+      .parquet(s"$store/edges")
+
+  private[graft] def clusterLabelsTable(s: SparkSession,
+      store: String): DataFrame =
+    s.read.schema("doc_id BIGINT, cluster_id BIGINT, " +
+        "cluster_size BIGINT, is_canonical BOOLEAN, kb INT")
+      .parquet(s"$store/clusters")
 
   /** The batch's new verified edges as an UNmaterialized plan — the
     * pruned-band-index join shape PlanShapeSpec pins (the merge itself
@@ -589,8 +608,8 @@ object Dedup {
         s"cluster store at '$store' has no '$part' table — build it " +
           "with neardupClusterStoreWrite before merging")
     }
-    val edges = s.read.parquet(s"$store/edges")
-    val labels = s.read.parquet(s"$store/clusters").select(col("doc_id"))
+    val edges = clusterEdgesTable(s, store)
+    val labels = clusterLabelsTable(s, store).select(col("doc_id"))
     val orphaned = edges.select(col("doc_a").as("doc_id"))
       .unionByName(edges.select(col("doc_b").as("doc_id")))
       .join(labels, Seq("doc_id"), "left_anti")
@@ -621,7 +640,7 @@ object Dedup {
     val batchBands = batchBandsOf(newDocs)
     val newEdges = materializeBounded(
       newEdgesFromBands(s, store, batchBands))
-    val clusters = s.read.parquet(s"$store/clusters")
+    val clusters = clusterLabelsTable(s, store)
     val endpoints = newEdges.select(col("doc_a").as("doc_id"))
       .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     val touched = materializeBounded(
@@ -629,7 +648,7 @@ object Dedup {
         .select(col("cluster_id")).distinct())
     // an edge's endpoints share a cluster by construction, so doc_a
     // alone attributes the edge to its component
-    val touchedEdges = s.read.parquet(s"$store/edges")
+    val touchedEdges = clusterEdgesTable(s, store)
       .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")),
         Seq("doc_a"))
       .join(broadcast(touched), Seq("cluster_id"), "left_semi")

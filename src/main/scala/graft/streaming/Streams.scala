@@ -546,8 +546,9 @@ object Streams {
     q.awaitTermination()
     // drop the kb partition column the bucketed label table carries
     // (round-11 pruned-rewrite layout) — the declared answer is the
-    // q61 cluster contract
-    s.read.parquet(s"$store/clusters")
+    // q61 cluster contract; schema'd read so an edgeless store (zero
+    // label rows) stays readable
+    graft.ops.Dedup.clusterLabelsTable(s, store)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
       .orderBy(col("cluster_id"), col("doc_id"))

@@ -435,6 +435,36 @@ class GenericApiSpec extends SparkSpec {
     assert(noStore.getMessage.contains("neardupClusterStoreWrite"))
   }
 
+  test("an EDGELESS cluster store merges correctly (empty partitioned " +
+    "label table stays readable)") {
+    // a corpus with zero verified near-dup edges is a legitimate store
+    // state (the sf0.1 q89 fixture corpus is one) — but its bucketed
+    // label table is an empty partitionBy write, which emits NO
+    // schema-bearing parquet files; the schema'd readers keep the
+    // fail-fast check and the merge alive on exactly that store
+    import spark.implicits._
+    def docsOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def txt(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val corpus = docsOf(1L -> txt("alpha"), 2L -> txt("beta"))
+    val store = java.nio.file.Files
+      .createTempDirectory("nd_edgeless_").toString
+    ops.Dedup.neardupClusterStoreWrite(corpus, store)
+    assert(ops.Dedup.clusterLabelsTable(spark, store).count() === 0L)
+    // a batch copy of alpha welds doc 1 into its first-ever cluster
+    val batch = docsOf(10L -> txt("alpha"))
+    val merged = ops.Dedup.neardupClusterMerge(spark, store, batch)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    assert(merged === Seq((1L, 1L, 2L, true), (10L, 1L, 2L, false)))
+    ops.Dedup.neardupClusterStoreUpdate(spark, store, batch)
+    assert(ops.Dedup.clusterLabelsTable(spark, store).count() === 2L)
+  }
+
   test("neardupClusterStoreUpdate rewrites only dirty label buckets: " +
     "untouched bucket files are byte-identical across a merge") {
     import spark.implicits._
