@@ -585,21 +585,10 @@ object Dedup {
   }
 
   /** Fail fast with the store layout's own vocabulary when a cluster
-    * store is missing, partial, or TORN — a raw parquet path error
-    * from deep inside the merge would name none of it.
-    *
-    * The torn-store check (ADVICE r10): the persisted update is
-    * staged but not atomic across its four steps, and foreachBatch
-    * replay (s15) is what restores consistency after a crash between
-    * the edge/band appends and the cluster swap. A NON-replayed
-    * manual caller would otherwise proceed against new edges beside a
-    * stale cluster table — and edges whose endpoints are missing from
-    * the label table are silently dropped from the touched-component
-    * attribution, so those docs would never enter the cluster table.
-    * A consistent store always satisfies endpoints ⊆ labels (clusters
-    * = CC(edges) by construction), so the check is exact. Cost:
-    * O(edges) — pair-graph-bounded, never the corpus — one anti-join
-    * probed to the first orphan. */
+    * store is missing or partial — a raw parquet path error from deep
+    * inside the merge would name none of it. Torn stores (a crashed
+    * update's appends beside a stale label table) are not an error:
+    * clusterMergeParts HEALS them — see the marker contract there. */
   private def requireClusterStore(s: SparkSession, store: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     Seq("bands", "edges", "clusters").foreach { part =>
@@ -608,18 +597,21 @@ object Dedup {
         s"cluster store at '$store' has no '$part' table — build it " +
           "with neardupClusterStoreWrite before merging")
     }
-    val edges = clusterEdgesTable(s, store)
-    val labels = clusterLabelsTable(s, store).select(col("doc_id"))
-    val orphaned = edges.select(col("doc_a").as("doc_id"))
-      .unionByName(edges.select(col("doc_b").as("doc_id")))
-      .join(labels, Seq("doc_id"), "left_anti")
-      .limit(1)
-    require(orphaned.isEmpty,
-      s"cluster store at '$store' is torn: its edge table references " +
-        "docs absent from the cluster table (a crashed update left " +
-        "appends beside a stale label table). Replay the interrupted " +
-        "batch (the s15 at-least-once posture) or rebuild with " +
-        "neardupClusterStoreWrite.")
+  }
+
+  /** The crashed-update marker: the persisted update writes the
+    * `clusters_staging` dir BEFORE any append (new edges force
+    * relabeled docs, and relabeled docs force a staging write) and
+    * deletes it AFTER the cluster swap — so a clean store never
+    * carries it and every torn window does. Clean merges therefore
+    * pay one FS existence probe instead of any O(edges) invariant
+    * work (it was the largest fixed per-batch cost in s15's
+    * foreachBatch loop); a crash after the swap but before the delete
+    * leaves the marker on a CONSISTENT store, where the heal finds
+    * no orphans and the next completed update clears it. */
+  private def tornMarker(s: SparkSession, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/clusters_staging")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The merge computation, exposed as parts so the persist path can
@@ -641,8 +633,33 @@ object Dedup {
     val newEdges = materializeBounded(
       newEdgesFromBands(s, store, batchBands))
     val clusters = clusterLabelsTable(s, store)
-    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
-      .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    // TORN-store heal (ADVICE r10, reworked round 11): when the
+    // staging marker says a previous update crashed between its
+    // appends and its swap, standing edges can reference docs absent
+    // from the label table. Those orphaned edges are folded into the
+    // touched subgraph exactly like new edges, so the merge result is
+    // STILL the full-recompute answer and a completed persisting
+    // update repairs the store — ANY update, not only a replay of the
+    // crashed batch (a fail-fast here would have killed the s15
+    // replay path that is documented to do the repairing). Clean
+    // stores skip all of this on the marker probe.
+    val orphanEdges =
+      if (!tornMarker(s, store))
+        newEdges.limit(0)
+      else {
+        val standing = clusterEdgesTable(s, store)
+        materializeBounded(standing
+          .join(clusters.select(col("doc_id").as("doc_a")),
+            Seq("doc_a"), "left_anti")
+          .unionByName(standing
+            .join(clusters.select(col("doc_id").as("doc_b")),
+              Seq("doc_b"), "left_anti")
+            .select(col("doc_a"), col("doc_b")))
+          .distinct())
+      }
+    val growEdges = newEdges.unionByName(orphanEdges)
+    val endpoints = growEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(growEdges.select(col("doc_b").as("doc_id"))).distinct()
     val touched = materializeBounded(
       clusters.join(broadcast(endpoints), Seq("doc_id"))
         .select(col("cluster_id")).distinct())
@@ -659,7 +676,7 @@ object Dedup {
     // in UnionBase.rewriteConstraints) — a leaf input sidesteps it and
     // is the CC convention anyway
     val subCc = connectedComponents(materializeBounded(
-      newEdges.unionByName(touchedEdges).distinct()))
+      growEdges.unionByName(touchedEdges).distinct()))
     // keep the kb partition column on the untouched rows: the pruned
     // persist path filters on it (partition-pruned label scan), the
     // read-only merge drops it
@@ -706,9 +723,13 @@ object Dedup {
     * label table; replaying the SAME batch repairs it (the s15
     * foreachBatch at-least-once posture — a replayed merge derives
     * the same edges, and compaction's DISTINCT reclaims the duplicate
-    * appends). A NON-replayed caller is protected by
-    * requireClusterStore's torn-store check, which fails the next
-    * merge fast instead of silently dropping the orphaned edges. */
+    * appends). A NON-replayed caller is equally safe: the staging dir
+    * doubles as the in-progress marker (written before any append,
+    * deleted after the swap), and clusterMergeParts folds the torn
+    * window's orphaned edges back into the touched subgraph whenever
+    * the marker is present — so ANY completed update repairs the
+    * store, and clean merges pay an FS existence probe, not an
+    * O(edges) invariant join. */
   def neardupClusterStoreUpdate(s: SparkSession, store: String,
       newDocs: DataFrame): Unit = {
     val (batchBands, newEdges, untouched, relabeled) =
@@ -750,11 +771,15 @@ object Dedup {
       // listing (Spark's snapshot semantics) — collect them before
       // updating, or re-create them after
       s.catalog.refreshByPath(store)
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      catch { case _: java.io.IOException => () }
     }
+    // clear the in-progress marker UNCONDITIONALLY: a post-swap-crash
+    // marker must not outlive the next completed update (an edgeless
+    // batch writes no staging of its own but still certifies the
+    // store consistent — its heal ran against the marker)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    catch { case _: java.io.IOException => () }
   }
 
   /** Bound the cluster store's file counts under daily merges: bands
