@@ -362,7 +362,7 @@ object Dedup {
     val crossHit =
       if (keys.isEmpty) batch.select(col("doc_id")).limit(0)
       else {
-        s.read.parquet(store)
+        bandIndexTable(s, store)
           .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
           .join(batchBands.as("y").hint("shuffle_hash"),
             col("x.band") === col("y.band") &&
@@ -482,7 +482,7 @@ object Dedup {
   def neardupClusterStoreWrite(docs: DataFrame, store: String): Unit = {
     val s = docs.sparkSession
     neardupIndexWrite(docs, s"$store/bands")
-    val bands = s.read.parquet(s"$store/bands")
+    val bands = bandIndexTable(s, s"$store/bands")
     val nMatch = graft.functions.LongArrayEqCount(
       col("x.mins"), col("y.mins"))
     bands.as("x").hint("shuffle_hash")
@@ -513,14 +513,21 @@ object Dedup {
   private def clusterBucket(docId: Column): Column =
     pmod(docId, lit(64)).cast("int")
 
-  /** Schema'd readers for the edge and label tables: an EMPTY standing
+  /** Schema'd readers for the standing near-dup tables: an EMPTY
     * table must stay readable — a corpus can legitimately have ZERO
-    * verified near-dup edges (the sf0.1 q89 fixture corpus does), and
-    * a partitionBy write of zero rows emits NO schema-bearing files
+    * verified near-dup edges (the sf0.1 q89 fixture corpus does) or
+    * ZERO band rows (every document under 3 tokens), and a
+    * partitionBy write of zero rows emits NO schema-bearing files
     * (unlike a non-partitioned write, which keeps one empty file), so
     * schema inference would fail on exactly the stores that most need
-    * the fail-fast checks to run. One definition per table, shared by
-    * the build/check/merge/update paths and the s15 readback. */
+    * the fail-fast checks to run. One definition per table layout,
+    * shared by the build/check/merge/update/probe paths and the s15
+    * readback. */
+  private[graft] def bandIndexTable(s: SparkSession,
+      path: String): DataFrame =
+    s.read.schema("doc_id BIGINT, mins ARRAY<BIGINT>, band INT, " +
+        "k1 BIGINT, k2 BIGINT, kb INT")
+      .parquet(path)
   private[graft] def clusterEdgesTable(s: SparkSession,
       store: String): DataFrame =
     s.read.schema("doc_a BIGINT, doc_b BIGINT")
@@ -563,7 +570,7 @@ object Dedup {
           .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
           .limit(0)
       else
-        s.read.parquet(s"$store/bands")
+        bandIndexTable(s, s"$store/bands")
           .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
           .join(batchBands.as("y").hint("shuffle_hash"),
             col("x.band") === col("y.band") &&
@@ -634,32 +641,39 @@ object Dedup {
       newEdgesFromBands(s, store, batchBands))
     val clusters = clusterLabelsTable(s, store)
     // TORN-store heal (ADVICE r10, reworked round 11): when the
-    // staging marker says a previous update crashed between its
-    // appends and its swap, standing edges can reference docs absent
-    // from the label table. Those orphaned edges are folded into the
-    // touched subgraph exactly like new edges, so the merge result is
-    // STILL the full-recompute answer and a completed persisting
-    // update repairs the store — ANY update, not only a replay of the
-    // crashed batch (a fail-fast here would have killed the s15
-    // replay path that is documented to do the repairing). Clean
-    // stores skip all of this on the marker probe.
-    val orphanEdges =
-      if (!tornMarker(s, store))
-        newEdges.limit(0)
-      else {
-        val standing = clusterEdgesTable(s, store)
-        materializeBounded(standing
-          .join(clusters.select(col("doc_id").as("doc_a")),
-            Seq("doc_a"), "left_anti")
-          .unionByName(standing
-            .join(clusters.select(col("doc_id").as("doc_b")),
-              Seq("doc_b"), "left_anti")
-            .select(col("doc_a"), col("doc_b")))
-          .distinct())
-      }
-    val growEdges = newEdges.unionByName(orphanEdges)
-    val endpoints = growEdges.select(col("doc_a").as("doc_id"))
-      .unionByName(growEdges.select(col("doc_b").as("doc_id"))).distinct()
+    // staging marker says a previous update crashed between its first
+    // append and its completed swap, the label table is UNTRUSTED —
+    // it can be stale (crash before the swap) or, worse,
+    // mixed-generation (crash mid-way through the dynamic partition
+    // overwrite: some buckets new, some old), in which case ANY
+    // label-driven touched/untouched attribution can both duplicate
+    // docs and under-pull their components. So the heal does not
+    // attribute at all: it rebuilds the ENTIRE label set as
+    // CC(standing edges ∪ new edges) — labels = CC(edges) is the
+    // store invariant, so the rebuild is exact by definition, a merge
+    // over a torn store still returns the full-recompute answer, and
+    // ANY completed persisting update repairs the store (a fail-fast
+    // here would have killed the s15 replay path that is documented
+    // to do the repairing). Cost: pair-graph-bounded CC, paid only on
+    // the crash-recovery path; clean stores skip all of this on one
+    // FS existence probe. Rows the crashed batch never got to append
+    // (its bands, or its edges) are NOT reconstructable here — replay
+    // restores them byte-identically (the at-least-once posture);
+    // the heal guarantees consistency, not recovery of unpersisted
+    // data.
+    if (tornMarker(s, store)) {
+      val allEdges = materializeBounded(
+        newEdges.unionByName(clusterEdgesTable(s, store)).distinct())
+      return (batchBands, newEdges,
+        clusters.limit(0)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("is_canonical"), col("kb")),
+        connectedComponents(allEdges)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("is_canonical")))
+    }
+    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     val touched = materializeBounded(
       clusters.join(broadcast(endpoints), Seq("doc_id"))
         .select(col("cluster_id")).distinct())
@@ -676,7 +690,7 @@ object Dedup {
     // in UnionBase.rewriteConstraints) — a leaf input sidesteps it and
     // is the CC convention anyway
     val subCc = connectedComponents(materializeBounded(
-      growEdges.unionByName(touchedEdges).distinct()))
+      newEdges.unionByName(touchedEdges).distinct()))
     // keep the kb partition column on the untouched rows: the pruned
     // persist path filters on it (partition-pruned label scan), the
     // read-only merge drops it
@@ -717,19 +731,21 @@ object Dedup {
     * buckets' files are never rewritten (byte-identical across a
     * merge, pinned in GenericApiSpec).
     *
-    * Crash posture: the four steps (staging write, edges append,
-    * bands append, cluster-bucket swap) are not atomic. A crash
-    * between the appends and the swap leaves new edges beside a stale
-    * label table; replaying the SAME batch repairs it (the s15
-    * foreachBatch at-least-once posture — a replayed merge derives
-    * the same edges, and compaction's DISTINCT reclaims the duplicate
-    * appends). A NON-replayed caller is equally safe: the staging dir
-    * doubles as the in-progress marker (written before any append,
-    * deleted after the swap), and clusterMergeParts folds the torn
-    * window's orphaned edges back into the touched subgraph whenever
-    * the marker is present — so ANY completed update repairs the
-    * store, and clean merges pay an FS existence probe, not an
-    * O(edges) invariant join. */
+    * Crash posture: the four steps (staging write, bands append,
+    * edges append, cluster-bucket swap) are not atomic. The staging
+    * dir doubles as the in-progress marker — written first, deleted
+    * only after a completed update — and whenever it is present the
+    * next merge's heal rebuilds the ENTIRE label set as CC(edges)
+    * (clusterMergeParts), so every crash window leaves a store that
+    * is CONSISTENT to its readers and repaired by ANY completed
+    * update, with clean merges paying one FS existence probe for the
+    * guarantee. What a crash can lose is the un-appended tail of that
+    * batch's own rows (its edges, or its bands and edges) — replaying
+    * the SAME batch restores them byte-identically (the s15
+    * foreachBatch at-least-once posture; compaction's DISTINCT
+    * reclaims the duplicate appends), and until the replay the
+    * batch's docs are merely unclustered yet still band-discoverable
+    * (bands append first — see the in-body ordering comment). */
   def neardupClusterStoreUpdate(s: SparkSession, store: String,
       newDocs: DataFrame): Unit = {
     val (batchBands, newEdges, untouched, relabeled) =
@@ -749,19 +765,24 @@ object Dedup {
         .repartition(buckets.length, col("kb"))
         .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
         .write.mode("overwrite").partitionBy("kb").parquet(tmp)
-    newEdges.write.mode("append").parquet(s"$store/edges")
     // ALWAYS append the batch's band rows — an edgeless batch is
     // still admitted corpus that future merges must match against —
     // reusing the merge's OWN materialized band table
     // (neardupIndexWrite layout) instead of re-running the batch's
     // signature pipeline a second time: one signature pass per
-    // persisted merge
+    // persisted merge. Bands append BEFORE edges: a crash between
+    // the two then loses only the batch's not-yet-appended EDGES
+    // (restored by replay; until then the docs are merely unclustered
+    // but still DISCOVERABLE through the band index), whereas the
+    // reverse order would leave persisted edges whose docs no future
+    // batch can ever band-match — a silent permanent divergence.
     batchBands
       .select(col("doc_id"), col("mins"), col("band"), col("k1"),
         col("k2"), col("kb")) // neardupIndexWrite's column order
       .repartition(64, col("kb"))
       .sortWithinPartitions(col("kb"), col("band"), col("k1"), col("k2"))
       .write.mode("append").partitionBy("kb").parquet(s"$store/bands")
+    newEdges.write.mode("append").parquet(s"$store/edges")
     if (buckets.nonEmpty) {
       s.read.parquet(tmp).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1226,14 +1247,20 @@ object Dedup {
 
   /** The diff over pre-hashed generation manifests — two tables of
     * (doc_id, src_o/src_n, h_o/h_n) shape, e.g. persisted per corpus
-    * build — so a standing-manifest cadence never rescans text. */
+    * build — so a standing-manifest cadence never rescans text.
+    * Presence is decided by explicit side markers, never by hash
+    * nullity: a NULL-text document hashes to NULL on a side it IS
+    * present in, and must classify as same/changed there (null-safe
+    * hash compare), not masquerade as added/removed. */
   def snapshotDiffProjected(oldProj: DataFrame,
       newProj: DataFrame): DataFrame = {
-    oldProj.join(newProj, Seq("doc_id"), "full_outer")
+    oldProj.withColumn("p_o", lit(1))
+      .join(newProj.withColumn("p_n", lit(1)), Seq("doc_id"),
+        "full_outer")
       .select(coalesce(col("src_n"), col("src_o")).as("source"),
-        when(col("h_o").isNull, "added")
-          .when(col("h_n").isNull, "removed")
-          .when(col("h_o") =!= col("h_n"), "changed")
+        when(col("p_o").isNull, "added")
+          .when(col("p_n").isNull, "removed")
+          .when(!(col("h_o") <=> col("h_n")), "changed")
           .otherwise("same").as("status"))
       .groupBy(col("source"))
       .agg(sum(when(col("status") === "added", 1L).otherwise(0L))
@@ -1379,6 +1406,15 @@ object Dedup {
     * 16 mins, band explode — runs at WRITE time, once; band rows land
     * partitioned by band and sorted by (k1, k2) inside each band file,
     * so parquet row-group stats make a band-key lookup a pruned read. */
+  /** Schema'd reader for the q67 minhash store (band-partitioned
+    * layout) — the bandIndexTable reasoning: an all-short-docs corpus
+    * writes zero band rows and partitionBy keeps no schema. */
+  private[graft] def minhashBandsTable(s: SparkSession,
+      storeDir: String): DataFrame =
+    s.read.schema("doc_id BIGINT, mins ARRAY<BIGINT>, " +
+        "k1 BIGINT, k2 BIGINT, band INT")
+      .parquet(s"$storeDir/bands")
+
   def minhashWrite(docs: DataFrame, storeDir: String): Unit =
     bandRows(q36bSig(docs))
       .repartition(col("band"))
@@ -1401,11 +1437,11 @@ object Dedup {
     // a probe shorter than one shingle (< 3 tokens, or null) has no
     // signature: it can near-dup with nothing — empty result, not a crash
     if (sigRows.isEmpty)
-      return s.read.parquet(s"$storeDir/bands").filter(lit(false))
+      return minhashBandsTable(s, storeDir).filter(lit(false))
         .select(col("doc_id"), lit(0).as("n_match"),
           lit(0.0).as("est_jaccard"))
     val probeMins = sigRows(0).getSeq[Long](1)
-    val store = s.read.parquet(s"$storeDir/bands")
+    val store = minhashBandsTable(s, storeDir)
     val candidates = (0 until NBands).map { b =>
       store.filter(col("band") === b &&
         col("k1") === probeMins(2 * b) && col("k2") === probeMins(2 * b + 1))
@@ -2895,19 +2931,20 @@ object Dedup {
     // hash-projection classification
     "q95_snapshot_diff" ->
       s"""WITH o AS (
-         |  SELECT doc_id, source, sha256(text) AS h FROM documents
+         |  SELECT doc_id, source, sha256(text) AS h, 1 AS p
+         |  FROM documents
          |  WHERE doc_id IS NOT NULL AND doc_id % 10 != 7),
          |n AS (
          |  SELECT doc_id, source,
          |    sha256(CASE WHEN doc_id % 10 = 4 THEN text || ' v2'
-         |      ELSE text END) AS h
+         |      ELSE text END) AS h, 1 AS p
          |  FROM documents
          |  WHERE doc_id IS NOT NULL AND doc_id % 10 != 2),
          |c AS (
          |  SELECT coalesce(n.source, o.source) AS source,
-         |    CASE WHEN o.h IS NULL THEN 'added'
-         |         WHEN n.h IS NULL THEN 'removed'
-         |         WHEN o.h != n.h THEN 'changed'
+         |    CASE WHEN o.p IS NULL THEN 'added'
+         |         WHEN n.p IS NULL THEN 'removed'
+         |         WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
          |         ELSE 'same' END AS status
          |  FROM o FULL OUTER JOIN n USING (doc_id))
          |SELECT source,

@@ -23,6 +23,13 @@ object Sampling {
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** Whitespace token count of a text column — ONE definition for
+    * every token-denominated operator (packing q64, token mixture
+    * q66b, shard balance q97): an audit or budget computed with a
+    * drifting copy of the tokenizer measures a different corpus. */
+  private[graft] def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => t =!= ""))
+
   /** The 80/10/10 split as a pure row-local function of doc_id — one
     * definition shared by hashSplit and the leakage audit (q96), which
     * needs the split of BOTH ends of a pair without a join. */
@@ -34,8 +41,7 @@ object Sampling {
   /** DuckDB twin of splitOf over an arbitrary id expression (the q59
     * bucket SQL parameterized by column). */
   private[graft] def splitSqlOf(idExpr: String): String = {
-    val b = s"(CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8) " +
-      "AS BIGINT) % 100)"
+    val b = s"(${bucketSqlOf(idExpr)})"
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
       "ELSE 'test' END"
   }
@@ -119,7 +125,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("source"), bucket(col("doc_id")).as("bucket"),
-        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        tokenCount(col("text"))
           .as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tokens) DIV $budget"))
@@ -233,7 +239,7 @@ object Sampling {
       .filter(col("source").isNotNull)
       .select(col("doc_id"), col("source"),
         bucket(col("doc_id")).as("bucket"),
-        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        tokenCount(col("text"))
           .cast("long").as("n_tok"))
       .withColumn("w", wExpr)
       .filter(col("w") > 0)
@@ -444,7 +450,7 @@ object Sampling {
     val w = Window.partitionBy()
     docs.filter(col("doc_id").isNotNull)
       .select(shardOf(shuffleKey(seed), nShards).as("shard"),
-        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        tokenCount(col("text"))
           .cast("long").as("t"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
@@ -472,8 +478,14 @@ object Sampling {
     "q97_shard_balance" -> (q97ShardBalance _),
   )
 
-  private val bucketSql =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+  /** The q59 bucket hash over an arbitrary id expression — the ONE
+    * SQL twin of `bucket()`; bucketSql and splitSqlOf both derive
+    * from it so the split rule cannot drift between oracles. */
+  private[graft] def bucketSqlOf(idExpr: String): String =
+    s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8) " +
+      "AS BIGINT) % 100"
+
+  private val bucketSql = bucketSqlOf("doc_id")
 
   val oracles: Map[String, String] = Map(
     // Integer mixture twin: same weights, same stable hash order, same
@@ -529,9 +541,7 @@ object Sampling {
          |ORDER BY source, cum_tok, doc_id""".stripMargin,
     "q59_hash_split" ->
       s"""SELECT doc_id, source, $bucketSql AS bucket,
-         |  CASE WHEN $bucketSql < 80 THEN 'train'
-         |       WHEN $bucketSql < 90 THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${splitSqlOf("doc_id")} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_source_quota" ->
       s"""WITH b AS (

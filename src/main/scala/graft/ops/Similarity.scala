@@ -668,22 +668,28 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .filter(_._2.length == dim)
       .sortBy(_._1).toIndexedSeq
-    val encoded =
-      if (seeds.isEmpty) // degenerate corpus: empty store, schema kept
-        quantized.limit(0)
-          .select(col("vec_id"), col("label"),
-            lit(null).cast("array<bigint>").as("codes"),
-            lit(0L).as("cell_id"))
-      else
-        coarseAssign(quantized, centroids)
-          .withColumn("codes", graft.functions.PqEncodeCodes(col("qe"),
-            seeds.map(_._1),
-            (0 until m).flatMap(mi => seeds.flatMap(
-              _._2.slice(mi * subDim, (mi + 1) * subDim))), m, subDim))
-          .select(col("vec_id"), col("label"), col("codes"),
-            col("cell_id"))
-    encoded.write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$storeDir/vectors")
+    if (seeds.isEmpty)
+      // degenerate corpus: a zero-row partitionBy write keeps no
+      // schema-bearing file (the Dedup.clusterLabelsTable trap), so
+      // the empty vectors table is written UNPARTITIONED with cell_id
+      // as a plain column — consumers filter on cell_id either way,
+      // they just lose directory pruning on a store with nothing to
+      // prune
+      quantized.limit(0)
+        .select(col("vec_id"), col("label"),
+          lit(null).cast("array<bigint>").as("codes"),
+          lit(0).cast("int").as("cell_id"))
+        .write.mode("overwrite").parquet(s"$storeDir/vectors")
+    else
+      coarseAssign(quantized, centroids)
+        .withColumn("codes", graft.functions.PqEncodeCodes(col("qe"),
+          seeds.map(_._1),
+          (0 until m).flatMap(mi => seeds.flatMap(
+            _._2.slice(mi * subDim, (mi + 1) * subDim))), m, subDim))
+        .select(col("vec_id"), col("label"), col("codes"),
+          col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$storeDir/vectors")
     seeds.flatMap { case (id, qe) =>
       (0 until m).map(mi =>
         (mi, id, qe.slice(mi * subDim, (mi + 1) * subDim)))

@@ -796,27 +796,36 @@ class GenericApiSpec extends SparkSpec {
 
   test("snapshotDiff classifies, and projected manifests reproduce it") {
     import spark.implicits._
+    // docs 6/7 have NULL text: presence must come from the side
+    // markers, not hash nullity — 6 (both sides) is SAME, 7 (old
+    // only) is REMOVED, never 'added'
+    val oldDocs = docs.unionByName(Seq(
+      (6L, "en", "srcB", 0L, null.asInstanceOf[String]),
+      (7L, "en", "srcB", 0L, null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "source", "n_chars", "text"))
     val newDocs = Seq(
       (1L, "en", "srcA", 28L, "the quick brown fox jumps high"),
       (3L, "en", "srcB", 13L, "a changed text"),
-      (5L, "en", "srcB", 9L, "brand new")
+      (5L, "en", "srcB", 9L, "brand new"),
+      (6L, "en", "srcB", 0L, null.asInstanceOf[String])
     ).toDF("doc_id", "lang", "source", "n_chars", "text")
-    val out = ops.Dedup.snapshotDiff(docs, newDocs).collect()
+    val out = ops.Dedup.snapshotDiff(oldDocs, newDocs).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // srcA: doc 1 same, doc 2 removed; srcB: doc 3 changed, doc 4
-    // removed, doc 5 added
+    // removed, doc 5 added, doc 6 same (null text both sides), doc 7
+    // removed (null text, old only)
     assert(out("srcA") === ((0L, 1L, 0L, 1L)))
-    assert(out("srcB") === ((1L, 1L, 1L, 0L)))
+    assert(out("srcB") === ((1L, 2L, 1L, 1L)))
     // a persisted per-generation manifest (doc_id, source, hash) feeds
     // the projected form and must reproduce the text-path answer
     def manifest(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.select(col("doc_id"), col("source").as(s"src_$tag"),
         sha2(col("text").cast("binary"), 256).as(s"h_$tag"))
     val viaManifests = ops.Dedup.snapshotDiffProjected(
-      manifest(docs, "o"), manifest(newDocs, "n")).collect()
+      manifest(oldDocs, "o"), manifest(newDocs, "n")).collect()
     assert(viaManifests.toSeq ===
-      ops.Dedup.snapshotDiff(docs, newDocs).collect().toSeq)
+      ops.Dedup.snapshotDiff(oldDocs, newDocs).collect().toSeq)
   }
 
   test("similarity generics run on a hand-built embeddings DataFrame") {
