@@ -794,6 +794,58 @@ object Similarity {
       excludeVecId = Some(0L))
   }
 
+  // O-112: ADC candidate re-ranking — the refinement stage every
+  // production IVF-PQ deployment runs (Jégou et al. 2011 §V: ADC ranks
+  // 8-byte codes, so its top-k is approximate twice over — coarse cells
+  // prune and PQ quantizes; re-ranking the top-c ADC CANDIDATES by
+  // exact distance over their full vectors recovers most of the recall
+  // the codes gave up, at the cost of c point-reads instead of a corpus
+  // scan). q74 stops at ADC; this is the quality knob between it and
+  // the exact q37 scan.
+  /** Re-rank the ADC top-`nCandidates` by exact quantized dot over the
+    * candidates' full vectors, then keep the top `k`.
+    *
+    * Scale shape: the candidate set is c rows by construction (the ADC
+    * probe's LIMIT), so it BROADCASTS against the raw-vector table —
+    * the corpus side is one scan + broadcast hash join + the codegen
+    * dot, no shuffle (at a production layout the raw vectors live
+    * cell-partitioned beside the code store, so the fetch is further
+    * partition-pruned to the probed cells; the fixture reads the
+    * embeddings table). The re-rank sort is c rows — driver-scale.
+    * Every arithmetic step is exact integer, so the oracle replays
+    * both the ADC candidate cut and the exact re-rank bit-for-bit. */
+  def ivfPqProbeRerank(s: SparkSession, storeDir: String, emb: DataFrame,
+      queryVec: Array[Long], nprobe: Int = 4, nCandidates: Int = 40,
+      k: Int = 10, m: Int = 8,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val cand = ivfPqProbe(s, storeDir, queryVec, nprobe, nCandidates, m,
+      excludeVecId).select(col("vec_id"), col("est_dot_e12"))
+    val qv = array(queryVec.map(lit(_)).toIndexedSeq: _*)
+    emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("est_dot_e12"),
+        LongArrayDot(col("qe"), qv).as("dot_e12"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Declared build-probe-rerank binding: q74's layout (same fixed
+    * store key — one resident store per JVM however many of q74/q84/
+    * q99 run), vec 0's query, ADC top-40 re-ranked to an exact top-10.
+    * The honest benched cost is the corpus-wide write + the code-only
+    * probe + the broadcast-bounded re-rank scan. */
+  def q99AdcRerank(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
+    ivfPqWrite(s, d, store)
+    val queryVec = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfPqProbeRerank(s, store, embeddings(s, d), queryVec,
+      nprobe = 4, nCandidates = 40, k = 10, excludeVecId = Some(0L))
+  }
+
   // O-76 embedding outlier scoring: each vector's exact integer squared
   // L2 distance to its own label's centroid, top-OutlierK per label —
   // the anomaly/mislabel screen of an embedding-quality pipeline (the
@@ -865,6 +917,56 @@ object Similarity {
 
   def q79EmbeddingOutliers(s: SparkSession, d: String): DataFrame =
     labelOutliers(embeddings(s, d))
+
+  // O-111: seeded kNN label propagation — classifier-free labeling, the
+  // curation move behind quality/domain classifiers trained from a
+  // small curated seed set (FineWeb-Edu-style filtering without
+  // shipping a model): every corpus vector takes the majority label of
+  // its k nearest seeds by exact quantized cosine, with the vote count
+  // as the confidence and agreement with the existing label as the
+  // audit column (disagreements are the mislabel-review queue, the
+  // q79 screen's supervised sibling).
+  /** Propagate the labels of the first `nSeeds` vectors (the curated
+    * seed set — ascending vec_id is the deterministic stand-in for a
+    * human-labeled table) onto every other vector: k-nearest-seed
+    * majority with the q37 rank rule (dot DESC, seed id ASC) and the
+    * deterministic majority (count DESC, label ASC).
+    *
+    * Scale shape: the seed set is bounded by the labeling budget (a
+    * few thousand rows at any corpus size), so it collects ONCE and
+    * rides as [[graft.functions.KnnMajorityLabel]]'s reference arrays;
+    * the corpus side is one scan with the whole vote — dots, top-k,
+    * majority — row-local inside whole-stage codegen: NO data-dependent
+    * exchange anywhere (the q65b posture, pinned in PlanShapeSpec).
+    * The composable alternative (broadcast join + per-vector window +
+    * majority groupBy) pays two corpus-sized shuffles for the same
+    * answer. Seeds with malformed vectors are dropped from the panel
+    * on BOTH sides (the oracle states len(qe)=dim); labels validated
+    * non-negative ints by the packed-long contract. */
+  def knnLabelPropagation(emb: DataFrame, nSeeds: Int = 32, k: Int = 5,
+      dim: Int = 64): DataFrame = {
+    val quantized = emb.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qe"))
+    val seeds = quantized.filter(col("vec_id") < nSeeds)
+      .collect() // bounded by the labeling budget, never the corpus
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Long](2)))
+      .filter(_._3.length == dim)
+      .sortBy(_._1).toIndexedSeq
+    require(seeds.nonEmpty, s"no well-formed seed vectors below $nSeeds")
+    quantized.filter(col("vec_id") >= nSeeds)
+      .withColumn("packed", graft.functions.KnnMajorityLabel(col("qe"),
+        seeds.map(_._2), seeds.flatMap(_._3), dim, k))
+      .select(col("vec_id"), col("label"),
+        col("packed").bitwiseAND(lit(0xFFFFFFFFL)).cast("int")
+          .as("plabel"),
+        shiftright(col("packed"), 32).cast("int").as("votes"))
+      .withColumn("agree", col("label") === col("plabel"))
+      .orderBy(col("vec_id"))
+  }
+
+  def q98KnnLabelProp(s: SparkSession, d: String): DataFrame =
+    knnLabelPropagation(embeddings(s, d))
 
   // O-88 exact kNN join within label blocks: every vector's k nearest
   // same-label neighbors by exact quantized squared L2 — the kNN-GRAPH
@@ -1199,6 +1301,8 @@ object Similarity {
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q84_ann_recall" -> (q84AnnRecall _),
     "q91_ann_retrain" -> (q91AnnRetrain _),
+    "q98_knn_label_prop" -> (q98KnnLabelProp _),
+    "q99_adc_rerank" -> (q99AdcRerank _),
   )
 
   private val dotSql =
@@ -1338,7 +1442,8 @@ object Similarity {
     * below the drift predicate's floor, so base and full agree —
     * matching the store, whose appended batch encodes against the
     * frozen codebook.) */
-  private def q74OracleSqlTrained(pid: Long, src: String): String = {
+  private def q74OracleSqlTrained(pid: Long, src: String,
+      limit: Int = 10): String = {
     val baseCte =
       if (src == "q") ""
       else s"""
@@ -1398,7 +1503,7 @@ object Similarity {
          |JOIN est e ON e.vec_id = a.vec_id
          |JOIN q ON q.vec_id = a.vec_id
          |WHERE a.vec_id != $pid
-         |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT $limit""".stripMargin
   }
 
   private val q74OracleSql: String = q74OracleSqlFor(0L)
@@ -1667,5 +1772,57 @@ object Similarity {
          |    AS sum_hits
          |FROM per ORDER BY phase, probe_id""".stripMargin
     },
+
+    // q98: the kNN vote replayed as its window formulation — rank
+    // seeds per vector by (dot DESC, sid), top-5, then the majority
+    // with (count DESC, label) — the exact rules KnnMajorityLabel's
+    // one codegen loop implements (same quantization, same integer
+    // dots, same tie-breaks).
+    "q98_knn_label_prop" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |seeds AS (
+         |  SELECT vec_id AS sid, label AS slabel, qe AS sqe FROM q
+         |  WHERE vec_id < 32 AND len(qe) = 64),
+         |dots AS (
+         |  SELECT q.vec_id, q.label, s.sid, s.slabel,
+         |    ${qdotSql("q.qe", "s.sqe")} AS d
+         |  FROM q, seeds s WHERE q.vec_id >= 32),
+         |topk AS (
+         |  SELECT vec_id, label, slabel FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d DESC NULLS LAST, sid)
+         |      AS rn
+         |    FROM dots) WHERE rn <= 5),
+         |votes AS (
+         |  SELECT vec_id, label, slabel, count(*) AS v
+         |  FROM topk GROUP BY 1, 2, 3)
+         |SELECT vec_id, label, CAST(plabel AS INT) AS plabel,
+         |  CAST(v AS INT) AS votes, label = plabel AS agree
+         |FROM (
+         |  SELECT vec_id, label, slabel AS plabel, v,
+         |    row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY v DESC, slabel) AS rn
+         |  FROM votes) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    // q99: q74's ADC replay with LIMIT 40 as the candidate cut, then
+    // the exact integer re-rank over the candidates' full vectors —
+    // both stages deterministic, so the oracle reproduces the refined
+    // top-10 bit-for-bit.
+    "q99_adc_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label, $qeSql AS qe FROM embeddings
+         |  WHERE vec_id IS NOT NULL),
+         |qv AS (SELECT qe AS qq FROM q WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, est_dot_e12
+         |  FROM (${q74OracleSqlTrained(0L, "q", 40)}))
+         |SELECT q.vec_id, q.label, c.est_dot_e12,
+         |  ${qdotSql("q.qe", "qv.qq")} AS dot_e12
+         |FROM q, qv, cand c
+         |WHERE c.vec_id = q.vec_id
+         |ORDER BY dot_e12 DESC, q.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -172,6 +172,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("long_array_dot"), plan)
   }
 
+  test("q98: the kNN vote is row-local — no hash shuffle at all") {
+    val plan = formatted("q98_knn_label_prop")
+    // the seed panel rides as KnnMajorityLabel's reference arrays, so
+    // the corpus side is project+filter over the scan; the only
+    // exchange is the presentation sort's range partitioning (the q65b
+    // posture)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(plan.contains("knn_majority_label"), plan)
+  }
+
+  test("q99: re-rank broadcasts the ADC candidate cut") {
+    val plan = formatted("q99_adc_rerank")
+    // the c-row candidate table broadcasts against the raw-vector
+    // scan; the final top-k is TakeOrderedAndProject, never a global
+    // sort
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("long_array_dot"), plan)
+  }
+
   test("q60: quota sampling is one shuffle (window on source)") {
     val plan = formatted("q60_source_quota")
     val shuffles = "hashpartitioning".r.findAllIn(plan).size

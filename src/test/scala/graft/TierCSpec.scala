@@ -386,4 +386,68 @@ class TierCSpec extends SparkSpec {
     // Spark 4.1); the expression pins one answer on every path.
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("KnnMajorityLabel agrees with the window-formulation vote " +
+    "(fixture)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.ops.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.quantize(col("embedding"))
+          .as("qe"))
+    val seeds = q.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("sid"), col("label").as("slabel"),
+        col("qe").as("sqe"))
+    // the composable form the expression replaces: broadcast join +
+    // per-vector top-k window + deterministic-majority window
+    val byDot = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").desc, col("sid"))
+    val byVote = Window.partitionBy(col("vec_id"))
+      .orderBy(col("v").desc, col("slabel"))
+    val composed = q.filter(col("vec_id") >= 32)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"), col("slabel"),
+        graft.functions.LongArrayDot(col("qe"), col("sqe")).as("d"))
+      .withColumn("rn", row_number().over(byDot))
+      .filter(col("rn") <= 5)
+      .groupBy(col("vec_id"), col("slabel"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("rn", row_number().over(byVote))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("slabel"), col("v").cast("int"))
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val viaExpr = Similarity.q98KnnLabelProp(spark, sf)
+      .select(col("vec_id"), col("plabel"), col("votes"))
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(viaExpr === composed)
+  }
+
+  test("KnnMajorityLabel tie-breaks: dot ties keep the lower seed id, " +
+    "vote ties the lower label; malformed rows vote over the first k") {
+    import spark.implicits._
+    // seeds in ascending-id order: 0,1 at (1,0) with labels 7,3;
+    // 2,3 at (0,1) with labels 5,5
+    val labels = Seq(7L, 3L, 5L, 5L)
+    val flat = Seq(1L, 0L, 1L, 0L, 0L, 1L, 0L, 1L)
+    val rows = Seq(
+      (1L, Some(Seq(10L, 0L))), // top2 = seeds 0,1 -> {7,3} tie -> 3
+      (2L, Some(Seq(0L, 10L))), // top2 = seeds 2,3 -> {5,5} -> 5, v=2
+      (3L, Option.empty[Seq[Long]]), // NULL -> first 2 -> {7,3} -> 3
+      (4L, Some(Seq(1L))) // wrong length -> first 2 -> {7,3} -> 3
+    ).toDF("vec_id", "qe")
+    val got = rows.select(col("vec_id"),
+      graft.functions.KnnMajorityLabel(col("qe"), labels, flat, 2, 2)
+        .as("p")).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> ((1L << 32) | 3L), 2L -> ((2L << 32) | 5L),
+      3L -> ((1L << 32) | 3L), 4L -> ((1L << 32) | 3L)))
+    // k past the seed count caps at the panel: all 4 vote -> 5 wins 2-1-1
+    val all = rows.filter(col("vec_id") === 1L).select(
+      graft.functions.KnnMajorityLabel(col("qe"), labels, flat, 2, 10)
+        .as("p")).as[Long].head()
+    assert(all === ((2L << 32) | 5L))
+  }
 }
