@@ -1064,11 +1064,14 @@ object Similarity {
     semanticDedup(embeddings(s, d))
 
   // O-92: ANN recall audit — the governance metric every production
-  // ANN deployment watches (VERDICT r8 #3): recall@10 of the two
-  // declared approximate probes (q74's IVF-PQ ADC, q37b's multi-probe
-  // sign-LSH) against the exact q37-rule answer, for a FIXED 8-probe
-  // panel (round 10; a single probe was an existence proof a
-  // lucky/unlucky query vector could mask). Deterministic by
+  // ANN deployment watches (VERDICT r8 #3): recall@10 of the declared
+  // approximate probes (q74's IVF-PQ ADC, its q99 re-rank tier, q37b's
+  // multi-probe sign-LSH) against the exact q37-rule answer, for a
+  // FIXED 8-probe panel (round 10; a single probe was an existence
+  // proof a lucky/unlucky query vector could mask). The adc vs adc_rr
+  // rows decompose the loss: their gap is what PQ quantization costs,
+  // the rr row's gap to 10 is what the coarse-cell prune costs — the
+  // panel localizes WHICH approximation drifted. Deterministic by
   // construction — every side is exact integer arithmetic, so the
   // oracle replays the approximations themselves and the hit counts
   // bit-for-bit. Reported per probe as exact integer hits out of k
@@ -1189,6 +1192,30 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"))
   }
 
+  /** O-112's refinement audited panel-wide: each probe's ADC top-c
+    * CANDIDATES (one run of [[panelAdc]] with k = c) re-ranked by
+    * exact dot over their full vectors. The candidate table is P x c
+    * rows by construction, so it broadcasts against the raw-vector
+    * scan (the q99 shape, shared across the panel); the re-rank
+    * window runs over P x c rows — driver-scale. */
+  private def panelAdcRerank(s: SparkSession, store: String,
+      emb: DataFrame, panel: Seq[Long], nprobe: Int, c: Int, k: Int,
+      m: Int): DataFrame = {
+    val cand = panelAdc(s, store, emb, panel, nprobe, c, m)
+    val probes = broadcast(emb.filter(col("vec_id").isin(panel: _*))
+      .select(col("vec_id").as("probe_id"),
+        quantize(col("embedding")).as("qv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot_e12").desc, col("vec_id"))
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
   def q84AnnRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ONE layout build for the whole panel, into q74's own fixed store
@@ -1204,6 +1231,12 @@ object Similarity {
     val sides = Seq(
       ("ivfpq_adc", panelAdc(s, store, emb, ProbePanel,
         nprobe = 4, k = 10, m = 8)),
+      // the re-rank tier (q99) audited beside the raw ADC: the gap
+      // between the two rows is exactly the recall PQ quantization
+      // costs, and the gap to 10 is what the coarse cells cost —
+      // the panel now localizes WHICH approximation drifted
+      ("ivfpq_adc_rr", panelAdcRerank(s, store, emb, ProbePanel,
+        nprobe = 4, c = 40, k = 10, m = 8)),
       ("sign_lsh", panelLsh(emb, ProbePanel, 10)))
     val wm = Window.partitionBy(col("method"))
     sides.map { case (meth, approx) =>
@@ -1731,6 +1764,25 @@ object Similarity {
              |    CAST($pid AS BIGINT) AS probe_id,
              |    CAST(count(*) AS BIGINT) AS hits
              |  FROM (SELECT vec_id FROM (${q74OracleSqlFor(pid)})) a
+             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+             |    USING (vec_id)""".stripMargin,
+          // the re-rank tier: the same ADC replay cut at LIMIT 40,
+          // then the exact integer re-rank over the candidates' full
+          // vectors (the q99 oracle shape, re-bound per panel probe)
+          s"""SELECT 'ivfpq_adc_rr', CAST($pid AS BIGINT),
+             |    CAST(count(*) AS BIGINT)
+             |  FROM (
+             |    SELECT vec_id FROM (
+             |      WITH qr AS (
+             |        SELECT vec_id, $qeSql AS qe FROM embeddings
+             |        WHERE vec_id IS NOT NULL),
+             |      qpv AS (SELECT qe AS qq FROM qr WHERE vec_id = $pid),
+             |      cand AS (SELECT vec_id
+             |        FROM (${q74OracleSqlTrained(pid, "q", 40)}))
+             |      SELECT qr.vec_id
+             |      FROM qr, qpv, cand c WHERE c.vec_id = qr.vec_id
+             |      ORDER BY ${qdotSql("qr.qe", "qpv.qq")} DESC,
+             |        qr.vec_id LIMIT 10)) a
              |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
              |    USING (vec_id)""".stripMargin,
           s"""SELECT 'sign_lsh', CAST($pid AS BIGINT),
