@@ -298,6 +298,120 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // O-113: perceptual image dedup — the image-corpus twin of the text
+  // near-dup family (the LAION-scale curation move): byte-level hashing
+  // (q35/q46 sha256) misses images that differ by re-encoding or a
+  // brightness/contrast touch-up, so image pipelines dedup on a
+  // PERCEPTUAL hash of the decoded raster. This is average-hash
+  // (aHash): grayscale the pixels, grid them into blocks, bit = block
+  // mean >= global mean — brightness shifts cancel (both means move
+  // together), so shifted variants hash IDENTICALLY while structurally
+  // different images land ~30 bits apart.
+  /** 60-bit integer average-hash of an encoded image (6x10 block grid —
+    * the q36c convention: the widest signature both engines handle with
+    * no signed-overflow care). All-integer math, engine-exact:
+    * grayscale = (299r + 587g + 114b) / 1000 (integer division; equals
+    * v exactly on gray pixels), block of pixel (x, y) = (x*6/w,
+    * y*10/h), bit k = by*6+bx set iff blockSum * totalPixels >=
+    * totalSum * blockPixels (the cross-multiplied mean compare — no
+    * division, exact at any block shape; |products| <= 255 * (w*h)^2,
+    * safe in a long through ~8k x 8k rasters). None for undecodable
+    * payloads or rasters too small to fill the grid. */
+  def imageAHash(payload: Array[Byte]): Option[Long] = {
+    imageioNoCache
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 6 || img.getHeight < 10) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](60)
+      val counts = new Array[Long](60)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+          val k = (y * 10 / h) * 6 + (x * 6 / w)
+          sums(k) += gray
+          counts(k) += 1
+          total += gray
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var hash = 0L
+      var k = 0
+      while (k < 60) {
+        if (sums(k) * n >= total * counts(k)) hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** q45c: image near-dup over REAL encoded rasters — generate (the
+    * q45b posture: bytes are born on the executors, never the driver)
+    * 96 PNGs in 32 groups of 3, each group one 6x10 block pattern with
+    * its members brightness-shifted by delta = doc_id % 3. The shift
+    * makes every byte stream and every sha256 UNIQUE — the exact-dedup
+    * family (q35/q46) finds nothing — while aHash is shift-invariant
+    * by construction (the cross-multiplied mean rule cancels a uniform
+    * +delta exactly, integer division included), so each group's three
+    * variants collide at hamming 0.
+    *
+    * Pair plan = the near-dup family's banded hamming join, SHARED
+    * with q36c ([[graft.ops.Dedup.bandedHammingPairs]] — one pair-rule
+    * definition, two signature families): 4 bands x 15 bits, popcount
+    * verified inside the shuffle-hash self-join, <= 8. Scale: decode +
+    * hash are mapPartitions over opaque bytes (no shuffle before the
+    * band join), the band join's key space is 2^15 per band, and at a
+    * real image lake the signature table is 8 bytes/image — the q36c
+    * argument verbatim.
+    *
+    * Oracle: PNG is lossless, the blocks are grid-aligned constants,
+    * and every step is integer, so DuckDB derives each group's hash
+    * CLOSED-FORM from the generation formula (the brightness delta
+    * cancels: bit = 60*v0 >= sum(v0)) and replays the banding. */
+  def q45cImageAhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = s.range(0, 96).map { i =>
+      val g = (i / 3).toInt
+      val delta = (i % 3).toInt
+      val img = new java.awt.image.BufferedImage(60, 60,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 60) {
+        var x = 0
+        while (x < 60) {
+          // (g+1) multiplies the cell term so group patterns decorrelate
+          // (an additive g*const kept blocks' relative order across
+          // groups — 65 accidental cross-group collisions at <= 8)
+          val v = ((g + 1) * (97 * (x / 10) + 211 * (y / 6) + 131)) % 199 +
+            delta
+          img.setRGB(x, y, v << 16 | v << 8 | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "no ImageIO writer for 'png' in this JRE")
+      MediaRecord(i, "image", bos.toByteArray, "generated")
+    }
+    val sigs = recs.repartition(col("doc_id")).as[MediaRecord]
+      .mapPartitions(rs => rs.flatMap(r =>
+        imageAHash(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "ahash")
+    graft.ops.Dedup.bandedHammingPairs(sigs, "ahash", 4, 15, 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Binary scalar functions over the payload column — the oracle-checked
     * slice of the multimodal surface (octet length, sha256, base64). */
   def q46BinaryFuncs(s: SparkSession, d: String): DataFrame =
@@ -314,6 +428,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_multimodal_pipeline" -> (q45MultimodalPipeline _),
     "q45b_real_media_decode" -> (q45bRealMediaDecode _),
+    "q45c_image_ahash_dedup" -> (q45cImageAhashDedup _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
@@ -395,5 +510,41 @@ object Multimodal {
         |  sha256(text) AS sha256_hex,
         |  to_base64(CAST(text AS BLOB)) AS payload_b64
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form replay of q45c: PNG is lossless and every aHash step
+    // is integer, so each group's 60-bit hash derives straight from the
+    // generation formula — the per-image brightness delta cancels in
+    // the cross-multiplied mean rule (bit = 60*v0 >= sum(v0), see
+    // imageAHash), which is the property under test. The banding +
+    // popcount replay mirrors the q36c oracle over the shared
+    // bandedHammingPairs rule.
+    "q45c_image_ahash_dedup" ->
+      """WITH imgs AS (
+        |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
+        |  FROM generate_series(0, 95) t(i)),
+        |cells AS (
+        |  SELECT g.g, ty.by * 6 + tx.bx AS k,
+        |    ((g.g + 1) * (97 * tx.bx + 211 * ty.by + 131)) % 199 AS v0
+        |  FROM (SELECT DISTINCT g FROM imgs) g,
+        |       generate_series(0, 5) tx(bx),
+        |       generate_series(0, 9) ty(by)),
+        |tot AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
+        |  FROM cells GROUP BY g),
+        |hashes AS (
+        |  SELECT cells.g, CAST(sum(
+        |    CASE WHEN 60 * v0 >= sv
+        |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+        |    AS ahash
+        |  FROM cells JOIN tot USING (g) GROUP BY cells.g),
+        |sigs AS (SELECT doc_id, ahash FROM imgs JOIN hashes USING (g)),
+        |chunks AS (
+        |  SELECT doc_id, ahash, tc.c,
+        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
+        |  FROM sigs, generate_series(0, 3) tc(c))
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS hamming
+        |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+        |WHERE x.doc_id < y.doc_id
+        |  AND bit_count(xor(x.ahash, y.ahash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -1521,20 +1521,36 @@ object Dedup {
         graft.functions.SimhashSignature(
           split(trim(col("text")), "\\s+")).as("simhash"))
       .filter(col("simhash").isNotNull)
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimChunks).map(c => struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7FFFL))
+    bandedHammingPairs(sigs, "simhash", SimChunks, 15, 8)
+  }
+
+  /** THE banded hamming-join, stated once (shared by q36c's text
+    * SimHash and q45c's image aHash — two signature families, one pair
+    * rule): candidates share one `bits`-wide chunk of the signature
+    * (nChunks bands exploded row-locally), the exact popcount runs
+    * INSIDE the shuffle-hash self-join (both sides carry the
+    * signature), and pairs found through several bands collapse via
+    * DISTINCT. Key cardinality is 2^bits per band, so the join never
+    * degenerates to a few hot keys; signatures must be < 2^(nChunks *
+    * bits) and non-negative (the 60-bit q36c convention — the widest
+    * both engines handle without signed-overflow care). */
+  private[graft] def bandedHammingPairs(sigs: DataFrame, sigCol: String,
+      nChunks: Int, bits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bits) - 1
+    val chunks = sigs.select(col("doc_id"), col(sigCol),
+      explode(array((0 until nChunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col(sigCol), bits * c).bitwiseAND(lit(mask))
           .as("ckey"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"),
+      .select(col("doc_id"), col(sigCol), col("cc.chunk").as("chunk"),
         col("cc.ckey").as("ckey"))
     chunks.as("x").hint("shuffle_hash")
       .join(chunks.as("y").hint("shuffle_hash"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        expr(s"bit_count(x.$sigCol ^ y.$sigCol)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
   }
 
   def q36cSimhash(s: SparkSession, d: String): DataFrame =

@@ -134,4 +134,44 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(f => (f.doc_id, f.width, f.height, f.n_frames)) ===
       b.map(f => (f.doc_id, f.width, f.height, f.n_frames)))
   }
+
+  /** Structured gray PNG: block (x/10, y/6) holds base + a cell term,
+    * optionally brightness-shifted (+delta on every pixel) or with one
+    * block repainted (struct changes the raster's structure). */
+  private def patternPng(delta: Int, struct: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(60, 60,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 60; x <- 0 until 60) {
+      val base = (37 * (x / 10) + 89 * (y / 6) + 55) % 199
+      val v0 = if (struct && x < 10 && y < 6) 255 - base else base
+      val v = v0 + delta
+      img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageAHash: brightness-invariant, structure-sensitive, and " +
+    "None on undecodable/degenerate payloads") {
+    val base = Multimodal.imageAHash(patternPng(0, struct = false))
+    val shifted = Multimodal.imageAHash(patternPng(5, struct = false))
+    val changed = Multimodal.imageAHash(patternPng(0, struct = true))
+    assert(base.isDefined)
+    // a uniform brightness shift cancels in the cross-multiplied mean
+    // rule — the perceptual property byte hashing (q35/q46) lacks:
+    // the two payloads differ byte-for-byte yet hash identically
+    assert(shifted === base)
+    assert(!java.util.Arrays.equals(
+      patternPng(0, struct = false), patternPng(5, struct = false)))
+    // repainting a block flips bits: distinct hash, past the pair
+    // threshold is NOT required (one block = 1 bit floor) but equality
+    // must break
+    assert(changed.isDefined && changed != base)
+    // undecodable bytes and rasters too small for the 6x10 grid
+    assert(Multimodal.imageAHash("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageAHash(pngBytes()).isEmpty) // 5x3 raster
+    // the hash fits the 60-bit non-negative banding contract
+    assert(base.get >= 0L && base.get < (1L << 60))
+  }
 }
