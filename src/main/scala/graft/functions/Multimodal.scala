@@ -378,9 +378,13 @@ object Multimodal {
     * and every step is integer, so DuckDB derives each group's hash
     * CLOSED-FORM from the generation formula (the brightness delta
     * cancels: bit = 60*v0 >= sum(v0)) and replays the banding. */
-  def q45cImageAhashDedup(s: SparkSession, d: String): DataFrame = {
+  /** The q45c/q45d image fixture: 96 PNGs in 32 groups of 3, one block
+    * pattern per group, members brightness-shifted by doc_id % 3 (the
+    * q45b posture: bytes are born on the executors). */
+  private def syntheticImages(s: SparkSession)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
     import s.implicits._
-    val recs = s.range(0, 96).map { i =>
+    s.range(0, 96).map { i =>
       val g = (i / 3).toInt
       val delta = (i % 3).toInt
       val img = new java.awt.image.BufferedImage(60, 60,
@@ -404,12 +408,115 @@ object Multimodal {
         "no ImageIO writer for 'png' in this JRE")
       MediaRecord(i, "image", bos.toByteArray, "generated")
     }
-    val sigs = recs.repartition(col("doc_id")).as[MediaRecord]
+  }
+
+  /** (doc_id, ahash) signatures of a media table: decode + hash in ONE
+    * mapPartitions pass over the opaque bytes; undecodable or
+    * grid-degenerate payloads drop (they can perceptually match
+    * nothing). */
+  def imageSignatures(recs: org.apache.spark.sql.Dataset[MediaRecord])
+      : DataFrame = {
+    val s = recs.sparkSession
+    import s.implicits._
+    recs.repartition(col("doc_id"))
       .mapPartitions(rs => rs.flatMap(r =>
         imageAHash(r.payload).map(h => (r.doc_id, h))))
       .toDF("doc_id", "ahash")
-    graft.ops.Dedup.bandedHammingPairs(sigs, "ahash", 4, 15, 8)
+  }
+
+  def q45cImageAhashDedup(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.bandedHammingPairs(
+      imageSignatures(syntheticImages(s)), "ahash", 4, 15, 8)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // O-114: incremental image-dedup admission — O-94's standing-index
+  // idiom applied to the aHash family (the FIFTH admission family:
+  // exact hashes q83, near-dup bands q85, clusters q89, ANN cells q88,
+  // now image signatures): a standing image corpus keeps its band rows
+  // on disk; an arriving batch admits only images that perceptually
+  // match (band collision then popcount <= 8) neither a stored image
+  // nor a lower-doc_id batch image (q85's conservative keep-lowest —
+  // one self-join, no fixpoint). This closes the SCALE.md claim that
+  // an image's dedup probe is a handful of pruned band lookups: the
+  // store below IS that layout.
+  /** Band rows of an (doc_id, ahash) signature table: 4 x 15-bit
+    * chunks, the [[graft.ops.Dedup.bandedHammingPairs]] banding as
+    * persistent rows (~36 B/image at any corpus size). */
+  private def ahashBandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("band"),
+        shiftright(col("ahash"), 15 * c).bitwiseAND(lit(0x7FFFL))
+          .as("ckey"))): _*)).as("cc"))
+      .select(col("doc_id"), col("ahash"), col("cc.band").as("band"),
+        col("cc.ckey").as("ckey"))
+
+  /** Write/append the image admission index: band rows partitioned by
+    * kb = xxhash64(band, ckey) mod 64 (the q85 layout — band folded
+    * into one 64-way bucket hash, co-located so each partition dir is
+    * one task's files). */
+  def ahashIndexWrite(sigs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    ahashBandRows(sigs.filter(col("doc_id").isNotNull))
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int"))
+      .repartition(64, col("kb"))
+      .sortWithinPartitions(col("kb"), col("band"), col("ckey"))
+      .write.mode(mode).partitionBy("kb").parquet(store)
+
+  /** Admit the batch's perceptually-new images against the stored band
+    * index: the index read is partition-pruned to the batch's <= 64 kb
+    * buckets (the q83/q85 static-IN argument), the popcount verify runs
+    * INSIDE the band join (both sides carry the 8-byte hash), and the
+    * intra-batch keep-lowest self-join mirrors q85's rule. Steady-state
+    * ingest is O(batch bands) + a signature-table read that never
+    * touches pixels. Returns the admitted (doc_id, ahash) rows —
+    * callers append them back via [[ahashIndexWrite]] (mode append) so
+    * later batches dedup against earlier arrivals. */
+  def ahashMerge(s: SparkSession, store: String,
+      batchSigs: DataFrame): DataFrame = {
+    val batchBands = graft.ops.Dedup.materializeBounded(
+      ahashBandRows(batchSigs.filter(col("doc_id").isNotNull))
+        .withColumn("kb",
+          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
+    val keys = batchBands.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
+    val near = expr("bit_count(x.ahash ^ y.ahash)") <= 8
+    val crossHit =
+      if (keys.isEmpty) batchSigs.select(col("doc_id")).limit(0)
+      else s.read.parquet(store)
+        .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
+        .join(batchBands.as("y").hint("shuffle_hash"),
+          col("x.band") === col("y.band") &&
+            col("x.ckey") === col("y.ckey"))
+        .filter(near)
+        .select(col("y.doc_id").as("doc_id")).distinct()
+    val intraHit = batchBands.as("x").hint("shuffle_hash")
+      .join(batchBands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") &&
+          col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(near)
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    batchSigs
+      .join(crossHit.unionByName(intraHit).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("ahash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q45d: the declared build-then-merge binding. Corpus = images with
+    * doc_id < 50 — deliberately mid-group (group 16 straddles the
+    * split: members 48/49 stored, 50 arrives in the batch), so the
+    * merge exercises BOTH drop paths: id 50 falls to the cross-store
+    * hit, and each all-new batch group keeps only its lowest id. The
+    * benched cost is the honest store build + pruned merge (the q85
+    * accounting). */
+  def q45dImageMerge(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_ahash_store_q45d")
+    val sigs = graft.ops.Dedup.materializeBounded(
+      imageSignatures(syntheticImages(s)))
+    ahashIndexWrite(sigs.filter(col("doc_id") < 50), store)
+    ahashMerge(s, store, sigs.filter(col("doc_id") >= 50))
   }
 
   /** Binary scalar functions over the payload column — the oracle-checked
@@ -429,8 +536,34 @@ object Multimodal {
     "q45_multimodal_pipeline" -> (q45MultimodalPipeline _),
     "q45b_real_media_decode" -> (q45bRealMediaDecode _),
     "q45c_image_ahash_dedup" -> (q45cImageAhashDedup _),
+    "q45d_image_merge" -> (q45dImageMerge _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
+
+  /** The q45c/q45d closed-form hash CTE stack (shared: the generation
+    * formula is the oracle's input, because PNG is lossless and every
+    * aHash step is integer — see q45c's oracle comment). Ends with
+    * `sigs(doc_id, ahash)`. */
+  private val ahashSigsSql: String =
+    """imgs AS (
+      |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
+      |  FROM generate_series(0, 95) t(i)),
+      |cells AS (
+      |  SELECT g.g, ty.by * 6 + tx.bx AS k,
+      |    ((g.g + 1) * (97 * tx.bx + 211 * ty.by + 131)) % 199 AS v0
+      |  FROM (SELECT DISTINCT g FROM imgs) g,
+      |       generate_series(0, 5) tx(bx),
+      |       generate_series(0, 9) ty(by)),
+      |tot AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
+      |  FROM cells GROUP BY g),
+      |hashes AS (
+      |  SELECT cells.g, CAST(sum(
+      |    CASE WHEN 60 * v0 >= sv
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+      |    AS ahash
+      |  FROM cells JOIN tot USING (g) GROUP BY cells.g),
+      |sigs AS (SELECT doc_id, ahash FROM imgs JOIN hashes USING (g))"""
+      .stripMargin
 
   /** 32-bit Java-int wrap of a BIGINT expression, floor-mod style.
     * DuckDB's % keeps the dividend's sign, so the naive single-mod wrap
@@ -518,24 +651,7 @@ object Multimodal {
     // popcount replay mirrors the q36c oracle over the shared
     // bandedHammingPairs rule.
     "q45c_image_ahash_dedup" ->
-      """WITH imgs AS (
-        |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
-        |  FROM generate_series(0, 95) t(i)),
-        |cells AS (
-        |  SELECT g.g, ty.by * 6 + tx.bx AS k,
-        |    ((g.g + 1) * (97 * tx.bx + 211 * ty.by + 131)) % 199 AS v0
-        |  FROM (SELECT DISTINCT g FROM imgs) g,
-        |       generate_series(0, 5) tx(bx),
-        |       generate_series(0, 9) ty(by)),
-        |tot AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
-        |  FROM cells GROUP BY g),
-        |hashes AS (
-        |  SELECT cells.g, CAST(sum(
-        |    CASE WHEN 60 * v0 >= sv
-        |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
-        |    AS ahash
-        |  FROM cells JOIN tot USING (g) GROUP BY cells.g),
-        |sigs AS (SELECT doc_id, ahash FROM imgs JOIN hashes USING (g)),
+      s"""WITH $ahashSigsSql,
         |chunks AS (
         |  SELECT doc_id, ahash, tc.c,
         |    (ahash >> (15 * tc.c)) & 32767 AS ckey
@@ -546,5 +662,33 @@ object Multimodal {
         |WHERE x.doc_id < y.doc_id
         |  AND bit_count(xor(x.ahash, y.ahash)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q45d: the admission rule replayed over the same closed-form
+    // hashes — corpus bands (doc_id < 50) and batch bands collide,
+    // popcount <= 8 drops cross-store matches; the intra-batch
+    // keep-lowest self-join drops later members of all-new groups
+    "q45d_image_merge" ->
+      s"""WITH $ahashSigsSql,
+        |bandC AS (
+        |  SELECT doc_id, ahash, tc.c,
+        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
+        |  FROM sigs, generate_series(0, 3) tc(c)
+        |  WHERE doc_id < 50),
+        |bandB AS (
+        |  SELECT doc_id, ahash, tc.c,
+        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
+        |  FROM sigs, generate_series(0, 3) tc(c)
+        |  WHERE doc_id >= 50),
+        |hit AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM bandB x JOIN bandC y ON x.c = y.c AND x.ckey = y.ckey
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 8
+        |  UNION
+        |  SELECT DISTINCT y.doc_id
+        |  FROM bandB x JOIN bandB y
+        |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 8)
+        |SELECT doc_id, ahash FROM sigs
+        |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

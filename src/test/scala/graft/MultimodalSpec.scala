@@ -174,4 +174,41 @@ class MultimodalSpec extends SparkSpec {
     // the hash fits the 60-bit non-negative banding contract
     assert(base.get >= 0L && base.get < (1L << 60))
   }
+
+  test("ahash store lifecycle: admitted signatures append back and a " +
+    "replayed batch admits nothing") {
+    import spark.implicits._
+    val store = graft.util.Ephemeral.dir("ahash_lifecycle")
+    val sigs = Multimodal.imageSignatures(
+      spark.range(0, 96).map { i =>
+        // the q45c fixture regenerated (private there): 32 groups of 3
+        val g = (i / 3).toInt
+        val delta = (i % 3).toInt
+        val img = new java.awt.image.BufferedImage(60, 60,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 60; x <- 0 until 60) {
+          val v =
+            ((g + 1) * (97 * (x / 10) + 211 * (y / 6) + 131)) % 199 + delta
+          img.setRGB(x, y, v << 16 | v << 8 | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRecord(i, "image", bos.toByteArray, "g")
+      }).cache()
+    val batch = sigs.filter(col("doc_id") >= 50)
+    Multimodal.ahashIndexWrite(sigs.filter(col("doc_id") < 50), store)
+    val admitted = Multimodal.ahashMerge(spark, store, batch)
+      .as[(Long, Long)].collect()
+    // id 50 completes stored group 16 (cross-store drop); each all-new
+    // group admits its lowest member
+    assert(admitted.map(_._1).toSeq === (51L to 93L by 3L).toSeq)
+    // the q85 posture: admitted signatures append into the index...
+    Multimodal.ahashIndexWrite(
+      admitted.toSeq.toDF("doc_id", "ahash"), store, mode = "append")
+    // ...so an at-least-once replay of the SAME batch admits nothing
+    // (every member now matches either the store or its own group's
+    // appended representative)
+    assert(Multimodal.ahashMerge(spark, store, batch).count() === 0L)
+    sigs.unpersist()
+  }
 }
