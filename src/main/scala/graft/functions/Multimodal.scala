@@ -381,7 +381,7 @@ object Multimodal {
   /** The q45c/q45d image fixture: 96 PNGs in 32 groups of 3, one block
     * pattern per group, members brightness-shifted by doc_id % 3 (the
     * q45b posture: bytes are born on the executors). */
-  private def syntheticImages(s: SparkSession)
+  private[graft] def syntheticImages(s: SparkSession)
       : org.apache.spark.sql.Dataset[MediaRecord] = {
     import s.implicits._
     s.range(0, 96).map { i =>

@@ -722,6 +722,69 @@ object Streams {
     graft.ops.TextAnalysis.corpusFreqScoreFromStore(docs, store)
   }
 
+  /** Raw schema of a MediaRecord parquet file (the s19 stream input). */
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("payload", BinaryType),
+    StructField("source", StringType)))
+
+  // O-115 (s19): ingest-time IMAGE-dedup screen — q45d's streaming
+  // twin, extending the persisted-streaming-binding set to the FIFTH
+  // standing-index family (s16 exact hashes, s15 near-dup clusters,
+  // s17 ANN cells, s18 the unigram model, s19 image signatures). Each
+  // arriving micro-batch of raw image payloads decodes + aHashes
+  // statelessly (one mapPartitions pass, the batch pipeline unchanged
+  // on the stream), runs the pruned admission merge against the
+  // standing band store, persists its admitted signatures, and appends
+  // them back into the index so later batches dedup against earlier
+  // arrivals. Pixels cross the wire once, at ingest — never again.
+  //
+  // Delivery caveat (the family posture, s16's words): foreachBatch is
+  // AT-LEAST-ONCE — a replayed batch re-derives the same admitted rows
+  // (the merge re-matches them against their own appended signatures,
+  // admitting nothing new — the MultimodalSpec lifecycle property), so
+  // the index append is value-idempotent, but the admitted SINK would
+  // carry replayed rows twice; a production sink dedups on doc_id.
+  def s19StreamImageScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = graft.util.Ephemeral.fixedDir("graft_ahash_store_s19")
+    val all = graft.functions.Multimodal.syntheticImages(s)
+    graft.functions.Multimodal.ahashIndexWrite(
+      graft.functions.Multimodal.imageSignatures(
+        all.filter(col("doc_id") < 50)), store)
+    // the arriving day's images, staged as the stream's file source
+    // (one file -> one AvailableNow batch; the admitted set is
+    // slicing-sensitive only through keep-lowest ties, which a
+    // deterministic single-batch replay never exercises differently)
+    val inDir = graft.util.Ephemeral.dir("graft_image_stream_in_")
+    all.filter(col("doc_id") >= 50).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val admittedDir = graft.util.Ephemeral.dir("graft_image_admit_s19")
+    val q = s.readStream.schema(mediaSchema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bs = batch.sparkSession
+          import bs.implicits._
+          // decode + hash on ingest (stateless row-local), then the
+          // q45d merge; materialize ONCE — the sink write and the
+          // index append must see the same admitted rows
+          val admitted = graft.functions.Multimodal.ahashMerge(bs, store,
+            graft.functions.Multimodal.imageSignatures(
+              batch.as[graft.functions.Multimodal.MediaRecord]))
+            .localCheckpoint()
+          admitted.write.mode("append").parquet(admittedDir)
+          graft.functions.Multimodal.ahashIndexWrite(
+            admitted, store, mode = "append")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(admittedDir).orderBy(col("doc_id"))
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -831,6 +894,7 @@ object Streams {
     "s16_stream_dedup_screen" -> (s16StreamDedupScreen _),
     "s17_stream_vector_ingest" -> (s17StreamVectorIngest _),
     "s18_stream_tf_maintain" -> (s18StreamTfMaintain _),
+    "s19_stream_image_screen" -> (s19StreamImageScreen _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -887,6 +951,12 @@ object Streams {
     // retrain, so the closed form IS q72's (= q92's) SQL
     "s18_stream_tf_maintain" ->
       graft.ops.TextAnalysis.oracles("q92_tf_store_score"),
+    // the image admission screen replays q45d's fixture through the
+    // same store-admission code under foreachBatch (one-file source =
+    // one deterministic batch), so the closed form IS q45d's
+    // closed-form-hash admission SQL
+    "s19_stream_image_screen" ->
+      graft.functions.Multimodal.oracles("q45d_image_merge"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

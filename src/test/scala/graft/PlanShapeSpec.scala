@@ -172,6 +172,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("long_array_dot"), plan)
   }
 
+  test("q45d: ahash index scan is partition-pruned to the batch's " +
+    "buckets; the popcount verifies inside shuffle-hash band joins") {
+    val plan = formatted("q45d_image_merge")
+    // ahashMerge's collected kb set must land as a PartitionFilter on
+    // the stored band index's scan (the q83/q85 static-IN shape)
+    assert(plan.contains("PartitionFilters: [kb"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q98: the kNN vote is row-local — no hash shuffle at all") {
     val plan = formatted("q98_knn_label_prop")
     // the seed panel rides as KnnMajorityLabel's reference arrays, so

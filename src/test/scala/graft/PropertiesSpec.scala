@@ -586,4 +586,43 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("bandedHammingPairs: found pairs are exactly the true <= max " +
+    "set that shares a band; pigeonhole recall below nChunks is total") {
+    import spark.implicits._
+    // 60-bit signatures with planted near-pairs: base values plus
+    // low-popcount perturbations so hamming spans 0..~12
+    val sigGen = Gen.listOfN(24, for {
+      base <- Gen.chooseNum(0L, (1L << 60) - 1)
+      flips <- Gen.chooseNum(0, 12)
+      bits <- Gen.listOfN(flips, Gen.chooseNum(0, 59))
+    } yield bits.foldLeft(base)((s, b) => s ^ (1L << b)))
+    forAll(sigGen) { sigs =>
+      val rows = sigs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("doc_id", "ahash")
+      val got = ops.Dedup.bandedHammingPairs(df, "ahash", 4, 15, 8)
+        .select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      def band(s: Long, c: Int): Long = (s >> (15 * c)) & 0x7FFFL
+      def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      val truth = (for {
+        (sa, a) <- rows.map(_.swap)
+        (sb, b) <- rows.map(_.swap)
+        if a < b
+        if ham(sa, sb) <= 8
+        if (0 until 4).exists(c => band(sa, c) == band(sb, c))
+      } yield (a, b)).toSet
+      assert(got === truth)
+      // pigeonhole: <= 3 flipped bits cannot straddle all 4 bands, so
+      // every such pair MUST be found — the lossless-recall floor
+      val close = (for {
+        (sa, a) <- rows.map(_.swap)
+        (sb, b) <- rows.map(_.swap)
+        if a < b && ham(sa, sb) <= 3
+      } yield (a, b)).toSet
+      assert(close.subsetOf(got),
+        s"missed guaranteed pairs: ${(close -- got).take(5)}")
+    }
+  }
 }
