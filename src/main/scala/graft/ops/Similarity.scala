@@ -1189,26 +1189,25 @@ object Similarity {
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("ld")).as("est_dot_e12"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("est_dot_e12"))
   }
 
-  /** O-112's refinement audited panel-wide: each probe's ADC top-c
-    * CANDIDATES (one run of [[panelAdc]] with k = c) re-ranked by
-    * exact dot over their full vectors. The candidate table is P x c
-    * rows by construction, so it broadcasts against the raw-vector
-    * scan (the q99 shape, shared across the panel); the re-rank
-    * window runs over P x c rows — driver-scale. */
-  private def panelAdcRerank(s: SparkSession, store: String,
-      emb: DataFrame, panel: Seq[Long], nprobe: Int, c: Int, k: Int,
-      m: Int): DataFrame = {
-    val cand = panelAdc(s, store, emb, panel, nprobe, c, m)
+  /** O-112's refinement audited panel-wide: a probe's ADC top-c
+    * CANDIDATE table ((probe_id, vec_id) rows — P x c by construction)
+    * re-ranked by exact dot over the candidates' full vectors. The
+    * candidates broadcast against the raw-vector scan (the q99 shape,
+    * shared across the panel); the re-rank window runs over P x c
+    * rows — driver-scale. */
+  private def panelAdcRerank(emb: DataFrame, panel: Seq[Long],
+      cand: DataFrame, k: Int): DataFrame = {
     val probes = broadcast(emb.filter(col("vec_id").isin(panel: _*))
       .select(col("vec_id").as("probe_id"),
         quantize(col("embedding")).as("qv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dot_e12").desc, col("vec_id"))
     emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(cand.select(col("probe_id"), col("vec_id"))),
+        Seq("vec_id"))
       .join(probes, Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         LongArrayDot(col("qe"), col("qv")).as("dot_e12"))
@@ -1228,15 +1227,24 @@ object Similarity {
     val exact = Dedup.materializeBounded(
       panelExact(emb, ProbePanel, 10)) // P x k rows, probed per method
     val panelDf = ProbePanel.toDF("probe_id")
+    // ONE pruned code scan serves BOTH adc tiers: the ADC top-10 is a
+    // rank-prefix of the top-40 candidate cut (same (est DESC, vec_id)
+    // total order), so the audit materializes the P x 40 table once
+    // and re-ranks it two ways instead of scanning the cells twice
+    val cand40 = Dedup.materializeBounded(panelAdc(s, store, emb,
+      ProbePanel, nprobe = 4, k = 40, m = 8))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("est_dot_e12").desc, col("vec_id"))
     val sides = Seq(
-      ("ivfpq_adc", panelAdc(s, store, emb, ProbePanel,
-        nprobe = 4, k = 10, m = 8)),
+      ("ivfpq_adc", cand40
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("vec_id"))),
       // the re-rank tier (q99) audited beside the raw ADC: the gap
       // between the two rows is exactly the recall PQ quantization
       // costs, and the gap to 10 is what the coarse cells cost —
       // the panel now localizes WHICH approximation drifted
-      ("ivfpq_adc_rr", panelAdcRerank(s, store, emb, ProbePanel,
-        nprobe = 4, c = 40, k = 10, m = 8)),
+      ("ivfpq_adc_rr", panelAdcRerank(emb, ProbePanel, cand40, 10)),
       ("sign_lsh", panelLsh(emb, ProbePanel, 10)))
     val wm = Window.partitionBy(col("method"))
     sides.map { case (meth, approx) =>

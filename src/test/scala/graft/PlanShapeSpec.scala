@@ -109,10 +109,21 @@ class PlanShapeSpec extends SparkSpec {
     // the whole 8-probe panel shares ONE partition-pruned read of the
     // union of probed cells (cell_id is the store's partition column),
     // and the per-(probe, m, code) lookup table joins as a broadcast —
-    // the corpus-sized side never shuffles for the LUT
+    // the corpus-sized side never shuffles for the LUT. Since the
+    // candidate table is materialized once for both adc tiers (the
+    // rank-prefix share), the pruned scan lives in the CANDIDATE
+    // plan, not the final declared tree — assert it there.
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
+    graft.ops.Similarity.ivfPqWrite(spark, sf, store)
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val cand = graft.ops.Similarity.panelAdc(spark, store, emb,
+      graft.ops.Similarity.ProbePanel, nprobe = 4, k = 40, m = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(cand.contains("PartitionFilters: [cell_id"), cand)
+    assert(cand.contains("BroadcastHashJoin"), cand)
+    assert(!cand.contains("CartesianProduct"), cand)
     val plan = formatted("q84_ann_recall")
-    assert(plan.contains("PartitionFilters: [cell_id"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
