@@ -355,29 +355,15 @@ object Multimodal {
     }
   }
 
-  /** q45c: image near-dup over REAL encoded rasters — generate (the
-    * q45b posture: bytes are born on the executors, never the driver)
-    * 96 PNGs in 32 groups of 3, each group one 6x10 block pattern with
-    * its members brightness-shifted by delta = doc_id % 3. The shift
-    * makes every byte stream and every sha256 UNIQUE — the exact-dedup
-    * family (q35/q46) finds nothing — while aHash is shift-invariant
-    * by construction (the cross-multiplied mean rule cancels a uniform
-    * +delta exactly, integer division included), so each group's three
-    * variants collide at hamming 0.
-    *
-    * Pair plan = the near-dup family's banded hamming join, SHARED
-    * with q36c ([[graft.ops.Dedup.bandedHammingPairs]] — one pair-rule
-    * definition, two signature families): 4 bands x 15 bits, popcount
-    * verified inside the shuffle-hash self-join, <= 8. Scale: decode +
-    * hash are mapPartitions over opaque bytes (no shuffle before the
-    * band join), the band join's key space is 2^15 per band, and at a
-    * real image lake the signature table is 8 bytes/image — the q36c
-    * argument verbatim.
-    *
-    * Oracle: PNG is lossless, the blocks are grid-aligned constants,
-    * and every step is integer, so DuckDB derives each group's hash
-    * CLOSED-FORM from the generation formula (the brightness delta
-    * cancels: bit = 60*v0 >= sum(v0)) and replays the banding. */
+  /** The aHash banding family constants, stated ONCE: the persistent
+    * band store (q45d), the in-query pair join (q45c), the merge
+    * verify, and the DuckDB oracles all derive from these three —
+    * changing one here moves every consumer together (the q97 lesson:
+    * an audit over a drifting copy of the rule audits nothing). */
+  private[graft] val AhashBands = 4
+  private[graft] val AhashBandBits = 15
+  private[graft] val AhashMaxHamming = 8
+
   /** The q45c/q45d image fixture: 96 PNGs in 32 groups of 3, one block
     * pattern per group, members brightness-shifted by doc_id % 3 (the
     * q45b posture: bytes are born on the executors). */
@@ -411,22 +397,46 @@ object Multimodal {
   }
 
   /** (doc_id, ahash) signatures of a media table: decode + hash in ONE
-    * mapPartitions pass over the opaque bytes; undecodable or
+    * mapPartitions pass over the opaque bytes, with NO shuffle — the
+    * encoded pixels are the heaviest column in the table and never
+    * cross the network (decode parallelism is the scan's: a real image
+    * lake is many files, the docTokens argument). Undecodable or
     * grid-degenerate payloads drop (they can perceptually match
     * nothing). */
   def imageSignatures(recs: org.apache.spark.sql.Dataset[MediaRecord])
       : DataFrame = {
     val s = recs.sparkSession
     import s.implicits._
-    recs.repartition(col("doc_id"))
-      .mapPartitions(rs => rs.flatMap(r =>
+    recs.mapPartitions(rs => rs.flatMap(r =>
         imageAHash(r.payload).map(h => (r.doc_id, h))))
       .toDF("doc_id", "ahash")
   }
 
+  /** q45c: image near-dup over REAL encoded rasters — generate (the
+    * q45b posture: bytes are born on the executors, never the driver)
+    * the 96-PNG fixture above. The brightness shift makes every byte
+    * stream and every sha256 UNIQUE — the exact-dedup family (q35/q46)
+    * finds nothing — while aHash is shift-invariant by construction
+    * (the cross-multiplied mean rule cancels a uniform +delta exactly,
+    * integer division included), so each group's three variants
+    * collide at hamming 0.
+    *
+    * Pair plan = the near-dup family's banded hamming join, SHARED
+    * with q36c ([[graft.ops.Dedup.bandedHammingPairs]] — one pair-rule
+    * definition, two signature families): AhashBands x AhashBandBits,
+    * popcount verified inside the shuffle-hash self-join. Scale:
+    * decode + hash are one shuffle-free mapPartitions pass, the band
+    * join's key space is 2^15 per band, and at a real image lake the
+    * signature table is 8 bytes/image — the q36c argument verbatim.
+    *
+    * Oracle: PNG is lossless, the blocks are grid-aligned constants,
+    * and every step is integer, so DuckDB derives each group's hash
+    * CLOSED-FORM from the generation formula (the brightness delta
+    * cancels: bit = 60*v0 >= sum(v0)) and replays the banding. */
   def q45cImageAhashDedup(s: SparkSession, d: String): DataFrame =
     graft.ops.Dedup.bandedHammingPairs(
-      imageSignatures(syntheticImages(s)), "ahash", 4, 15, 8)
+      imageSignatures(syntheticImages(s)), "ahash",
+      AhashBands, AhashBandBits, AhashMaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
   // O-114: incremental image-dedup admission — O-94's standing-index
@@ -439,16 +449,14 @@ object Multimodal {
   // one self-join, no fixpoint). This closes the SCALE.md claim that
   // an image's dedup probe is a handful of pruned band lookups: the
   // store below IS that layout.
-  /** Band rows of an (doc_id, ahash) signature table: 4 x 15-bit
-    * chunks, the [[graft.ops.Dedup.bandedHammingPairs]] banding as
+  /** Band rows of an (doc_id, ahash) signature table: the SAME chunk
+    * explosion the pair join uses ([[graft.ops.Dedup.bandChunkRows]] —
+    * the stored layout and the pair rule share one definition), as
     * persistent rows (~36 B/image at any corpus size). */
   private def ahashBandRows(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("ahash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("band"),
-        shiftright(col("ahash"), 15 * c).bitwiseAND(lit(0x7FFFL))
-          .as("ckey"))): _*)).as("cc"))
-      .select(col("doc_id"), col("ahash"), col("cc.band").as("band"),
-        col("cc.ckey").as("ckey"))
+    graft.ops.Dedup.bandChunkRows(sigs, "ahash", AhashBands,
+      AhashBandBits)
+      .withColumnRenamed("chunk", "band")
 
   /** Write/append the image admission index: band rows partitioned by
     * kb = xxhash64(band, ckey) mod 64 (the q85 layout — band folded
@@ -480,7 +488,7 @@ object Multimodal {
           pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
     val keys = batchBands.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
-    val near = expr("bit_count(x.ahash ^ y.ahash)") <= 8
+    val near = expr("bit_count(x.ahash ^ y.ahash)") <= AhashMaxHamming
     val crossHit =
       if (keys.isEmpty) batchSigs.select(col("doc_id")).limit(0)
       else s.read.parquet(store)
@@ -497,10 +505,14 @@ object Multimodal {
           col("x.doc_id") < col("y.doc_id"))
       .filter(near)
       .select(col("y.doc_id").as("doc_id")).distinct()
-    batchSigs
+    // anti-join FROM the materialized band table (one row per doc at
+    // band 0), not from batchSigs: the raw signature plan re-run here
+    // would decode + hash every batch image a second time (s19 feeds
+    // an unmaterialized decode pipeline straight in)
+    batchBands.filter(col("band") === 0)
+      .select(col("doc_id"), col("ahash"))
       .join(crossHit.unionByName(intraHit).distinct(),
         Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("ahash"))
       .orderBy(col("doc_id"))
   }
 
@@ -654,13 +666,13 @@ object Multimodal {
       s"""WITH $ahashSigsSql,
         |chunks AS (
         |  SELECT doc_id, ahash, tc.c,
-        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
-        |  FROM sigs, generate_series(0, 3) tc(c))
+        |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c))
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS hamming
         |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
         |WHERE x.doc_id < y.doc_id
-        |  AND bit_count(xor(x.ahash, y.ahash)) <= 8
+        |  AND bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q45d: the admission rule replayed over the same closed-form
     // hashes — corpus bands (doc_id < 50) and batch bands collide,
@@ -670,23 +682,23 @@ object Multimodal {
       s"""WITH $ahashSigsSql,
         |bandC AS (
         |  SELECT doc_id, ahash, tc.c,
-        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
-        |  FROM sigs, generate_series(0, 3) tc(c)
+        |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)
         |  WHERE doc_id < 50),
         |bandB AS (
         |  SELECT doc_id, ahash, tc.c,
-        |    (ahash >> (15 * tc.c)) & 32767 AS ckey
-        |  FROM sigs, generate_series(0, 3) tc(c)
+        |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)
         |  WHERE doc_id >= 50),
         |hit AS (
         |  SELECT DISTINCT x.doc_id
         |  FROM bandB x JOIN bandC y ON x.c = y.c AND x.ckey = y.ckey
-        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 8
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
         |  UNION
         |  SELECT DISTINCT y.doc_id
         |  FROM bandB x JOIN bandB y
         |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 8)
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming)
         |SELECT doc_id, ahash FROM sigs
         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY doc_id""".stripMargin,

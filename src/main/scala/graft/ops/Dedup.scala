@@ -1536,13 +1536,7 @@ object Dedup {
     * both engines handle without signed-overflow care). */
   private[graft] def bandedHammingPairs(sigs: DataFrame, sigCol: String,
       nChunks: Int, bits: Int, maxHamming: Int): DataFrame = {
-    val mask = (1L << bits) - 1
-    val chunks = sigs.select(col("doc_id"), col(sigCol),
-      explode(array((0 until nChunks).map(c => struct(lit(c).as("chunk"),
-        shiftright(col(sigCol), bits * c).bitwiseAND(lit(mask))
-          .as("ckey"))): _*)).as("cc"))
-      .select(col("doc_id"), col(sigCol), col("cc.chunk").as("chunk"),
-        col("cc.ckey").as("ckey"))
+    val chunks = bandChunkRows(sigs, sigCol, nChunks, bits)
     chunks.as("x").hint("shuffle_hash")
       .join(chunks.as("y").hint("shuffle_hash"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey"))
@@ -1551,6 +1545,22 @@ object Dedup {
         expr(s"bit_count(x.$sigCol ^ y.$sigCol)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One row per (doc_id, sig, chunk, ckey): the signature's nChunks
+    * bits-wide band keys, exploded row-locally. Shared by the in-query
+    * pair join above and the image family's PERSISTENT band store
+    * (q45d writes exactly these rows), so the stored layout and the
+    * pair rule cannot drift apart. */
+  private[graft] def bandChunkRows(sigs: DataFrame, sigCol: String,
+      nChunks: Int, bits: Int): DataFrame = {
+    val mask = (1L << bits) - 1
+    sigs.select(col("doc_id"), col(sigCol),
+      explode(array((0 until nChunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col(sigCol), bits * c).bitwiseAND(lit(mask))
+          .as("ckey"))): _*)).as("cc"))
+      .select(col("doc_id"), col(sigCol), col("cc.chunk").as("chunk"),
+        col("cc.ckey").as("ckey"))
   }
 
   def q36cSimhash(s: SparkSession, d: String): DataFrame =

@@ -940,9 +940,11 @@ object Similarity {
     * exchange anywhere (the q65b posture, pinned in PlanShapeSpec).
     * The composable alternative (broadcast join + per-vector window +
     * majority groupBy) pays two corpus-sized shuffles for the same
-    * answer. Seeds with malformed vectors are dropped from the panel
-    * on BOTH sides (the oracle states len(qe)=dim); labels validated
-    * non-negative ints by the packed-long contract. */
+    * answer. Seeds that cannot vote — NULL/wrong-length/NULL-element
+    * vectors, NULL or negative labels (labels are ids; negative is
+    * out of the packed-long domain) — are dropped from the panel on
+    * BOTH sides (the oracle states len(qe)=dim AND label >= 0, where
+    * a NULL label fails the comparison). */
   def knnLabelPropagation(emb: DataFrame, nSeeds: Int = 32, k: Int = 5,
       dim: Int = 64): DataFrame = {
     val quantized = emb.filter(col("vec_id").isNotNull)
@@ -950,8 +952,15 @@ object Similarity {
         quantize(col("embedding")).as("qe"))
     val seeds = quantized.filter(col("vec_id") < nSeeds)
       .collect() // bounded by the labeling budget, never the corpus
-      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Long](2)))
-      .filter(_._3.length == dim)
+      .flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2) || r.getInt(1) < 0) None
+        else {
+          val raw = r.getSeq[Any](2)
+          if (raw.length != dim || raw.exists(_ == null)) None
+          else Some((r.getLong(0), r.getInt(1).toLong,
+            raw.map(_.asInstanceOf[Long])))
+        }
+      }
       .sortBy(_._1).toIndexedSeq
     require(seeds.nonEmpty, s"no well-formed seed vectors below $nSeeds")
     quantized.filter(col("vec_id") >= nSeeds)
@@ -1844,7 +1853,7 @@ object Similarity {
          |  WHERE vec_id IS NOT NULL),
          |seeds AS (
          |  SELECT vec_id AS sid, label AS slabel, qe AS sqe FROM q
-         |  WHERE vec_id < 32 AND len(qe) = 64),
+         |  WHERE vec_id < 32 AND len(qe) = 64 AND label >= 0),
          |dots AS (
          |  SELECT q.vec_id, q.label, s.sid, s.slabel,
          |    ${qdotSql("q.qe", "s.sqe")} AS d

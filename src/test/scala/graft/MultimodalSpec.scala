@@ -179,22 +179,10 @@ class MultimodalSpec extends SparkSpec {
     "replayed batch admits nothing") {
     import spark.implicits._
     val store = graft.util.Ephemeral.dir("ahash_lifecycle")
+    // the REAL q45c/q45d fixture (private[graft]), so this lifecycle
+    // assertion cannot drift from what the declared queries run
     val sigs = Multimodal.imageSignatures(
-      spark.range(0, 96).map { i =>
-        // the q45c fixture regenerated (private there): 32 groups of 3
-        val g = (i / 3).toInt
-        val delta = (i % 3).toInt
-        val img = new java.awt.image.BufferedImage(60, 60,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until 60; x <- 0 until 60) {
-          val v =
-            ((g + 1) * (97 * (x / 10) + 211 * (y / 6) + 131)) % 199 + delta
-          img.setRGB(x, y, v << 16 | v << 8 | v)
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Multimodal.MediaRecord(i, "image", bos.toByteArray, "g")
-      }).cache()
+      Multimodal.syntheticImages(spark)).cache()
     val batch = sigs.filter(col("doc_id") >= 50)
     Multimodal.ahashIndexWrite(sigs.filter(col("doc_id") < 50), store)
     val admitted = Multimodal.ahashMerge(spark, store, batch)
