@@ -420,6 +420,68 @@ object TextAnalysis {
   def q72CorpusFreqScore(s: SparkSession, d: String): DataFrame =
     corpusFreqScore(documents(s, d))
 
+  // O-116: DSIR-style target-affinity scoring (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"):
+  // given a small TARGET domain (an eval suite, a curated high-quality
+  // slice), rank every background document by how much its vocabulary
+  // mass sits in the target's unigram model vs the background model —
+  // the data-SELECTION move that turns a generic crawl into a
+  // domain-matched training set (q72 scores "typicality" against ONE
+  // corpus-wide model; this scores domain MATCH between two).
+  /** Per-doc target-vs-background affinity over any (doc_id, source,
+    * text) table: for each non-target doc, n_tok, its summed
+    * target-model counts (t_mass), summed background-model counts
+    * (b_mass), and affinity = ((t_mass+1) * b_total) / ((b_mass+1) *
+    * t_total) — the size-normalized count-mass ratio (add-one
+    * smoothed; > 1 means the doc's vocabulary is relatively more
+    * target-like). Exact integer masses; affinity is two exact
+    * products and one division in double (the q72 convention —
+    * deterministic IEEE, same op order in the oracle).
+    *
+    * Scale shape: ONE token pass builds both models simultaneously
+    * (groupBy(token) with conditional counts — dictionary-sized, the
+    * q58/q72 broadcast asymmetry), MATERIALIZED once so the totals
+    * aggregate and the broadcast join share it instead of each
+    * re-running the token pass (the q85/q87 materialize-once
+    * posture; unmaterialized, the totals subtree re-tokenized the
+    * corpus — a third full pass visible in the formatted plan); the
+    * scoring side is scan + broadcast model join + a per-doc
+    * partial-agg'd aggregate. The corpus shuffles per-doc partial
+    * sums, never positions. */
+  def targetAffinity(docs: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    val pos = docsParallel(docs)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+    val model = graft.ops.Dedup.materializeBounded(
+      pos.groupBy(col("tok")).agg(
+        count(when(col("source") === targetSource, lit(1))).as("ct"),
+        count(when(col("source") =!= targetSource, lit(1))).as("cb")))
+    val tot = model.agg(sum(col("ct")).as("t_total"),
+      sum(col("cb")).as("b_total"))
+    pos.filter(col("source") =!= targetSource)
+      .join(broadcast(model), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("ct")).as("t_mass"),
+        sum(col("cb")).as("b_mass"),
+        // first() is deterministic: the cross-joined scalars are the
+        // same on every row of the group (the q72 convention)
+        first(col("t_total")).as("t_total"),
+        first(col("b_total")).as("b_total"))
+      .withColumn("affinity",
+        round((col("t_mass") + 1).cast("double") * col("b_total") /
+          ((col("b_mass") + 1).cast("double") * col("t_total")), 6))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("t_mass"), col("b_mass"), col("affinity"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Fixture binding: src0 plays the target domain (the q65 convention).
+  def q100TargetAffinity(s: SparkSession, d: String): DataFrame =
+    targetAffinity(documents(s, d))
+
   // O-104: incremental TERM-FREQUENCY model store — the standing-index
   // idiom (q83 hashes / q85 bands / q88 cells) applied to the TEXT-
   // MODEL family. q72 retrains its unigram model from scratch on every
@@ -540,6 +602,7 @@ object TextAnalysis {
     "q62b_repetition_filter" -> (q62bRepetitionFilter _),
     "q69_pii_scrub" -> (q69PiiScrub _),
     "q72_corpus_freq_score" -> (q72CorpusFreqScore _),
+    "q100_target_affinity" -> (q100TargetAffinity _),
     "q92_tf_store_score" -> (q92TfStoreScore _),
     "q93_quality_calibration" -> (q93QualityCalibration _),
   )
@@ -595,6 +658,36 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q72_corpus_freq_score" -> corpusFreqSql,
     "q92_tf_store_score" -> corpusFreqSql,
+    // one token pass builds both models (conditional counts); masses
+    // are exact integers, affinity mirrors the Spark op order exactly:
+    // (double(t_mass+1) * b_total) / (double(b_mass+1) * t_total)
+    "q100_target_affinity" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, $toksSql AS w FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |pos AS (SELECT doc_id, source, t.tok
+         |  FROM tk, UNNEST(w) AS t(tok)),
+         |model AS (
+         |  SELECT tok,
+         |    CAST(count(CASE WHEN source = 'src0' THEN 1 END)
+         |      AS BIGINT) AS ct,
+         |    CAST(count(CASE WHEN source != 'src0' THEN 1 END)
+         |      AS BIGINT) AS cb
+         |  FROM pos GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total,
+         |  CAST(sum(cb) AS BIGINT) AS b_total FROM model),
+         |per AS (
+         |  SELECT doc_id, source, t_total, b_total,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(ct) AS BIGINT) AS t_mass,
+         |    CAST(sum(cb) AS BIGINT) AS b_mass
+         |  FROM pos JOIN model USING (tok) CROSS JOIN tot
+         |  WHERE source != 'src0'
+         |  GROUP BY doc_id, source, t_total, b_total)
+         |SELECT doc_id, source, n_tok, t_mass, b_mass,
+         |  round((CAST(t_mass + 1 AS DOUBLE) * b_total) /
+         |    (CAST(b_mass + 1 AS DOUBLE) * t_total), 6) AS affinity
+         |FROM per ORDER BY doc_id""".stripMargin,
     // modal token/bigram counts via the classic group-by formulation
     // (the oracle needn't mirror Spark's array expressions, only the
     // result); bigram construction matches the shingle oracle pattern

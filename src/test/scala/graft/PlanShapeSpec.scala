@@ -194,6 +194,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q100: affinity model broadcasts (materialized once); the " +
+    "declared tree pays one partial-agg'd shuffle (the per-doc fold)") {
+    val plan = formatted("q100_target_affinity")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the model (and the totals over it) live in the materialized
+    // subtree; the declared tree's only hash exchange is the per-doc
+    // aggregate
+    val shuffles = "hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles hash exchanges:\n$plan")
+  }
+
   test("q98: the kNN vote is row-local — no hash shuffle at all") {
     val plan = formatted("q98_knn_label_prop")
     // the seed panel rides as KnnMajorityLabel's reference arrays, so
