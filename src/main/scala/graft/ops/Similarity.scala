@@ -943,8 +943,9 @@ object Similarity {
     * answer. Seeds that cannot vote — NULL/wrong-length/NULL-element
     * vectors, NULL or negative labels (labels are ids; negative is
     * out of the packed-long domain) — are dropped from the panel on
-    * BOTH sides (the oracle states len(qe)=dim AND label >= 0, where
-    * a NULL label fails the comparison). */
+    * BOTH sides (the oracle states label >= 0 — a NULL label fails
+    * the comparison — and len(list_filter(qe, not-null)) = dim, which
+    * rejects NULL vectors, wrong lengths, AND null elements). */
   def knnLabelPropagation(emb: DataFrame, nSeeds: Int = 32, k: Int = 5,
       dim: Int = 64): DataFrame = {
     val quantized = emb.filter(col("vec_id").isNotNull)
@@ -1853,7 +1854,8 @@ object Similarity {
          |  WHERE vec_id IS NOT NULL),
          |seeds AS (
          |  SELECT vec_id AS sid, label AS slabel, qe AS sqe FROM q
-         |  WHERE vec_id < 32 AND len(qe) = 64 AND label >= 0),
+         |  WHERE vec_id < 32 AND label >= 0
+         |    AND len(list_filter(qe, e -> e IS NOT NULL)) = 64),
          |dots AS (
          |  SELECT q.vec_id, q.label, s.sid, s.slabel,
          |    ${qdotSql("q.qe", "s.sqe")} AS d

@@ -379,13 +379,16 @@ object TextAnalysis {
       pos.groupBy(col("tok")).agg(count(lit(1)).as("c")), rarePct)
   }
 
-  /** One row per (doc, token position) — the shared scan both the
-    * in-query train pass (q72) and the standing-model scorer (q92)
-    * feed from. */
-  private def tokenPositions(docs: DataFrame): DataFrame =
+  /** One row per (doc, token position) — the ONE token-scan rule the
+    * in-query train pass (q72), the standing-model scorer (q92), and
+    * the affinity scorer (q100, which carries `source`) all feed from
+    * (a drifting copy of the scan rule would silently diverge the
+    * models from the positions they score). */
+  private def tokenPositions(docs: DataFrame,
+      extra: Column*): DataFrame =
     docsParallel(docs)
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id") +: extra :+ explode(toks).as("tok"): _*)
 
   /** The SCORE pass against any (tok, c) unigram model. The join is
     * LEFT OUTER with c coalesced to 0 so a token the model has never
@@ -441,38 +444,42 @@ object TextAnalysis {
     * Scale shape: ONE token pass builds both models simultaneously
     * (groupBy(token) with conditional counts — dictionary-sized, the
     * q58/q72 broadcast asymmetry), MATERIALIZED once so the totals
-    * aggregate and the broadcast join share it instead of each
-    * re-running the token pass (the q85/q87 materialize-once
-    * posture; unmaterialized, the totals subtree re-tokenized the
-    * corpus — a third full pass visible in the formatted plan); the
-    * scoring side is scan + broadcast model join + a per-doc
-    * partial-agg'd aggregate. The corpus shuffles per-doc partial
-    * sums, never positions. */
+    * read and the broadcast join share it instead of each re-running
+    * the token pass (the q85/q87 materialize-once posture;
+    * unmaterialized, the totals subtree re-tokenized the corpus — a
+    * third full pass visible in the formatted plan); the totals
+    * themselves are one bounded 1-row collect, failing fast on a
+    * token-free target. The scoring side is scan + broadcast model
+    * join + a per-doc partial-agg'd aggregate — the corpus shuffles
+    * per-doc partial sums, never positions. */
   def targetAffinity(docs: DataFrame,
       targetSource: String = "src0"): DataFrame = {
-    val pos = docsParallel(docs)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+    val pos = tokenPositions(docs, col("source"))
     val model = graft.ops.Dedup.materializeBounded(
       pos.groupBy(col("tok")).agg(
         count(when(col("source") === targetSource, lit(1))).as("ct"),
         count(when(col("source") =!= targetSource, lit(1))).as("cb")))
-    val tot = model.agg(sum(col("ct")).as("t_total"),
-      sum(col("cb")).as("b_total"))
+    // totals: one bounded 1-row collect off the materialized model.
+    // Fail fast on a token-free target/background — a 0 denominator
+    // is the one place the engines' division semantics diverge
+    // (Spark double x/0 = Infinity, DuckDB = NULL), so it is OUT OF
+    // DOMAIN rather than silently engine-specific (the
+    // knnLabelPropagation seeds.nonEmpty convention).
+    val totRow = model.agg(
+      coalesce(sum(col("ct")), lit(0L)),
+      coalesce(sum(col("cb")), lit(0L))).head()
+    val (tTotal, bTotal) = (totRow.getLong(0), totRow.getLong(1))
+    require(tTotal > 0, s"target source '$targetSource' has no tokens")
+    require(bTotal > 0, "background corpus has no tokens")
     pos.filter(col("source") =!= targetSource)
       .join(broadcast(model), Seq("tok"))
-      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_tok"),
         sum(col("ct")).as("t_mass"),
-        sum(col("cb")).as("b_mass"),
-        // first() is deterministic: the cross-joined scalars are the
-        // same on every row of the group (the q72 convention)
-        first(col("t_total")).as("t_total"),
-        first(col("b_total")).as("b_total"))
+        sum(col("cb")).as("b_mass"))
       .withColumn("affinity",
-        round((col("t_mass") + 1).cast("double") * col("b_total") /
-          ((col("b_mass") + 1).cast("double") * col("t_total")), 6))
+        round((col("t_mass") + 1).cast("double") * lit(bTotal) /
+          ((col("b_mass") + 1).cast("double") * lit(tTotal)), 6))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("t_mass"), col("b_mass"), col("affinity"))
       .orderBy(col("doc_id"))

@@ -123,7 +123,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(cand.contains("PartitionFilters: [cell_id"), cand)
     assert(cand.contains("BroadcastHashJoin"), cand)
     assert(!cand.contains("CartesianProduct"), cand)
+    // the final declared tree keeps the rerank side's P x c
+    // candidate/probe joins BROADCAST against the corpus-sized vector
+    // scan (the hits/audit joins over P x k rows plan as sort-merge
+    // statically and are AQE-shrunk at runtime — bounded either way;
+    // the LSH side's bit_count probe is legitimately a broadcast
+    // nested loop)
     val plan = formatted("q84_ann_recall")
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
