@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One measured pass over named thunks: per-query wall seconds PLUS
+    * the error of any query whose execution threw. A crashed query
+    * must never record as a fast success — the q89/s15 sf0.1 incident
+    * (NOTES round-11): a zero-edge store crash was benched at 1.9 s
+    * and the composite looked BETTER; only the tri-scale Verify ritual
+    * caught it. Package-visible so BenchSpec can drive it with a
+    * deliberately broken registry. */
+  private[graft] def measureAll(queries: Seq[(String, () => Unit)])
+      : (Map[String, Double], Map[String, String]) = {
+    val times = Map.newBuilder[String, Double]
+    val errs = Map.newBuilder[String, String]
+    queries.foreach { case (name, body) =>
+      val t0 = System.nanoTime()
+      try body() catch {
+        case t: Throwable =>
+          errs += name -> (t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(160))
+      }
+      times += name -> (System.nanoTime() - t0) / 1e9
+    }
+    (times.result(), errs.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -87,13 +110,10 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[graft.Bench] $warmFailures warmup run(s) on " +
         s"$warmDir failed; first error: $firstWarmError")
-    def measuredPass(): Map[String, Double] =
+    val thunks: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map {
-        case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+        case (name, fn) => name -> (() => { fn(spark, sfDir).count(); () })
+      }
     // TWO measured passes, report the per-query MIN. Round-4 forensics:
     // the driver bench showed a CONTIGUOUS execution-order window
     // (q36f..q44b, plus q59) inflated 2.7-5.8x vs a clean same-code run
@@ -102,9 +122,19 @@ object Bench {
     // pass makes every such burst look like an operator regression; the
     // min of two passes separated by ~45s of wall time is robust to it
     // and IS the steady-state number a long-lived cluster job sees.
-    val pass1 = measuredPass()
-    val pass2 = measuredPass()
+    val (pass1, errs1) = measureAll(thunks)
+    val (pass2, errs2) = measureAll(thunks)
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // LOUD failure accounting (VERDICT r11 "What's wrong #1"): a query
+    // that threw in EITHER measured pass has a meaningless timing, so
+    // its name and error surface in-band — "errors":N rides BOTH JSON
+    // lines (the total line is the one guaranteed inside the driver's
+    // 2000-byte tail window) and the full messages go to stderr. The
+    // masked-crash shape — crash recorded as a fast success — is now
+    // unrepresentable.
+    val failed = (errs2 ++ errs1).toSeq.sortBy(_._1)
+    failed.foreach { case (n, e) =>
+      System.err.println(s"[graft.Bench] query $n FAILED: $e") }
     // Millisecond precision keeps the whole line under ~2.5 KB: the driver
     // captures only the tail of the run output, and round 1's full-precision
     // doubles pushed the line past that window (BENCH_r01.json parsed:null).
@@ -134,8 +164,11 @@ object Bench {
     // itself — rounds 1-4 totals were single-pass wall times, and a
     // consumer comparing across rounds should see the change in-band,
     // not only in NOTES.
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":2,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(f => "\"" + f._1 + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size}$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -315,7 +315,9 @@ object Multimodal {
     * y*10/h), bit k = by*6+bx set iff blockSum * totalPixels >=
     * totalSum * blockPixels (the cross-multiplied mean compare — no
     * division, exact at any block shape; |products| <= 255 * (w*h)^2,
-    * safe in a long through ~8k x 8k rasters). None for undecodable
+    * long-safe while w*h <= [[MaxAhashPixels]], ENFORCED below — an
+    * oversized raster returns None like an undecodable one, rather
+    * than a silently corrupted hash, ADVICE r11). None for undecodable
     * payloads or rasters too small to fill the grid. */
   def imageAHash(payload: Array[Byte]): Option[Long] = {
     imageioNoCache
@@ -323,7 +325,8 @@ object Multimodal {
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
-    if (img == null || img.getWidth < 6 || img.getHeight < 10) None
+    if (img == null || img.getWidth < 6 || img.getHeight < 10 ||
+        img.getWidth.toLong * img.getHeight > MaxAhashPixels) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
       val sums = new Array[Long](60)
@@ -354,6 +357,14 @@ object Multimodal {
       Some(hash)
     }
   }
+
+  /** Overflow-safe pixel bound for the cross-multiplied mean compare:
+    * both products are <= 255 * n^2 (sums(k) <= 255n, total <= 255n,
+    * counts(k) <= n), and 255 * (1.9e8)^2 = 9.206e18 < Long.MaxValue
+    * (9.223e18) — so any raster up to ~190 M pixels (~13.7k x 13.7k)
+    * hashes exactly, and anything larger degrades DETECTABLY to None
+    * (ADVICE r11: the bound was documented but unenforced). */
+  private[graft] val MaxAhashPixels: Long = 190000000L
 
   /** The aHash banding family constants, stated ONCE: the persistent
     * band store (q45d), the in-query pair join (q45c), the merge
