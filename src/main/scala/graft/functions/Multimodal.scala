@@ -445,10 +445,67 @@ object Multimodal {
     * CLOSED-FORM from the generation formula (the brightness delta
     * cancels: bit = 60*v0 >= sum(v0)) and replays the banding. */
   def q45cImageAhashDedup(s: SparkSession, d: String): DataFrame =
+    imageAhashPairs(s).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The aHash pair set over the attachment fixture — ONE definition
+    * shared by q45c (the pair listing), q45e (cluster resolution) and
+    * q61c (the multi-signal union): [[graft.ops.Dedup.bandedHammingPairs]]
+    * over the 96 synthetic PNG signatures. */
+  private[graft] def imageAhashPairs(s: SparkSession): DataFrame =
     graft.ops.Dedup.bandedHammingPairs(
       imageSignatures(syntheticImages(s)), "ahash",
       AhashBands, AhashBandBits, AhashMaxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+
+  // O-117: image cluster resolution + canonical image corpus — the
+  // missing half of the multimodal dedup deliverable (VERDICT r11 #1):
+  // q45c/q45d/s19 produce PAIRS and admission decisions; a curation run
+  // also needs "which images form one duplicate group, and which single
+  // representative survives" — exactly the q61/q61b deliverable for
+  // text. Pairs flow into the SAME star-contraction CC
+  // ([[graft.ops.Dedup.connectedComponents]]), and the disposition
+  // table covers the WHOLE image corpus: clustered images carry their
+  // component (min-id canonical, the q61 rule), unclustered images are
+  // their own singleton cluster — so `WHERE is_canonical` IS the
+  // canonical image corpus, one row per surviving image.
+  /** Full-corpus image cluster disposition over any (doc_id, ahash)
+    * signature table: (doc_id, cluster_id, cluster_size, is_canonical)
+    * for EVERY signed image.
+    *
+    * Scale shape: the pair join is the banded family (2^15 keys/band,
+    * never corpus-quadratic); CC's every shuffle is bounded by the
+    * pair graph; the clustered id set is pair-graph-bounded and
+    * BROADCASTs against the signature table for the singleton
+    * complement — the full-corpus side pays one scan of 8-byte
+    * signatures, no self-join, no shuffle before the presentation
+    * sort. Callers pass a MATERIALIZED signature table (it feeds both
+    * the pair join and the complement; unmaterialized, decode would
+    * run twice — the q45d/s19 lesson). */
+  def imageClusters(sigs: DataFrame): DataFrame = {
+    val cc = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.bandedHammingPairs(sigs, "ahash",
+        AhashBands, AhashBandBits, AhashMaxHamming)
+        .select(col("doc_a"), col("doc_b")))
+    val singles = sigs
+      .join(broadcast(cc.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
+    cc.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+      .unionByName(singles)
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Declared O-117 binding over the shared 96-PNG fixture: 32 groups
+    * of 3 brightness-shifted variants → 32 clusters of 3, min-id
+    * canonical, no singletons (every group has hamming-0 members; the
+    * singleton complement path is lifecycle-tested in MultimodalSpec
+    * with a planted unique signature). Oracle: the q45c closed-form
+    * hash + banding replay feeding DuckDB's recursive-CTE CC (the q61
+    * reach/comp formulation) plus the singleton complement. */
+  def q45eImageClusters(s: SparkSession, d: String): DataFrame =
+    imageClusters(graft.ops.Dedup.materializeBounded(
+      imageSignatures(syntheticImages(s))))
 
   // O-114: incremental image-dedup admission — O-94's standing-index
   // idiom applied to the aHash family (the FIFTH admission family:
@@ -560,14 +617,15 @@ object Multimodal {
     "q45b_real_media_decode" -> (q45bRealMediaDecode _),
     "q45c_image_ahash_dedup" -> (q45cImageAhashDedup _),
     "q45d_image_merge" -> (q45dImageMerge _),
+    "q45e_image_clusters" -> (q45eImageClusters _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
-  /** The q45c/q45d closed-form hash CTE stack (shared: the generation
-    * formula is the oracle's input, because PNG is lossless and every
-    * aHash step is integer — see q45c's oracle comment). Ends with
-    * `sigs(doc_id, ahash)`. */
-  private val ahashSigsSql: String =
+  /** The q45c/q45d/q45e closed-form hash CTE stack (shared: the
+    * generation formula is the oracle's input, because PNG is lossless
+    * and every aHash step is integer — see q45c's oracle comment).
+    * Ends with `sigs(doc_id, ahash)`. */
+  private[graft] val ahashSigsSql: String =
     """imgs AS (
       |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
       |  FROM generate_series(0, 95) t(i)),
@@ -586,6 +644,23 @@ object Multimodal {
       |    AS ahash
       |  FROM cells JOIN tot USING (g) GROUP BY cells.g),
       |sigs AS (SELECT doc_id, ahash FROM imgs JOIN hashes USING (g))"""
+      .stripMargin
+
+  /** The banded pair rule replayed over `sigs`, as a self-contained
+    * parenthesized subquery yielding (doc_a, doc_b) — shared by the
+    * q61c oracle (the image family's edge contribution to the
+    * multi-signal union; q45c/q45e keep their own top-level CTE stacks
+    * because they also project hamming / the full signature list). */
+  private[graft] val ahashPairsSql: String =
+    s"""(WITH $ahashSigsSql,
+       |chunksI AS (
+       |  SELECT doc_id, ahash, tc.c,
+       |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+       |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM chunksI x JOIN chunksI y ON x.c = y.c AND x.ckey = y.ckey
+       |WHERE x.doc_id < y.doc_id
+       |  AND bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming)"""
       .stripMargin
 
   /** 32-bit Java-int wrap of a BIGINT expression, floor-mod style.
@@ -713,5 +788,42 @@ object Multimodal {
         |SELECT doc_id, ahash FROM sigs
         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY doc_id""".stripMargin,
+    // q45e: the same closed-form hash + banding replay feeding the
+    // q61 recursive-CTE CC (reach/comp), plus the singleton complement
+    // — every signed image gets a disposition row
+    "q45e_image_clusters" ->
+      s"""WITH RECURSIVE $ahashSigsSql,
+         |chunks AS (
+         |  SELECT doc_id, ahash, tc.c,
+         |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+         |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)),
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |clustered AS (
+         |  SELECT id AS doc_id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS cluster_size,
+         |    id = cluster_id AS is_canonical
+         |  FROM comp)
+         |SELECT doc_id, cluster_id, cluster_size, is_canonical
+         |FROM (
+         |  SELECT * FROM clustered
+         |  UNION ALL
+         |  SELECT doc_id, doc_id AS cluster_id, CAST(1 AS BIGINT)
+         |      AS cluster_size, TRUE AS is_canonical
+         |  FROM sigs WHERE doc_id NOT IN (SELECT doc_id FROM clustered))
+         |ORDER BY cluster_id, doc_id""".stripMargin,
   )
 }

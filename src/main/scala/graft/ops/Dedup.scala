@@ -2256,11 +2256,14 @@ object Dedup {
   // O-93 (q61c): UNIFIED canonical clusters — a real curation pipeline
   // does not cluster one near-dup signal at a time: it unions every
   // pair family (textual shingle Jaccard, SimHash, embedding sign-LSH
-  // — the vec_id<->doc_id identification the fixture defines) into ONE
-  // edge set, resolves components over the union, and keeps per-family
+  // — the vec_id<->doc_id identification the fixture defines — and,
+  // round 12, the image aHash family under the analogous image-i-is-
+  // document-i's-attachment identification) into ONE edge set,
+  // resolves components over the union, and keeps per-family
   // provenance so a curation team can see WHICH signal welded each
   // cluster together (a cluster joined only by embedding edges is a
-  // paraphrase group; only by shingle edges, a literal copy group).
+  // paraphrase group; only by shingle edges, a literal copy group;
+  // n_img_ahash > 0 marks visual-duplicate participation).
   //
   // Scale shape: each family's pair generation is its own bounded plan
   // (q36's shingle join, q36c's banded SimHash, q36f's banded LSH —
@@ -2289,14 +2292,27 @@ object Dedup {
     } else df.localCheckpoint()
   }
 
-  def unifiedDedupClusters(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val famsPlan = nearDupPairs(docs)
+  /** @param imgPairs the image family's (doc_a, doc_b) perceptual
+    *   pair set (q45c's aHash banding), identified with document ids
+    *   the same way the embedding family identifies vec_id<->doc_id:
+    *   image i is document i's attachment — so an image edge can WELD
+    *   two text clusters (the same hero image on two page variants),
+    *   and a cluster's n_img_ahash > 0 tells the curation team the
+    *   visual signal participated. At a smaller corpus slice an
+    *   attachment id may have no document row — CC resolves it anyway
+    *   (an orphan image duplicate is still governance-relevant). */
+  def unifiedDedupClusters(docs: DataFrame, emb: DataFrame,
+      imgPairs: Option[DataFrame] = None): DataFrame = {
+    val textEmbPlan = nearDupPairs(docs)
       .select(col("doc_a"), col("doc_b"), lit("shingle").as("family"))
       .unionByName(simhashPairsUnordered(docs)
         .select(col("doc_a"), col("doc_b"), lit("simhash").as("family")))
       .unionByName(Similarity.embeddingNearDupLsh(emb)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
           lit("emb_lsh").as("family")))
+    val famsPlan = imgPairs.foldLeft(textEmbPlan)((acc, p) =>
+      acc.unionByName(p.select(col("doc_a"), col("doc_b"),
+        lit("img_ahash").as("family"))))
     // materialize the unioned edge set ONCE: it feeds both CC and the
     // provenance rollup, and without this every family's whole pair
     // pipeline runs twice (measured ~2x the query at sf0.1). Pair-graph
@@ -2316,11 +2332,13 @@ object Dedup {
         sum(when(col("family") === "simhash", 1L).otherwise(0L))
           .as("n_simhash"),
         sum(when(col("family") === "emb_lsh", 1L).otherwise(0L))
-          .as("n_emb_lsh"))
+          .as("n_emb_lsh"),
+        sum(when(col("family") === "img_ahash", 1L).otherwise(0L))
+          .as("n_img_ahash"))
     cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .join(famCounts, Seq("cluster_id"))
       .select(col("cluster_id"), col("cluster_size"), col("n_shingle"),
-        col("n_simhash"), col("n_emb_lsh"))
+        col("n_simhash"), col("n_emb_lsh"), col("n_img_ahash"))
       .orderBy(col("cluster_id"))
   }
 
@@ -2441,7 +2459,8 @@ object Dedup {
     curationFunnel(documents(s, d))
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
-    unifiedDedupClusters(documents(s, d), embeddings(s, d))
+    unifiedDedupClusters(documents(s, d), embeddings(s, d),
+      Some(graft.functions.Multimodal.imageAhashPairs(s)))
 
   // O-79: corpus-global boilerplate fraction — per-doc share of
   // shingles that are CORPUS-WIDE common (doc-frequency >= minDf).
@@ -2847,10 +2866,13 @@ object Dedup {
          |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
          |lshp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM
          |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})),
+         |imgp AS (SELECT doc_a, doc_b FROM
+         |  ${graft.functions.Multimodal.ahashPairsSql} t),
          |fams AS (
          |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
          |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
-         |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp),
+         |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp
+         |  UNION ALL SELECT doc_a, doc_b, 'img_ahash' FROM imgp),
          |uprs AS (SELECT DISTINCT doc_a, doc_b FROM fams),
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM uprs
@@ -2868,12 +2890,14 @@ object Dedup {
          |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_simhash,
          |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_emb_lsh
+         |      AS BIGINT) AS n_emb_lsh,
+         |    CAST(sum(CASE WHEN family = 'img_ahash' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_img_ahash
          |  FROM fams f JOIN comp c ON f.doc_a = c.id
          |  GROUP BY c.cluster_id)
          |SELECT cluster_id,
          |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
-         |  n_shingle, n_simhash, n_emb_lsh
+         |  n_shingle, n_simhash, n_emb_lsh, n_img_ahash
          |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
          |      GROUP BY cluster_id) cs
          |JOIN fc USING (cluster_id)

@@ -199,4 +199,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ahashMerge(spark, store, batch).count() === 0L)
     sigs.unpersist()
   }
+
+  test("imageClusters: full-corpus disposition — groups resolve to " +
+    "min-id components, unpaired signatures become singletons") {
+    import spark.implicits._
+    // two hamming-0 groups + one planted unique signature whose hash
+    // differs from both groups in every band (exercises the singleton
+    // complement path the 96-PNG fixture never hits)
+    val far = (1L << 60) - 1 // all-ones: far from both groups
+    // 0x3ff is 10 bits from 0 — the groups share bands 1..3 (candidate
+    // pairs DO form) but fail the popcount verify (10 > 8): the planted
+    // non-pair exercises verify-inside-the-join, not just banding
+    val sigs = Seq(
+      (10L, 0x3ffL), (11L, 0x3ffL), (12L, 0x3ffL),
+      (20L, 0L), (21L, 0L),
+      (99L, far)).toDF("doc_id", "ahash")
+    val out = Multimodal.imageClusters(sigs)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (10L, 10L, 3L, true), (11L, 10L, 3L, false), (12L, 10L, 3L, false),
+      (20L, 20L, 2L, true), (21L, 20L, 2L, false),
+      (99L, 99L, 1L, true)))
+  }
+
+  test("q45e: 32 clusters of 3, min-id canonical, every image covered") {
+    import spark.implicits._
+    val out = Multimodal.q45eImageClusters(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === 96)
+    assert(out.map(_._1).toSet === (0L until 96L).toSet)
+    out.foreach { case (id, cid, size, canon) =>
+      assert(cid === (id / 3) * 3) // group min
+      assert(size === 3L)
+      assert(canon === (id % 3 == 0))
+    }
+  }
 }

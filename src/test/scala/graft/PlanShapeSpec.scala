@@ -223,6 +223,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("knn_majority_label"), plan)
   }
 
+  test("q45e: singleton complement anti-joins as a broadcast over " +
+    "the signature side; no quadratic join anywhere") {
+    val plan = formatted("q45e_image_clusters")
+    // the clustered id set is pair-graph-bounded → broadcast LEFT ANTI;
+    // the signature side never shuffles for the complement
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q99: re-rank broadcasts the ADC candidate cut") {
     val plan = formatted("q99_adc_rerank")
     // the c-row candidate table broadcasts against the raw-vector
