@@ -19,7 +19,7 @@ object Sampling {
 
   /** Stable per-doc bucket in [0, 100): first 8 hex chars of
     * md5(doc_id) as an integer, mod 100. */
-  private def bucket(id: Column): Column =
+  private[graft] def bucket(id: Column): Column =
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 

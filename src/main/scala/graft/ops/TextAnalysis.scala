@@ -453,7 +453,14 @@ object TextAnalysis {
     * join + a per-doc partial-agg'd aggregate — the corpus shuffles
     * per-doc partial sums, never positions. */
   def targetAffinity(docs: DataFrame,
-      targetSource: String = "src0"): DataFrame = {
+      targetSource: String = "src0"): DataFrame =
+    targetAffinityScores(docs, targetSource).orderBy(col("doc_id"))
+
+  /** The unordered affinity core — shared by q100 (which presents it
+    * sorted by doc_id) and q101 (whose per-source ranking window would
+    * otherwise stack a redundant global sort under its exchange). */
+  private[graft] def targetAffinityScores(docs: DataFrame,
+      targetSource: String): DataFrame = {
     val pos = tokenPositions(docs, col("source"))
     val model = graft.ops.Dedup.materializeBounded(
       pos.groupBy(col("tok")).agg(
@@ -482,12 +489,84 @@ object TextAnalysis {
           ((col("b_mass") + 1).cast("double") * lit(tTotal)), 6))
       .select(col("doc_id"), col("source"), col("n_tok"),
         col("t_mass"), col("b_mass"), col("affinity"))
-      .orderBy(col("doc_id"))
   }
 
   // Fixture binding: src0 plays the target domain (the q65 convention).
   def q100TargetAffinity(s: SparkSession, d: String): DataFrame =
     targetAffinity(documents(s, d))
+
+  // O-117 companion / O-118 (q101): AFFINITY-RANKED SELECTION — the
+  // second half of the DSIR loop (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling"): q100 SCORES every
+  // background document's target affinity; this consumes the scores
+  // into the SELECTED sub-corpus a trainer actually reads — per
+  // source, documents are admitted in (affinity DESC, stable hash)
+  // order while the source's cumulative token count stays within its
+  // integer quota. The quota construction is q66b's verbatim
+  // (w_i*T DIV W, T = min_i(tok_i*W DIV w_i) — exact integers, no
+  // floats, no rand()); only the ADMISSION ORDER changes: q66b admits
+  // by hash alone (a uniform mixture), q101 admits the most
+  // target-like prefix first (a target-matched mixture). Output rows
+  // carry the admission evidence (affinity, cum_tok, tok_quota) and
+  // the doc_id set composes with q87's funnel.
+  //
+  // Scale shape: the affinity side is q100's (one token pass builds
+  // the model, materialized once, broadcast back; the corpus shuffles
+  // per-doc partial sums, never positions). The quotas need only
+  // per-source token TOTALS, which equal plain token counts (the
+  // model join preserves every token), so they come from a CHEAP
+  // separate one-pass aggregate collected at |sources| rows — the
+  // affinity plan is NOT run twice. The corpus then pays exactly one
+  // more shuffle: the per-source ranking window (the q66b frame,
+  // re-keyed by the score).
+  /** Generic target-matched token-budget selection over any
+    * (doc_id, source, text) table. */
+  def affinitySelect(docs: DataFrame, targetSource: String = "src0",
+      weights: Map[String, Int] = Map.empty,
+      defaultWeight: Int = 1): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) =>
+        when(col("source") === src, wt).otherwise(acc)
+    }
+    val aff = targetAffinityScores(docs, targetSource)
+      .withColumn("w", wExpr).filter(col("w") > 0)
+    // one row per source — bounded by |sources|, never the corpus
+    val countRows = docs
+      .filter(col("doc_id").isNotNull && col("source") =!= targetSource)
+      .select(col("source"),
+        Sampling.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("w", wExpr).filter(col("w") > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(coalesce(sum(col("n_tok")), lit(0L)).as("tok")).collect()
+    val wsum = countRows.map(_.getAs[Int]("w").toLong).sum
+    val t =
+      if (countRows.isEmpty) 0L
+      else countRows.map(r =>
+        r.getAs[Long]("tok") * wsum / r.getAs[Int]("w")).min
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val quota = countRows.toSeq
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("w") * t / wsum))
+      .toDF("source", "tok_quota")
+    val byAff = Window.partitionBy(col("source"))
+      .orderBy(col("affinity").desc, col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aff
+      .withColumn("bucket", Sampling.bucket(col("doc_id")))
+      .withColumn("cum_tok", sum(col("n_tok")).over(byAff))
+      .join(broadcast(quota), "source")
+      .filter(col("cum_tok") <= col("tok_quota"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("affinity"), col("cum_tok"), col("tok_quota"))
+      .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+  }
+
+  // Fixture binding: src0 is the target; src1 upweighted 2x against a
+  // unit baseline (exercising the weighted-quota path over the
+  // background sources).
+  def q101AffinitySelect(s: SparkSession, d: String): DataFrame =
+    affinitySelect(documents(s, d), weights = Map("src1" -> 2))
 
   // O-104: incremental TERM-FREQUENCY model store — the standing-index
   // idiom (q83 hashes / q85 bands / q88 cells) applied to the TEXT-
@@ -610,6 +689,7 @@ object TextAnalysis {
     "q69_pii_scrub" -> (q69PiiScrub _),
     "q72_corpus_freq_score" -> (q72CorpusFreqScore _),
     "q100_target_affinity" -> (q100TargetAffinity _),
+    "q101_affinity_select" -> (q101AffinitySelect _),
     "q92_tf_store_score" -> (q92TfStoreScore _),
     "q93_quality_calibration" -> (q93QualityCalibration _),
   )
@@ -695,6 +775,60 @@ object TextAnalysis {
          |  round((CAST(t_mass + 1 AS DOUBLE) * b_total) /
          |    (CAST(b_mass + 1 AS DOUBLE) * t_total), 6) AS affinity
          |FROM per ORDER BY doc_id""".stripMargin,
+    // q101: q100's affinity CTEs feeding q66b's integer quota
+    // construction, with the admission window re-keyed by
+    // (affinity DESC, bucket, doc_id) — both engines compute the
+    // rounded affinity with the identical op order, so the DESC
+    // ranking (and hence every cumulative sum) agrees exactly
+    "q101_affinity_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, $toksSql AS w FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |pos AS (SELECT doc_id, source, t.tok
+         |  FROM tk, UNNEST(w) AS t(tok)),
+         |model AS (
+         |  SELECT tok,
+         |    CAST(count(CASE WHEN source = 'src0' THEN 1 END)
+         |      AS BIGINT) AS ct,
+         |    CAST(count(CASE WHEN source != 'src0' THEN 1 END)
+         |      AS BIGINT) AS cb
+         |  FROM pos GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total,
+         |  CAST(sum(cb) AS BIGINT) AS b_total FROM model),
+         |per AS (
+         |  SELECT doc_id, source, t_total, b_total,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(ct) AS BIGINT) AS t_mass,
+         |    CAST(sum(cb) AS BIGINT) AS b_mass
+         |  FROM pos JOIN model USING (tok) CROSS JOIN tot
+         |  WHERE source != 'src0'
+         |  GROUP BY doc_id, source, t_total, b_total),
+         |aff AS (
+         |  SELECT doc_id, source, n_tok,
+         |    round((CAST(t_mass + 1 AS DOUBLE) * b_total) /
+         |      (CAST(b_mass + 1 AS DOUBLE) * t_total), 6) AS affinity,
+         |    ${Sampling.bucketSqlOf("doc_id")} AS bucket,
+         |    CASE WHEN source = 'src1' THEN 2 ELSE 1 END AS w
+         |  FROM per),
+         |counts AS (SELECT source, w, CAST(sum(n_tok) AS BIGINT) AS tok
+         |  FROM aff GROUP BY 1, 2),
+         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
+         |tv AS (SELECT CAST(min(tok * wsum // w) AS BIGINT) AS t
+         |  FROM counts, ws),
+         |ki AS (SELECT source, CAST(w * t // wsum AS BIGINT) AS tok_quota
+         |  FROM counts, tv, ws),
+         |c AS (
+         |  SELECT doc_id, source, n_tok, affinity,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY affinity DESC, bucket, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tok
+         |  FROM aff)
+         |SELECT c.doc_id, c.source, c.n_tok, c.affinity, c.cum_tok,
+         |  ki.tok_quota
+         |FROM c JOIN ki USING (source)
+         |WHERE c.cum_tok <= ki.tok_quota
+         |ORDER BY source, cum_tok, doc_id""".stripMargin,
     // modal token/bigram counts via the classic group-by formulation
     // (the oracle needn't mirror Spark's array expressions, only the
     // result); bigram construction matches the shingle oracle pattern

@@ -213,6 +213,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 1, s"$shuffles hash exchanges:\n$plan")
   }
 
+  test("q101: model and quota broadcast; the corpus pays the per-doc " +
+    "fold plus ONE ranking-window exchange") {
+    val plan = formatted("q101_affinity_select")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // q100's per-doc aggregate + the per-source admission window — the
+    // totals/quota subtrees collect driver-side, never in this tree
+    val shuffles = "hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles hash exchanges:\n$plan")
+  }
+
   test("q98: the kNN vote is row-local — no hash shuffle at all") {
     val plan = formatted("q98_knn_label_prop")
     // the seed panel rides as KnnMajorityLabel's reference arrays, so

@@ -450,4 +450,37 @@ class TierCSpec extends SparkSpec {
         .as("p")).as[Long].head()
     assert(all === ((2L << 32) | 5L))
   }
+
+  test("q101: selection is the top-affinity PREFIX per source, within " +
+    "the q66b integer quota, and never truncates a crossing doc") {
+    import spark.implicits._
+    val sel = ops.TextAnalysis.q101AffinitySelect(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("affinity"), col("cum_tok"), col("tok_quota"))
+      .as[(Long, String, Long, Double, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    // budget honored, exactly: running totals stay within the quota
+    sel.foreach { case (_, _, _, _, cum, q) => assert(cum <= q) }
+    // per source: selected set = greedy prefix of the full affinity
+    // ranking (affinity DESC, bucket, doc_id), recomputed independently
+    val full = ops.TextAnalysis.q100TargetAffinity(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("affinity"))
+      .as[(Long, String, Long, Double)].collect()
+    val quotaBySrc = sel.groupBy(_._2).map { case (s, rs) => s -> rs.head._6 }
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 100
+    }
+    sel.groupBy(_._2).foreach { case (src, rs) =>
+      val ranked = full.filter(_._2 == src)
+        .sortBy(r => (-r._4, bucketOf(r._1), r._1))
+      var cum = 0L
+      val expect = ranked.takeWhile { r =>
+        cum += r._3; cum <= quotaBySrc(src)
+      }.map(_._1).toSet
+      assert(rs.map(_._1).toSet === expect, s"source $src")
+    }
+  }
 }
