@@ -163,6 +163,15 @@ class TextOpsSpec extends SparkSpec {
     assert(model() === merged)
     TextAnalysis.tfStoreCompact(spark, store, maxFilesPerBucket = 0)
     assert(model() === merged)
+    // VERDICT r11 #3: compaction persisted the high-water mark, so a
+    // replay of an epoch whose tagged rows the fold ERASED is refused
+    // — without the hwm this re-append would double-count (DISTINCT
+    // has nothing left to reclaim against)
+    assert(TextAnalysis.tfStoreHwm(spark, store) === 1L)
+    TextAnalysis.tfStoreMerge(spark, store, batch, epoch = 1L)
+    assert(model() === merged)
+    TextAnalysis.tfStoreMerge(spark, store, base, epoch = 0L)
+    assert(model() === merged)
     // a NEW epoch after the fold still lands additively
     TextAnalysis.tfStoreMerge(spark, store,
       Seq((4L, "c d")).toDF("doc_id", "text"), epoch = 2L)
@@ -174,6 +183,9 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "n_tok", "n_rare").as[(Long, Long, Long)]
       .collect()
     assert(out === Array((9L, 2L, 1L))) // zz rare, a (3/10) not at 20%
+    // a fresh overwrite build resets the replay ledger with the rows
+    TextAnalysis.tfStoreWrite(base, store)
+    assert(TextAnalysis.tfStoreHwm(spark, store) === Long.MinValue)
   }
 
   test("pii scrub redacts emails and phones, leaves clean text alone") {
