@@ -1305,14 +1305,71 @@ object Dedup {
     * and with %10==4's text suffixed (CHANGED) — both snapshot views
     * are pure deterministic functions of the fixture, rebuilt
     * identically by the oracle. */
-  def q95SnapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  /** The two deterministic snapshot views (shared by q95 and q95b so
+    * the from-text and from-manifest diffs see the SAME generations):
+    * old = corpus without the %10==7 slice, new = without %10==2 and
+    * with %10==4's text suffixed. */
+  private def q95Snapshots(docs: DataFrame): (DataFrame, DataFrame) = {
     val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
     val newSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 2)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(10)) === 4,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    (oldSnap, newSnap)
+  }
+
+  def q95SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (oldSnap, newSnap) = q95Snapshots(documents(s, d))
     snapshotDiff(oldSnap, newSnap)
+  }
+
+  // O-119 (q95b): STANDING MANIFEST STORE — the missing binding that
+  // makes the promotion-gate diff a persisted cadence (VERDICT r11
+  // #4): q95 rescans and re-hashes TEXT on both sides every time; a
+  // real corpus-build pipeline instead writes a per-generation
+  // MANIFEST — (doc_id, source, sha256) projections, ~40 B/doc — as
+  // it materializes each generation, and the gate diffs two PERSISTED
+  // manifests through [[snapshotDiffProjected]] with no text scan at
+  // all. Same write idiom as the dedup index (64 hash buckets, one
+  // task and file per bucket).
+  /** Write a generation manifest for any (doc_id, source, text)
+    * snapshot. At 100 TB the manifest is orders smaller than the
+    * corpus, and the write rides the generation's own materialization
+    * scan (here it is a separate pass only because the fixture has no
+    * build step to piggyback on). */
+  def manifestWrite(docs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("h"))
+      .withColumn("kb", pmod(xxhash64(col("doc_id")), lit(64)).cast("int"))
+      .repartition(64, col("kb"))
+      .sortWithinPartitions(col("kb"), col("doc_id"))
+      .write.mode(mode).partitionBy("kb").parquet(store)
+
+  /** Diff two PERSISTED generation manifests — the no-rescan gate.
+    * Each side is a 3-column 40-byte-row scan; the full-outer join
+    * shuffles manifests, never corpora. */
+  def manifestDiff(s: SparkSession, oldStore: String,
+      newStore: String): DataFrame = {
+    def side(store: String, tag: String): DataFrame =
+      s.read.parquet(store)
+        .select(col("doc_id"), col("source").as(s"src_$tag"),
+          col("h").as(s"h_$tag"))
+    snapshotDiffProjected(side(oldStore, "o"), side(newStore, "n"))
+  }
+
+  /** Declared O-119 binding: materialize both generations' manifests
+    * (the q95 snapshot views, so both bindings describe the same
+    * promotion), then diff the STORES. Oracle: q95's SQL verbatim —
+    * the projected diff must equal the from-text diff. */
+  def q95bManifestDiff(s: SparkSession, d: String): DataFrame = {
+    val (oldSnap, newSnap) = q95Snapshots(documents(s, d))
+    val oldStore = graft.util.Ephemeral.fixedDir("graft_manifest_o_q95b")
+    val newStore = graft.util.Ephemeral.fixedDir("graft_manifest_n_q95b")
+    manifestWrite(oldSnap, oldStore)
+    manifestWrite(newSnap, newStore)
+    manifestDiff(s, oldStore, newStore)
   }
 
   private val NHashes = 16
@@ -2556,6 +2613,7 @@ object Dedup {
     "q36e_near_dup_prefix" -> (q36eNearDupPrefix _),
     "q94_neardup_threshold_sweep" -> (q94NeardupThresholdSweep _),
     "q95_snapshot_diff" -> (q95SnapshotDiff _),
+    "q95b_manifest_diff" -> (q95bManifestDiff _),
     "q96_split_leakage" -> (q96SplitLeakage _),
     "q36g_containment" -> (q36gContainment _),
     "q61_dedup_clusters" -> (q61DedupClusters _),
@@ -2979,7 +3037,15 @@ object Dedup {
     // same deterministic snapshot views (drop %10==7 from old, %10==2
     // from new, suffix %10==4's text in new), same full-outer
     // hash-projection classification
-    "q95_snapshot_diff" ->
+    "q95_snapshot_diff" -> q95DiffSql,
+    // q95b's contract IS q95's: the diff of two persisted manifests
+    // must equal the from-text diff of the same generations
+    "q95b_manifest_diff" -> q95DiffSql,
+  ) ++ oraclesRest
+
+  /** Shared q95/q95b oracle: the from-text diff over the deterministic
+    * snapshot views. */
+  private lazy val q95DiffSql: String =
       s"""WITH o AS (
          |  SELECT doc_id, source, sha256(text) AS h, 1 AS p
          |  FROM documents
@@ -3006,7 +3072,9 @@ object Dedup {
          |    AS BIGINT) AS n_changed,
          |  CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_same
-         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  private lazy val oraclesRest: Map[String, String] = Map(
     // the q36 exact pair set, each end's split computed by the q59
     // bucket hash, least/greatest normalization, (split_a, split_b)
     // counts

@@ -840,4 +840,33 @@ class GenericApiSpec extends SparkSpec {
     val cents = ops.Similarity.labelCentroids(emb)
     assert(cents.count() === 2 * 4) // 2 labels x 4 dims
   }
+
+  test("manifest store: the persisted-generation diff equals the " +
+    "from-text diff of the same snapshots") {
+    val fromText = ops.Dedup.q95SnapshotDiff(spark, sf).collect().toSeq
+    val projected = ops.Dedup.q95bManifestDiff(spark, sf).collect().toSeq
+    assert(projected === fromText)
+    assert(projected.nonEmpty)
+  }
+
+  test("manifestDiff through persisted stores: null-text docs classify " +
+    "same/changed on sides they are present in, never added/removed") {
+    import spark.implicits._
+    val o = graft.util.Ephemeral.dir("manifest_o")
+    val n = graft.util.Ephemeral.dir("manifest_n")
+    val oldDocs = Seq(
+      (1L, "s", Option("x")), (2L, "s", Option.empty[String]),
+      (3L, "s", Option("z"))).toDF("doc_id", "source", "text")
+    val newDocs = Seq(
+      (1L, "s", Option("x2")), (2L, "s", Option.empty[String]),
+      (4L, "s", Option("w"))).toDF("doc_id", "source", "text")
+    ops.Dedup.manifestWrite(oldDocs, o)
+    ops.Dedup.manifestWrite(newDocs, n)
+    val out = ops.Dedup.manifestDiff(spark, o, n)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // doc 4 added, doc 3 removed, doc 1 changed, doc 2 (NULL text on
+    // BOTH sides — NULL hash in the persisted manifests) is SAME via
+    // the null-safe compare, not misclassified
+    assert(out === Array(("s", 1L, 1L, 1L, 1L)))
+  }
 }
