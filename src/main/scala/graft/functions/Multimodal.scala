@@ -599,6 +599,140 @@ object Multimodal {
     ahashMerge(s, store, sigs.filter(col("doc_id") >= 50))
   }
 
+  // O-120: perceptual AUDIO dedup — the aHash pattern applied to the
+  // one other real decoder the JDK ships (WAV/AIFF via
+  // javax.sound.sampled, the q45b codec path): byte-level hashing
+  // misses audio that differs by re-encoding or a volume change, so
+  // the signature is an integer ENERGY-ENVELOPE hash of the decoded
+  // PCM — 60 fixed time frames, bit k = frame k's summed magnitude >=
+  // the track mean (cross-multiplied, no division) — and a uniform
+  // gain (every sample scaled by the same factor) multiplies both
+  // sides of every compare, so volume-shifted variants hash
+  // IDENTICALLY while different material lands ~18+ bits apart. The
+  // pair rule is the SAME bandedHammingPairs the image and SimHash
+  // families use — a third signature family, zero new join machinery.
+  /** Overflow-safe sample bound: |products| <= 32767 * n^2 must stay
+    * in a long -> n <= 16.7M samples (~35 min at 8 kHz); longer
+    * tracks degrade detectably to None (the MaxAhashPixels posture). */
+  private[graft] val MaxEnvelopeSamples: Long = 16000000L
+
+  /** 60-bit integer energy-envelope hash of an encoded audio payload.
+    * Decode via the JDK codec, then all-integer math, engine-exact:
+    * magnitude of a PCM_UNSIGNED 8-bit sample = |v - 128| (distance
+    * off the format's center line), of a PCM_SIGNED 16-bit mono
+    * little-endian sample = |s|; frame of sample j = j*60/n (integer
+    * division — exact 60-way split at any n); bit k set iff
+    * frameSum(k) * n >= totalSum * frameCount(k). None for
+    * undecodable payloads, unsupported encodings, tracks shorter than
+    * 60 samples or longer than [[MaxEnvelopeSamples]], and the
+    * all-silent track (totalSum 0 would set every bit vacuously —
+    * silence can perceptually match nothing). */
+  def audioEnvelopeHash(payload: Array[Byte]): Option[Long] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val u8 =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+          fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1
+      val s16 =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian
+      if (!u8 && !s16) return None
+      val bytes = ais.readAllBytes()
+      val n = if (u8) bytes.length.toLong else bytes.length.toLong / 2
+      if (n < 60 || n > MaxEnvelopeSamples) return None
+      val sums = new Array[Long](60)
+      val counts = new Array[Long](60)
+      var total = 0L
+      var j = 0L
+      while (j < n) {
+        val mag: Long =
+          if (u8) math.abs((bytes(j.toInt) & 0xff) - 128).toLong
+          else {
+            val lo = bytes(2 * j.toInt) & 0xff
+            val hi = bytes(2 * j.toInt + 1)
+            math.abs((hi << 8 | lo).toShort.toLong)
+          }
+        val k = (j * 60L / n).toInt
+        sums(k) += mag
+        counts(k) += 1
+        total += mag
+        j += 1
+      }
+      if (total == 0L) return None
+      var hash = 0L
+      var k = 0
+      while (k < 60) {
+        if (sums(k) * n >= total * counts(k)) hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** The q45f fixture: 60 WAVs in 20 groups of 3 — one 60-frame
+    * envelope pattern per group (10 samples/frame, 600 samples,
+    * 8-bit unsigned PCM centered at 128), members volume-scaled by
+    * (doc_id % 3) + 1. The scale factor multiplies every magnitude
+    * EXACTLY (integer samples, max 128 + 42*3 = 254 — no clipping,
+    * no rounding), so it cancels in the cross-multiplied mean rule
+    * and each group's variants hash identically, while the
+    * (g+1)-decorrelated patterns sit >= 18 bits apart (the
+    * syntheticImages posture; constants picked by simulation). */
+  private[graft] def syntheticWavs(s: SparkSession)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    s.range(0, 60).map { i =>
+      val g = (i / 3).toInt
+      val gain = (i % 3).toInt + 1
+      val data = Array.tabulate[Byte](600) { j =>
+        val v = ((g + 1) * (211 * (j / 10) + 37)) % 42 + 1
+        (128 + v * gain).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 600L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(i, "audio", bos.toByteArray, "generated")
+    }
+  }
+
+  /** (doc_id, ehash) signatures: decode + hash in ONE shuffle-free
+    * mapPartitions pass over the opaque bytes (the imageSignatures
+    * shape — PCM never crosses the network). */
+  def audioSignatures(recs: org.apache.spark.sql.Dataset[MediaRecord])
+      : DataFrame = {
+    val s = recs.sparkSession
+    import s.implicits._
+    recs.mapPartitions(rs => rs.flatMap(r =>
+        audioEnvelopeHash(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "ehash")
+  }
+
+  /** q45f: audio near-dup over REAL encoded WAVs — volume-scaled
+    * variants collide at hamming 0 (their byte streams and sha256 all
+    * differ), banded through the SHARED pair rule with the aHash
+    * constants. Oracle: WAV PCM is lossless and every step is
+    * integer, so DuckDB derives each group's hash closed-form from
+    * the generation formula — the gain cancels: with 10 equal
+    * samples per frame and n = 600, frameSum*n >= total*count
+    * reduces to 60*v0 >= sum(v0) — and replays the banding. */
+  def q45fAudioEnvelopeDedup(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.bandedHammingPairs(
+      audioSignatures(syntheticWavs(s)), "ehash",
+      AhashBands, AhashBandBits, AhashMaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Binary scalar functions over the payload column — the oracle-checked
     * slice of the multimodal surface (octet length, sha256, base64). */
   def q46BinaryFuncs(s: SparkSession, d: String): DataFrame =
@@ -618,6 +752,7 @@ object Multimodal {
     "q45c_image_ahash_dedup" -> (q45cImageAhashDedup _),
     "q45d_image_merge" -> (q45dImageMerge _),
     "q45e_image_clusters" -> (q45eImageClusters _),
+    "q45f_audio_envelope_dedup" -> (q45fAudioEnvelopeDedup _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
@@ -825,5 +960,37 @@ object Multimodal {
          |      AS cluster_size, TRUE AS is_canonical
          |  FROM sigs WHERE doc_id NOT IN (SELECT doc_id FROM clustered))
          |ORDER BY cluster_id, doc_id""".stripMargin,
+    // closed-form replay of q45f: WAV PCM round-trips exactly and the
+    // envelope is integer, so each group's 60-bit hash derives from
+    // the generation formula (the per-member gain cancels in the
+    // cross-multiplied mean rule: 10 equal samples per frame, n=600 ->
+    // bit = 60*v0 >= sum(v0)); the banding replay mirrors q45c's
+    "q45f_audio_envelope_dedup" ->
+      s"""WITH auds AS (
+         |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
+         |  FROM generate_series(0, 59) t(i)),
+         |cellsA AS (
+         |  SELECT g.g, t.k, ((g.g + 1) * (211 * t.k + 37)) % 42 + 1 AS v0
+         |  FROM (SELECT DISTINCT g FROM auds) g,
+         |       generate_series(0, 59) t(k)),
+         |totA AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
+         |  FROM cellsA GROUP BY g),
+         |hashesA AS (
+         |  SELECT cellsA.g, CAST(sum(
+         |    CASE WHEN 60 * v0 >= sv
+         |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+         |    AS ehash
+         |  FROM cellsA JOIN totA USING (g) GROUP BY cellsA.g),
+         |sigsA AS (SELECT doc_id, ehash FROM auds JOIN hashesA USING (g)),
+         |chunks AS (
+         |  SELECT doc_id, ehash, tc.c,
+         |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+         |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
+         |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |WHERE x.doc_id < y.doc_id
+         |  AND bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

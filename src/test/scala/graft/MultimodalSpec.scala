@@ -200,6 +200,63 @@ class MultimodalSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("audioEnvelopeHash: gain-invariant, material-sensitive, None " +
+    "on short/silent/unsupported payloads; 16-bit path decodes") {
+    def wav8(samples: Array[Int]): Array[Byte] = {
+      val data = samples.map(_.toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def wav16(samples: Array[Int]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val pat = Array.tabulate(600)(j => 13 * (j / 10) % 40 + 1)
+    val base = Multimodal.audioEnvelopeHash(wav8(pat.map(128 + _)))
+    val doubled = Multimodal.audioEnvelopeHash(wav8(pat.map(128 + 2 * _)))
+    assert(base.isDefined && base === doubled) // exact gain cancellation
+    // different material lands far away
+    val other = Multimodal.audioEnvelopeHash(
+      wav8(Array.tabulate(600)(j => 128 + (j * 29 / 10) % 40 + 1)))
+    assert(other.isDefined && other != base)
+    assert(java.lang.Long.bitCount(base.get ^ other.get) > 8)
+    // the 16-bit signed path: same envelope pattern (negated samples
+    // too — magnitude is |s|), gain-invariant against its own double
+    val b16 = Multimodal.audioEnvelopeHash(
+      wav16(pat.zipWithIndex.map { case (v, j) =>
+        if (j % 2 == 0) v else -v }))
+    val b16x2 = Multimodal.audioEnvelopeHash(
+      wav16(pat.zipWithIndex.map { case (v, j) =>
+        if (j % 2 == 0) 2 * v else -2 * v }))
+    assert(b16.isDefined && b16 === b16x2)
+    assert(b16 === base) // same envelope shape -> same hash across widths
+    // degenerate payloads: None, never a corrupt hash
+    assert(Multimodal.audioEnvelopeHash(wav8(Array.fill(30)(200))).isEmpty)
+    assert(Multimodal.audioEnvelopeHash(
+      wav8(Array.fill(600)(128))).isEmpty) // silence
+    assert(Multimodal.audioEnvelopeHash(
+      "not audio at all".getBytes("UTF-8")).isEmpty)
+    // hashes respect the 60-bit banding contract
+    assert(base.get >= 0L && base.get < (1L << 60))
+  }
+
   test("imageClusters: full-corpus disposition — groups resolve to " +
     "min-id components, unpaired signatures become singletons") {
     import spark.implicits._
