@@ -517,27 +517,34 @@ object Multimodal {
   // one self-join, no fixpoint). This closes the SCALE.md claim that
   // an image's dedup probe is a handful of pruned band lookups: the
   // store below IS that layout.
-  /** Band rows of an (doc_id, ahash) signature table: the SAME chunk
+  /** Band rows of a (doc_id, <sigCol>) signature table: the SAME chunk
     * explosion the pair join uses ([[graft.ops.Dedup.bandChunkRows]] —
     * the stored layout and the pair rule share one definition), as
-    * persistent rows (~36 B/image at any corpus size). */
-  private def ahashBandRows(sigs: DataFrame): DataFrame =
-    graft.ops.Dedup.bandChunkRows(sigs, "ahash", AhashBands,
+    * persistent rows (~36 B/signature at any corpus size). The store
+    * trio below is signature-column-parameterized since round 12, so
+    * the image (ahash) and audio (ehash) admission families run ONE
+    * definition of the layout, the pruned merge, and the append-back. */
+  private def sigBandRows(sigs: DataFrame, sigCol: String): DataFrame =
+    graft.ops.Dedup.bandChunkRows(sigs, sigCol, AhashBands,
       AhashBandBits)
       .withColumnRenamed("chunk", "band")
 
-  /** Write/append the image admission index: band rows partitioned by
-    * kb = xxhash64(band, ckey) mod 64 (the q85 layout — band folded
+  /** Write/append a perceptual admission index: band rows partitioned
+    * by kb = xxhash64(band, ckey) mod 64 (the q85 layout — band folded
     * into one 64-way bucket hash, co-located so each partition dir is
     * one task's files). */
-  def ahashIndexWrite(sigs: DataFrame, store: String,
+  def sigIndexWrite(sigs: DataFrame, sigCol: String, store: String,
       mode: String = "overwrite"): Unit =
-    ahashBandRows(sigs.filter(col("doc_id").isNotNull))
+    sigBandRows(sigs.filter(col("doc_id").isNotNull), sigCol)
       .withColumn("kb",
         pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int"))
       .repartition(64, col("kb"))
       .sortWithinPartitions(col("kb"), col("band"), col("ckey"))
       .write.mode(mode).partitionBy("kb").parquet(store)
+
+  def ahashIndexWrite(sigs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    sigIndexWrite(sigs, "ahash", store, mode)
 
   /** Admit the batch's perceptually-new images against the stored band
     * index: the index read is partition-pruned to the batch's <= 64 kb
@@ -549,14 +556,19 @@ object Multimodal {
     * callers append them back via [[ahashIndexWrite]] (mode append) so
     * later batches dedup against earlier arrivals. */
   def ahashMerge(s: SparkSession, store: String,
+      batchSigs: DataFrame): DataFrame =
+    sigMerge(s, store, "ahash", batchSigs)
+
+  def sigMerge(s: SparkSession, store: String, sigCol: String,
       batchSigs: DataFrame): DataFrame = {
     val batchBands = graft.ops.Dedup.materializeBounded(
-      ahashBandRows(batchSigs.filter(col("doc_id").isNotNull))
+      sigBandRows(batchSigs.filter(col("doc_id").isNotNull), sigCol)
         .withColumn("kb",
           pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
     val keys = batchBands.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
-    val near = expr("bit_count(x.ahash ^ y.ahash)") <= AhashMaxHamming
+    val near =
+      expr(s"bit_count(x.$sigCol ^ y.$sigCol)") <= AhashMaxHamming
     val crossHit =
       if (keys.isEmpty) batchSigs.select(col("doc_id")).limit(0)
       else s.read.parquet(store)
@@ -575,10 +587,10 @@ object Multimodal {
       .select(col("y.doc_id").as("doc_id")).distinct()
     // anti-join FROM the materialized band table (one row per doc at
     // band 0), not from batchSigs: the raw signature plan re-run here
-    // would decode + hash every batch image a second time (s19 feeds
-    // an unmaterialized decode pipeline straight in)
+    // would decode + hash every batch payload a second time (s19/s20
+    // feed an unmaterialized decode pipeline straight in)
     batchBands.filter(col("band") === 0)
-      .select(col("doc_id"), col("ahash"))
+      .select(col("doc_id"), col(sigCol))
       .join(crossHit.unionByName(intraHit).distinct(),
         Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
@@ -733,6 +745,24 @@ object Multimodal {
       AhashBands, AhashBandBits, AhashMaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // O-121 (q45g): incremental AUDIO-dedup admission — the O-114
+  // standing-index idiom through the signature-generalized store trio
+  // (ONE definition of layout, pruned merge, and append-back now
+  // serves both perceptual families): a standing audio corpus keeps
+  // its band rows on disk; an arriving batch admits only tracks that
+  // perceptually match (band collision then popcount <= 8) neither a
+  // stored track nor a lower-doc_id batch track. Corpus = tracks with
+  // doc_id < 32 — deliberately mid-group (group 10 straddles: members
+  // 30/31 stored, 32 arrives), so both drop paths fire, mirroring
+  // q45d's fixture geometry.
+  def q45gAudioMerge(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_ehash_store_q45g")
+    val sigs = graft.ops.Dedup.materializeBounded(
+      audioSignatures(syntheticWavs(s)))
+    sigIndexWrite(sigs.filter(col("doc_id") < 32), "ehash", store)
+    sigMerge(s, store, "ehash", sigs.filter(col("doc_id") >= 32))
+  }
+
   /** Binary scalar functions over the payload column — the oracle-checked
     * slice of the multimodal surface (octet length, sha256, base64). */
   def q46BinaryFuncs(s: SparkSession, d: String): DataFrame =
@@ -753,6 +783,7 @@ object Multimodal {
     "q45d_image_merge" -> (q45dImageMerge _),
     "q45e_image_clusters" -> (q45eImageClusters _),
     "q45f_audio_envelope_dedup" -> (q45fAudioEnvelopeDedup _),
+    "q45g_audio_merge" -> (q45gAudioMerge _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
@@ -966,22 +997,7 @@ object Multimodal {
     // cross-multiplied mean rule: 10 equal samples per frame, n=600 ->
     // bit = 60*v0 >= sum(v0)); the banding replay mirrors q45c's
     "q45f_audio_envelope_dedup" ->
-      s"""WITH auds AS (
-         |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
-         |  FROM generate_series(0, 59) t(i)),
-         |cellsA AS (
-         |  SELECT g.g, t.k, ((g.g + 1) * (211 * t.k + 37)) % 42 + 1 AS v0
-         |  FROM (SELECT DISTINCT g FROM auds) g,
-         |       generate_series(0, 59) t(k)),
-         |totA AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
-         |  FROM cellsA GROUP BY g),
-         |hashesA AS (
-         |  SELECT cellsA.g, CAST(sum(
-         |    CASE WHEN 60 * v0 >= sv
-         |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
-         |    AS ehash
-         |  FROM cellsA JOIN totA USING (g) GROUP BY cellsA.g),
-         |sigsA AS (SELECT doc_id, ehash FROM auds JOIN hashesA USING (g)),
+      s"""WITH $ehashSigsSql,
          |chunks AS (
          |  SELECT doc_id, ehash, tc.c,
          |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
@@ -992,5 +1008,54 @@ object Multimodal {
          |WHERE x.doc_id < y.doc_id
          |  AND bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q45g: the q45d admission rule replayed over the audio closed-form
+    // hashes — corpus bands (doc_id < 32) vs batch bands, popcount <= 8
+    // drops cross-store matches, intra-batch keep-lowest drops later
+    // members of all-new groups
+    "q45g_audio_merge" ->
+      s"""WITH $ehashSigsSql,
+        |bandC AS (
+        |  SELECT doc_id, ehash, tc.c,
+        |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c)
+        |  WHERE doc_id < 32),
+        |bandB AS (
+        |  SELECT doc_id, ehash, tc.c,
+        |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c)
+        |  WHERE doc_id >= 32),
+        |hit AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM bandB x JOIN bandC y ON x.c = y.c AND x.ckey = y.ckey
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming
+        |  UNION
+        |  SELECT DISTINCT y.doc_id
+        |  FROM bandB x JOIN bandB y
+        |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming)
+        |SELECT doc_id, ehash FROM sigsA
+        |WHERE doc_id >= 32 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
   )
+
+  /** The q45f/q45g/s20 closed-form audio hash CTE stack (the
+    * ahashSigsSql twin). Ends with `sigsA(doc_id, ehash)`. */
+  private[graft] lazy val ehashSigsSql: String =
+    """auds AS (
+      |  SELECT CAST(i AS BIGINT) AS doc_id, i // 3 AS g
+      |  FROM generate_series(0, 59) t(i)),
+      |cellsA AS (
+      |  SELECT g.g, t.k, ((g.g + 1) * (211 * t.k + 37)) % 42 + 1 AS v0
+      |  FROM (SELECT DISTINCT g FROM auds) g,
+      |       generate_series(0, 59) t(k)),
+      |totA AS (SELECT g, CAST(sum(v0) AS BIGINT) AS sv
+      |  FROM cellsA GROUP BY g),
+      |hashesA AS (
+      |  SELECT cellsA.g, CAST(sum(
+      |    CASE WHEN 60 * v0 >= sv
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+      |    AS ehash
+      |  FROM cellsA JOIN totA USING (g) GROUP BY cellsA.g),
+      |sigsA AS (SELECT doc_id, ehash FROM auds JOIN hashesA USING (g))"""
+      .stripMargin
 }

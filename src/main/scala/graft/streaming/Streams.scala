@@ -785,6 +785,47 @@ object Streams {
     s.read.parquet(admittedDir).orderBy(col("doc_id"))
   }
 
+  // O-122 (s20): ingest-time AUDIO-dedup screen — s19's topology over
+  // the audio family through the signature-generalized store trio:
+  // each micro-batch of raw WAV payloads decodes + envelope-hashes
+  // statelessly, runs the pruned admission merge against the standing
+  // ehash band store, persists its admitted signatures, and appends
+  // them back so later batches dedup against earlier arrivals — PCM
+  // crosses the wire once, at ingest. The SIXTH standing-index family
+  // with a persisted stream-ingest path (s15/s16/s17/s18/s19/s20).
+  def s20StreamAudioScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = graft.util.Ephemeral.fixedDir("graft_ehash_store_s20")
+    val all = graft.functions.Multimodal.syntheticWavs(s)
+    graft.functions.Multimodal.sigIndexWrite(
+      graft.functions.Multimodal.audioSignatures(
+        all.filter(col("doc_id") < 32)), "ehash", store)
+    val inDir = graft.util.Ephemeral.dir("graft_audio_stream_in_")
+    all.filter(col("doc_id") >= 32).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val admittedDir = graft.util.Ephemeral.dir("graft_audio_admit_s20")
+    val q = s.readStream.schema(mediaSchema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bs = batch.sparkSession
+          import bs.implicits._
+          val admitted = graft.functions.Multimodal.sigMerge(bs, store,
+            "ehash",
+            graft.functions.Multimodal.audioSignatures(
+              batch.as[graft.functions.Multimodal.MediaRecord]))
+            .localCheckpoint()
+          admitted.write.mode("append").parquet(admittedDir)
+          graft.functions.Multimodal.sigIndexWrite(
+            admitted, "ehash", store, mode = "append")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(admittedDir).orderBy(col("doc_id"))
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -895,6 +936,7 @@ object Streams {
     "s17_stream_vector_ingest" -> (s17StreamVectorIngest _),
     "s18_stream_tf_maintain" -> (s18StreamTfMaintain _),
     "s19_stream_image_screen" -> (s19StreamImageScreen _),
+    "s20_stream_audio_screen" -> (s20StreamAudioScreen _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -957,6 +999,10 @@ object Streams {
     // closed-form-hash admission SQL
     "s19_stream_image_screen" ->
       graft.functions.Multimodal.oracles("q45d_image_merge"),
+    // s20 = q45g's admission under foreachBatch (one-file source ->
+    // one deterministic batch), the s19 argument over the audio family
+    "s20_stream_audio_screen" ->
+      graft.functions.Multimodal.oracles("q45g_audio_merge"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

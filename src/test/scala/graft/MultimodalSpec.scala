@@ -257,6 +257,28 @@ class MultimodalSpec extends SparkSpec {
     assert(base.get >= 0L && base.get < (1L << 60))
   }
 
+  test("ehash store lifecycle: admitted audio signatures append back " +
+    "and a replayed batch admits nothing (generalized store trio)") {
+    import spark.implicits._
+    val store = graft.util.Ephemeral.dir("ehash_lifecycle")
+    val sigs = Multimodal.audioSignatures(
+      Multimodal.syntheticWavs(spark)).cache()
+    val batch = sigs.filter(col("doc_id") >= 32)
+    Multimodal.sigIndexWrite(sigs.filter(col("doc_id") < 32), "ehash",
+      store)
+    val admitted = Multimodal.sigMerge(spark, store, "ehash", batch)
+      .as[(Long, Long)].collect()
+    // id 32 completes stored group 10 (cross-store drop); each all-new
+    // group admits its lowest member
+    assert(admitted.map(_._1).toSeq === (33L to 57L by 3L).toSeq)
+    Multimodal.sigIndexWrite(
+      admitted.toSeq.toDF("doc_id", "ehash"), "ehash", store,
+      mode = "append")
+    assert(Multimodal.sigMerge(spark, store, "ehash", batch).count()
+      === 0L)
+    sigs.unpersist()
+  }
+
   test("imageClusters: full-corpus disposition — groups resolve to " +
     "min-id components, unpaired signatures become singletons") {
     import spark.implicits._

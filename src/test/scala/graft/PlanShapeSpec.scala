@@ -234,6 +234,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("knn_majority_label"), plan)
   }
 
+  test("q45g: audio admission keeps the q45d shape through the " +
+    "generalized trio — pruned index scan, in-join popcount verify") {
+    val plan = formatted("q45g_audio_merge")
+    assert(plan.contains("PartitionFilters: [kb"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q45e: singleton complement anti-joins as a broadcast over " +
     "the signature side; no quadratic join anywhere") {
     val plan = formatted("q45e_image_clusters")
