@@ -763,6 +763,75 @@ object Multimodal {
     sigMerge(s, store, "ehash", sigs.filter(col("doc_id") >= 32))
   }
 
+  // O-123 (q45h): BANDING-RECALL audit under planted perturbations —
+  // the q84/q86 governance move for the perceptual families. The
+  // banded hamming join is approximate above hamming 3: pigeonhole
+  // guarantees a shared band only while d < AhashBands, so a pair at
+  // hamming 4..8 is found only if its differing bits happen to avoid
+  // one 15-bit band. This audit MEASURES that loss with planted
+  // twins: for each signature and each d in {2,4,6,8}, flip exactly d
+  // deterministic bit positions ((doc_id + 7i) % 60 — distinct by
+  // construction for i < 8), push corpus ∪ twins through the REAL
+  // pair join, and report per-(family, d) how many planted
+  // exact-hamming-d pairs the banding recovered. The recall-vs-d
+  // curve is the tuning table for AhashBands/AhashMaxHamming — the
+  // number a curation team checks before trusting "hamming <= 8" as
+  // their dedup radius.
+  /** Per-family planted-twin recall through [[graft.ops.Dedup.bandedHammingPairs]].
+    * Scale shape: twins are a row-local map over the 8-byte signature
+    * table (4x fan-out), the pair join is the standard banded family,
+    * and the probe is a key-equality left join of the planted pair
+    * list against the found pairs — everything bounded by signatures,
+    * never payloads. */
+  private def bandingRecallFor(sigs: DataFrame, sigCol: String,
+      family: String): DataFrame = {
+    val base = sigs.select(col("doc_id"), col(sigCol).as("sig"))
+    val twins = base
+      .select(col("doc_id"), col("sig"),
+        explode(expr("array(2, 4, 6, 8)")).as("d"))
+      .withColumn("mask", expr(
+        "aggregate(sequence(0, d - 1), cast(0 as bigint), " +
+          "(acc, i) -> acc | shiftleft(cast(1 as bigint), " +
+          "cast((doc_id + 7 * i) % 60 as int)))"))
+    val all = base
+      .unionByName(twins.select(
+        (col("doc_id") + col("d") * lit(10000L)).as("doc_id"),
+        expr("sig ^ mask").as("sig")))
+      .withColumnRenamed("sig", sigCol)
+    val pairs = graft.ops.Dedup.bandedHammingPairs(all, sigCol,
+      AhashBands, AhashBandBits, AhashMaxHamming)
+    // planted pair = (doc_id, doc_id + d*10000); found pairs are
+    // DISTINCT, so the left join matches at most once
+    twins
+      .join(pairs,
+        col("doc_a") === col("doc_id") &&
+          col("doc_b") === col("doc_id") + col("d") * lit(10000L),
+        "left_outer")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("doc_a")).as("n_found"))
+      .withColumn("family", lit(family))
+  }
+
+  /** Declared O-123 binding: both perceptual families' planted-twin
+    * recall curves in one table. Oracle: the closed-form signature
+    * stacks, the same deterministic masks, the same banding replay —
+    * recall(2) and recall(4) are 1.0 by pigeonhole-style span
+    * arguments, recall(6)/recall(8) are genuinely lossy (the curve
+    * the audit exists to expose). */
+  def q45hBandingRecall(s: SparkSession, d: String): DataFrame = {
+    val img = graft.ops.Dedup.materializeBounded(
+      imageSignatures(syntheticImages(s)))
+    val aud = graft.ops.Dedup.materializeBounded(
+      audioSignatures(syntheticWavs(s)))
+    bandingRecallFor(img, "ahash", "ahash")
+      .unionByName(bandingRecallFor(aud, "ehash", "ehash"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_pairs"), 4))
+      .select(col("family"), col("d"), col("n_pairs"), col("n_found"),
+        col("recall"))
+      .orderBy(col("family"), col("d"))
+  }
+
   /** Binary scalar functions over the payload column — the oracle-checked
     * slice of the multimodal surface (octet length, sha256, base64). */
   def q46BinaryFuncs(s: SparkSession, d: String): DataFrame =
@@ -784,6 +853,7 @@ object Multimodal {
     "q45e_image_clusters" -> (q45eImageClusters _),
     "q45f_audio_envelope_dedup" -> (q45fAudioEnvelopeDedup _),
     "q45g_audio_merge" -> (q45gAudioMerge _),
+    "q45h_banding_recall" -> (q45hBandingRecall _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
@@ -1036,6 +1106,52 @@ object Multimodal {
         |SELECT doc_id, ehash FROM sigsA
         |WHERE doc_id >= 32 AND doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY doc_id""".stripMargin,
+    // q45h: both closed-form signature stacks, the same deterministic
+    // d-bit masks ((doc_id + 7i) % 60, distinct for i < 8), corpus ∪
+    // twins through the same banding + popcount replay, planted-pair
+    // probe via key-equality left join
+    "q45h_banding_recall" ->
+      s"""WITH $ahashSigsSql,
+         |$ehashSigsSql,
+         |base AS (
+         |  SELECT 'ahash' AS family, doc_id, ahash AS sig FROM sigs
+         |  UNION ALL SELECT 'ehash', doc_id, ehash FROM sigsA),
+         |tw AS (
+         |  SELECT family, doc_id, d.d,
+         |    CAST(sum(CAST(1 AS BIGINT)
+         |      << CAST((doc_id + 7 * i.i) % 60 AS INT)) AS BIGINT)
+         |      AS mask
+         |  FROM base, (VALUES (2), (4), (6), (8)) AS d(d),
+         |       generate_series(0, 7) i(i)
+         |  WHERE i.i < d.d GROUP BY family, doc_id, d.d),
+         |twin AS (
+         |  SELECT t.family, t.doc_id, t.d, xor(b.sig, t.mask) AS sig
+         |  FROM tw t JOIN base b
+         |    ON t.family = b.family AND t.doc_id = b.doc_id),
+         |alls AS (
+         |  SELECT family, doc_id, sig FROM base
+         |  UNION ALL
+         |  SELECT family, doc_id + d * 10000, sig FROM twin),
+         |chunksH AS (
+         |  SELECT family, doc_id, sig, tc.c,
+         |    (sig >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+         |  FROM alls, generate_series(0, ${AhashBands - 1}) tc(c)),
+         |prsH AS (
+         |  SELECT DISTINCT x.family, x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunksH x JOIN chunksH y
+         |    ON x.family = y.family AND x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.sig, y.sig)) <= $AhashMaxHamming),
+         |probe AS (
+         |  SELECT t.family, t.d,
+         |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+         |  FROM twin t LEFT JOIN prsH p
+         |    ON p.family = t.family AND p.doc_a = t.doc_id
+         |      AND p.doc_b = t.doc_id + t.d * 10000)
+         |SELECT family, d, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(found) AS BIGINT) AS n_found,
+         |  round(CAST(sum(found) AS DOUBLE) / count(*), 4) AS recall
+         |FROM probe GROUP BY family, d ORDER BY family, d""".stripMargin,
   )
 
   /** The q45f/q45g/s20 closed-form audio hash CTE stack (the
