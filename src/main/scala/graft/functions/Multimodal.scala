@@ -783,41 +783,59 @@ object Multimodal {
     * and the probe is a key-equality left join of the planted pair
     * list against the found pairs — everything bounded by signatures,
     * never payloads. */
+  /** The swept banding configurations: every (nBands, bits) factoring
+    * of the 60-bit signature a deployment would plausibly run. More
+    * bands = stronger recall at a given hamming radius (pigeonhole
+    * guarantees d < nBands found) at the cost of more band rows per
+    * signature — exactly the trade the sweep prices. */
+  private[graft] val BandingConfigs = Seq((4, 15), (5, 12), (6, 10))
+
   private def bandingRecallFor(sigs: DataFrame, sigCol: String,
       family: String): DataFrame = {
     val base = sigs.select(col("doc_id"), col(sigCol).as("sig"))
-    val twins = base
+    val twins = graft.ops.Dedup.materializeBounded(base
       .select(col("doc_id"), col("sig"),
         explode(expr("array(2, 4, 6, 8)")).as("d"))
       .withColumn("mask", expr(
         "aggregate(sequence(0, d - 1), cast(0 as bigint), " +
           "(acc, i) -> acc | shiftleft(cast(1 as bigint), " +
-          "cast((doc_id + 7 * i) % 60 as int)))"))
-    val all = base
+          "cast((doc_id + 7 * i) % 60 as int)))")))
+    val all = graft.ops.Dedup.materializeBounded(base
       .unionByName(twins.select(
         (col("doc_id") + col("d") * lit(10000L)).as("doc_id"),
         expr("sig ^ mask").as("sig")))
-      .withColumnRenamed("sig", sigCol)
-    val pairs = graft.ops.Dedup.bandedHammingPairs(all, sigCol,
-      AhashBands, AhashBandBits, AhashMaxHamming)
-    // planted pair = (doc_id, doc_id + d*10000); found pairs are
-    // DISTINCT, so the left join matches at most once
-    twins
-      .join(pairs,
-        col("doc_a") === col("doc_id") &&
-          col("doc_b") === col("doc_id") + col("d") * lit(10000L),
-        "left_outer")
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("n_pairs"), count(col("doc_a")).as("n_found"))
-      .withColumn("family", lit(family))
+      .withColumnRenamed("sig", sigCol))
+    BandingConfigs.map { case (nb, bits) =>
+      val pairs = graft.ops.Dedup.bandedHammingPairs(all, sigCol,
+        nb, bits, AhashMaxHamming)
+      // planted pair = (doc_id, doc_id + d*10000); found pairs are
+      // DISTINCT, so the left join matches at most once
+      twins
+        .join(pairs,
+          col("doc_a") === col("doc_id") &&
+            col("doc_b") === col("doc_id") + col("d") * lit(10000L),
+          "left_outer")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("doc_a")).as("n_found"))
+        .withColumn("family", lit(family))
+        .withColumn("n_bands", lit(nb))
+        .withColumn("band_bits", lit(bits))
+    }.reduce(_.unionByName(_))
   }
 
   /** Declared O-123 binding: both perceptual families' planted-twin
-    * recall curves in one table. Oracle: the closed-form signature
-    * stacks, the same deterministic masks, the same banding replay —
-    * recall(2) and recall(4) are 1.0 by pigeonhole-style span
-    * arguments, recall(6)/recall(8) are genuinely lossy (the curve
-    * the audit exists to expose). */
+    * recall curves across every 60-bit banding configuration, in one
+    * decision table (the q94 sweep move applied to the BANDING knob).
+    * Oracle: the closed-form signature stacks, the same deterministic
+    * masks, the same banding replay per config — recall(d < nBands)
+    * is 1.0 by pigeonhole, the rest is the genuinely lossy tail the
+    * audit exists to expose: the shipped 4x15 finds NO spread-out
+    * hamming-8 twin and only ~2/3 of hamming-6; 5x12 and 6x10 close
+    * d=6 completely, while d=8 spread across the word stays near-
+    * invisible to every 60-bit banding (~10% even at 6x10) — i.e.
+    * "hamming <= 8" is only a trustworthy dedup radius for CLUMPED
+    * drift, and the sweep prices exactly that. */
   def q45hBandingRecall(s: SparkSession, d: String): DataFrame = {
     val img = graft.ops.Dedup.materializeBounded(
       imageSignatures(syntheticImages(s)))
@@ -827,9 +845,9 @@ object Multimodal {
       .unionByName(bandingRecallFor(aud, "ehash", "ehash"))
       .withColumn("recall",
         round(col("n_found").cast("double") / col("n_pairs"), 4))
-      .select(col("family"), col("d"), col("n_pairs"), col("n_found"),
-        col("recall"))
-      .orderBy(col("family"), col("d"))
+      .select(col("family"), col("n_bands"), col("band_bits"), col("d"),
+        col("n_pairs"), col("n_found"), col("recall"))
+      .orderBy(col("family"), col("n_bands"), col("d"))
   }
 
   /** Binary scalar functions over the payload column — the oracle-checked
@@ -1132,26 +1150,37 @@ object Multimodal {
          |  SELECT family, doc_id, sig FROM base
          |  UNION ALL
          |  SELECT family, doc_id + d * 10000, sig FROM twin),
+         |configs AS (SELECT * FROM (VALUES ${BandingConfigs
+            .map { case (nb, b) => s"($nb, $b)" }
+            .mkString(", ")}) cfg(nb, bits)),
          |chunksH AS (
-         |  SELECT family, doc_id, sig, tc.c,
-         |    (sig >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
-         |  FROM alls, generate_series(0, ${AhashBands - 1}) tc(c)),
+         |  SELECT family, nb, bits, doc_id, sig, tc.c,
+         |    (sig >> (bits * tc.c)) & ((CAST(1 AS BIGINT) << bits) - 1)
+         |      AS ckey
+         |  FROM alls, configs, generate_series(0, 5) tc(c)
+         |  WHERE tc.c < nb),
          |prsH AS (
-         |  SELECT DISTINCT x.family, x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  SELECT DISTINCT x.family, x.nb, x.bits,
+         |    x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM chunksH x JOIN chunksH y
-         |    ON x.family = y.family AND x.c = y.c AND x.ckey = y.ckey
+         |    ON x.family = y.family AND x.nb = y.nb
+         |      AND x.c = y.c AND x.ckey = y.ckey
          |  WHERE x.doc_id < y.doc_id
          |    AND bit_count(xor(x.sig, y.sig)) <= $AhashMaxHamming),
          |probe AS (
-         |  SELECT t.family, t.d,
+         |  SELECT t.family, cfg.nb, cfg.bits, t.d,
          |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
-         |  FROM twin t LEFT JOIN prsH p
-         |    ON p.family = t.family AND p.doc_a = t.doc_id
+         |  FROM twin t CROSS JOIN configs cfg
+         |  LEFT JOIN prsH p
+         |    ON p.family = t.family AND p.nb = cfg.nb
+         |      AND p.doc_a = t.doc_id
          |      AND p.doc_b = t.doc_id + t.d * 10000)
-         |SELECT family, d, CAST(count(*) AS BIGINT) AS n_pairs,
+         |SELECT family, nb AS n_bands, bits AS band_bits, d,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(found) AS BIGINT) AS n_found,
          |  round(CAST(sum(found) AS DOUBLE) / count(*), 4) AS recall
-         |FROM probe GROUP BY family, d ORDER BY family, d""".stripMargin,
+         |FROM probe GROUP BY family, nb, bits, d
+         |ORDER BY family, n_bands, d""".stripMargin,
   )
 
   /** The q45f/q45g/s20 closed-form audio hash CTE stack (the
