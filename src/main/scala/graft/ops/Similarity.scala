@@ -1157,6 +1157,23 @@ object Similarity {
     * code scan for the panel, vs P full probes. */
   private[graft] def panelAdc(s: SparkSession, store: String, emb: DataFrame,
       panel: Seq[Long], nprobe: Int, k: Int, m: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("est_dot_e12").desc, col("vec_id"))
+    panelAdcCandidates(s, store, emb, panel, nprobe, m)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("est_dot_e12"))
+  }
+
+  /** The panel's FULL ADC candidate table — every vector of every
+    * probed cell with its estimated dot AND the cell's RANK in that
+    * probe's coarse ordering. A smaller nprobe's candidate set is
+    * exactly the cell_rank prefix, so ONE pruned scan at maxNprobe
+    * serves every nprobe tier below it ([[panelAdc]] is the
+    * rank-oblivious top-k consumer; q84b's sweep windows each prefix).
+    */
+  private[graft] def panelAdcCandidates(s: SparkSession, store: String,
+      emb: DataFrame, panel: Seq[Long], maxNprobe: Int,
+      m: Int): DataFrame = {
     import s.implicits._
     val pvs = emb.filter(col("vec_id").isin(panel: _*))
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
@@ -1174,7 +1191,8 @@ object Similarity {
     val probeCells = pvs.flatMap { case (pid, qv) =>
       cents.map { case (cid, ce) => (cid, idot(ce, qv)) }
         .sortBy { case (cid, qd) => (-qd, cid) }
-        .take(nprobe).map { case (cid, _) => (pid, cid) }
+        .take(maxNprobe).zipWithIndex
+        .map { case ((cid, _), r) => (pid, cid, r + 1) }
     }
     val cellSet = probeCells.map(_._2).distinct
     val subDim = pvs.head._2.length / m
@@ -1186,20 +1204,18 @@ object Similarity {
       .join(qsubs, Seq("m"))
       .select(col("probe_id"), col("m"), col("seed").as("code"),
         LongArrayDot(col("cv"), col("qs")).as("ld"))
-    val pcDf = probeCells.toDF("probe_id", "cell_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("est_dot_e12").desc, col("vec_id"))
+    val pcDf = probeCells.toDF("probe_id", "cell_id", "cell_rank")
     s.read.parquet(s"$store/vectors")
       .filter(col("cell_id").isin(cellSet: _*)) // partition prune
       .join(broadcast(pcDf), Seq("cell_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
+      .select(col("probe_id"), col("vec_id"), col("cell_rank"),
         posexplode(col("codes")).as(Seq("m", "code")))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
-      .groupBy(col("probe_id"), col("vec_id"))
+      // cell_rank is functionally determined by (probe_id, vec_id):
+      // a vector lives in exactly one cell
+      .groupBy(col("probe_id"), col("vec_id"), col("cell_rank"))
       .agg(sum(col("ld")).as("est_dot_e12"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("probe_id"), col("vec_id"), col("est_dot_e12"))
   }
 
   /** O-112's refinement audited panel-wide: a probe's ADC top-c
@@ -1263,6 +1279,46 @@ object Similarity {
       .withColumn("min_hits", min(col("hits")).over(wm))
       .withColumn("sum_hits", sum(col("hits")).over(wm))
       .orderBy(col("method"), col("probe_id"))
+  }
+
+  // O-124 (q84b): NPROBE-SWEEP recall table — the q94/q45h "sweep the
+  // decision" move applied to the ANN probe knob: nprobe is the
+  // latency/recall dial every IVF deployment tunes (more probed cells
+  // = more point-reads per query = higher recall), and tuning it by
+  // re-running the probe per candidate value pays the pruned scan N
+  // times. This sweep pays it ONCE: the candidate table carries each
+  // vector's CELL RANK in its probe's coarse ordering, a smaller
+  // nprobe's candidate set is exactly the rank prefix, so all four
+  // tiers' top-10s are windows over one materialized scan — then each
+  // tier audits against the same exact panel (the q84 presentation:
+  // per-probe hits with per-tier min/sum). The output is the
+  // recall-vs-nprobe curve a team reads to pick the cheapest nprobe
+  // meeting their recall floor.
+  def q84bNprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
+    ivfPqWrite(s, d, store)
+    val emb = embeddings(s, d)
+    val exact = Dedup.materializeBounded(
+      panelExact(emb, ProbePanel, 10))
+    val cand = Dedup.materializeBounded(
+      panelAdcCandidates(s, store, emb, ProbePanel, 4, 8))
+    val panelDf = ProbePanel.toDF("probe_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("est_dot_e12").desc, col("vec_id"))
+    val wn = Window.partitionBy(col("nprobe"))
+    (1 to 4).map { np =>
+      panelHits(s"np$np",
+        cand.filter(col("cell_rank") <= np)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("probe_id"), col("vec_id")),
+        exact, panelDf)
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("probe_id"), col("hits"), col("k"))
+      .withColumn("min_hits", min(col("hits")).over(wn))
+      .withColumn("sum_hits", sum(col("hits")).over(wn))
+      .orderBy(col("nprobe"), col("probe_id"))
   }
 
   /** Per-probe hit counts of one approximate method against the exact
@@ -1351,6 +1407,7 @@ object Similarity {
     "q80_knn_join" -> (q80KnnJoin _),
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q84_ann_recall" -> (q84AnnRecall _),
+    "q84b_nprobe_sweep" -> (q84bNprobeSweep _),
     "q91_ann_retrain" -> (q91AnnRetrain _),
     "q98_knn_label_prop" -> (q98KnnLabelProp _),
     "q99_adc_rerank" -> (q99AdcRerank _),
@@ -1494,7 +1551,7 @@ object Similarity {
     * matching the store, whose appended batch encodes against the
     * frozen codebook.) */
   private def q74OracleSqlTrained(pid: Long, src: String,
-      limit: Int = 10): String = {
+      limit: Int = 10, nprobe: Int = 4): String = {
     val baseCte =
       if (src == "q") ""
       else s"""
@@ -1517,7 +1574,8 @@ object Similarity {
          |qv AS (SELECT qe AS qq FROM q WHERE vec_id = $pid),
          |probe AS (
          |  SELECT cell_id FROM cent, qv
-         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id LIMIT 4),
+         |  ORDER BY ${qdotSql("ce", "qv.qq")} DESC, cell_id
+         |  LIMIT $nprobe),
          |sub AS (
          |  SELECT vec_id, m, qe[m*8+1 : m*8+8] AS sv
          |  FROM q, UNNEST(generate_series(0, 7)) AS t(m)),
@@ -1816,6 +1874,29 @@ object Similarity {
          |  CAST(sum(hits) OVER (PARTITION BY method) AS BIGINT)
          |    AS sum_hits
          |FROM per ORDER BY method, probe_id""".stripMargin
+    },
+    // the same per-probe replay terms as q84's adc tier, re-bound per
+    // nprobe (the probe CTE's LIMIT parameterized) — each tier's
+    // top-10 against the same exact panel
+    "q84b_nprobe_sweep" -> {
+      val terms = (1 to 4).flatMap { np =>
+        ProbePanel.map { pid =>
+          s"""SELECT CAST($np AS INT) AS nprobe,
+             |    CAST($pid AS BIGINT) AS probe_id,
+             |    CAST(count(*) AS BIGINT) AS hits
+             |  FROM (SELECT vec_id
+             |        FROM (${q74OracleSqlTrained(pid, "q", 10, np)})) a
+             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+             |    USING (vec_id)""".stripMargin
+        }
+      }
+      s"""WITH per AS (
+         |${terms.mkString("", "\nUNION ALL\n", "")})
+         |SELECT nprobe, probe_id, hits, CAST(10 AS BIGINT) AS k,
+         |  min(hits) OVER (PARTITION BY nprobe) AS min_hits,
+         |  CAST(sum(hits) OVER (PARTITION BY nprobe) AS BIGINT)
+         |    AS sum_hits
+         |FROM per ORDER BY nprobe, probe_id""".stripMargin
     },
     // before = the frozen-model appended store (its closed form: a
     // from-scratch layout whose model trained on the base corpus
