@@ -24,6 +24,22 @@ object Bench {
     (times.result(), errs.result())
   }
 
+  /** Per-query min OVER VALID PASSES only: a crash's wall time is
+    * meaningless and usually fast, so a plain min() over both passes
+    * would let a one-pass crash DISPLACE the surviving pass's real
+    * measurement and deflate the composite (review finding, round
+    * 12). A query that crashed in both passes keeps its min (flagged)
+    * time — the errors field is the signal there. */
+  private[graft] def combinePasses(pass1: Map[String, Double],
+      errs1: Map[String, String], pass2: Map[String, Double],
+      errs2: Map[String, String]): Map[String, Double] =
+    pass1.map { case (k, v) =>
+      val cands =
+        Seq(v -> errs1.contains(k), pass2(k) -> errs2.contains(k))
+          .filter(!_._2).map(_._1)
+      k -> (if (cands.isEmpty) math.min(v, pass2(k)) else cands.min)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -124,7 +140,7 @@ object Bench {
     // and IS the steady-state number a long-lived cluster job sees.
     val (pass1, errs1) = measureAll(thunks)
     val (pass2, errs2) = measureAll(thunks)
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results = combinePasses(pass1, errs1, pass2, errs2)
     // LOUD failure accounting (VERDICT r11 "What's wrong #1"): a query
     // that threw in EITHER measured pass has a meaningless timing, so
     // its name and error surface in-band — "errors":N rides BOTH JSON

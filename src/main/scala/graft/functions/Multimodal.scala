@@ -375,6 +375,19 @@ object Multimodal {
   private[graft] val AhashBandBits = 15
   private[graft] val AhashMaxHamming = 8
 
+  /** A perceptual family's banding configuration, stated PER FAMILY:
+    * the generalized store trio takes the scheme explicitly, so
+    * retuning one family's banding (the decision q45h's sweep
+    * informs) cannot silently re-layout another family's PERSISTED
+    * band stores — a store written at 4x15 probed with 5x12 keys
+    * would miss matches with no error (review finding, round 12).
+    * Both families currently ship 4x15 / hamming 8; the values are
+    * deliberately separate constants, not aliases. */
+  final case class BandScheme(nBands: Int, bits: Int, maxHamming: Int)
+  private[graft] val AhashScheme =
+    BandScheme(AhashBands, AhashBandBits, AhashMaxHamming)
+  private[graft] val EhashScheme = BandScheme(4, 15, 8)
+
   /** The q45c/q45d image fixture: 96 PNGs in 32 groups of 3, one block
     * pattern per group, members brightness-shifted by doc_id % 3 (the
     * q45b posture: bytes are born on the executors). */
@@ -473,21 +486,22 @@ object Multimodal {
     *
     * Scale shape: the pair join is the banded family (2^15 keys/band,
     * never corpus-quadratic); CC's every shuffle is bounded by the
-    * pair graph; the clustered id set is pair-graph-bounded and
-    * BROADCASTs against the signature table for the singleton
-    * complement — the full-corpus side pays one scan of 8-byte
-    * signatures, no self-join, no shuffle before the presentation
-    * sort. Callers pass a MATERIALIZED signature table (it feeds both
-    * the pair join and the complement; unmaterialized, decode would
-    * run twice — the q45d/s19 lesson). */
+    * pair graph; the singleton complement is a LEFT ANTI join of the
+    * 8-byte signature scan against the clustered id set — NOT hinted
+    * broadcast (review finding, round 12): on a dedup-heavy corpus
+    * the clustered set is a corpus FRACTION, not a small bound, so
+    * the declared plan is the shuffle anti join and AQE's runtime
+    * stats convert it to a broadcast exactly when the set really is
+    * small (the fixture case). Callers pass a MATERIALIZED signature
+    * table (it feeds both the pair join and the complement;
+    * unmaterialized, decode would run twice — the q45d/s19 lesson). */
   def imageClusters(sigs: DataFrame): DataFrame = {
     val cc = graft.ops.Dedup.connectedComponents(
       graft.ops.Dedup.bandedHammingPairs(sigs, "ahash",
         AhashBands, AhashBandBits, AhashMaxHamming)
         .select(col("doc_a"), col("doc_b")))
     val singles = sigs
-      .join(broadcast(cc.select(col("doc_id"))), Seq("doc_id"),
-        "left_anti")
+      .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
     cc.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -524,18 +538,20 @@ object Multimodal {
     * trio below is signature-column-parameterized since round 12, so
     * the image (ahash) and audio (ehash) admission families run ONE
     * definition of the layout, the pruned merge, and the append-back. */
-  private def sigBandRows(sigs: DataFrame, sigCol: String): DataFrame =
-    graft.ops.Dedup.bandChunkRows(sigs, sigCol, AhashBands,
-      AhashBandBits)
+  private def sigBandRows(sigs: DataFrame, sigCol: String,
+      scheme: BandScheme): DataFrame =
+    graft.ops.Dedup.bandChunkRows(sigs, sigCol, scheme.nBands,
+      scheme.bits)
       .withColumnRenamed("chunk", "band")
 
   /** Write/append a perceptual admission index: band rows partitioned
     * by kb = xxhash64(band, ckey) mod 64 (the q85 layout — band folded
     * into one 64-way bucket hash, co-located so each partition dir is
     * one task's files). */
-  def sigIndexWrite(sigs: DataFrame, sigCol: String, store: String,
+  def sigIndexWrite(sigs: DataFrame, sigCol: String,
+      scheme: BandScheme, store: String,
       mode: String = "overwrite"): Unit =
-    sigBandRows(sigs.filter(col("doc_id").isNotNull), sigCol)
+    sigBandRows(sigs.filter(col("doc_id").isNotNull), sigCol, scheme)
       .withColumn("kb",
         pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int"))
       .repartition(64, col("kb"))
@@ -544,7 +560,7 @@ object Multimodal {
 
   def ahashIndexWrite(sigs: DataFrame, store: String,
       mode: String = "overwrite"): Unit =
-    sigIndexWrite(sigs, "ahash", store, mode)
+    sigIndexWrite(sigs, "ahash", AhashScheme, store, mode)
 
   /** Admit the batch's perceptually-new images against the stored band
     * index: the index read is partition-pruned to the batch's <= 64 kb
@@ -557,18 +573,19 @@ object Multimodal {
     * later batches dedup against earlier arrivals. */
   def ahashMerge(s: SparkSession, store: String,
       batchSigs: DataFrame): DataFrame =
-    sigMerge(s, store, "ahash", batchSigs)
+    sigMerge(s, store, "ahash", AhashScheme, batchSigs)
 
   def sigMerge(s: SparkSession, store: String, sigCol: String,
-      batchSigs: DataFrame): DataFrame = {
+      scheme: BandScheme, batchSigs: DataFrame): DataFrame = {
     val batchBands = graft.ops.Dedup.materializeBounded(
-      sigBandRows(batchSigs.filter(col("doc_id").isNotNull), sigCol)
+      sigBandRows(batchSigs.filter(col("doc_id").isNotNull), sigCol,
+        scheme)
         .withColumn("kb",
           pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
     val keys = batchBands.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
     val near =
-      expr(s"bit_count(x.$sigCol ^ y.$sigCol)") <= AhashMaxHamming
+      expr(s"bit_count(x.$sigCol ^ y.$sigCol)") <= scheme.maxHamming
     val crossHit =
       if (keys.isEmpty) batchSigs.select(col("doc_id")).limit(0)
       else s.read.parquet(store)
@@ -656,6 +673,16 @@ object Multimodal {
           fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian
       if (!u8 && !s16) return None
+      // reject by HEADER before buffering: frameLength == sample count
+      // for PCM mono, and WAV/AIFF headers carry it — a 500 MB track
+      // should cost a header read, not a second 500 MB allocation,
+      // before returning None (the imageAHash reject-before-paying
+      // posture; review finding, round 12). NOT_SPECIFIED (-1) falls
+      // through to the post-read check.
+      val headerFrames = ais.getFrameLength
+      if (headerFrames >= 0 &&
+          (headerFrames < 60 || headerFrames > MaxEnvelopeSamples))
+        return None
       val bytes = ais.readAllBytes()
       val n = if (u8) bytes.length.toLong else bytes.length.toLong / 2
       if (n < 60 || n > MaxEnvelopeSamples) return None
@@ -742,7 +769,7 @@ object Multimodal {
   def q45fAudioEnvelopeDedup(s: SparkSession, d: String): DataFrame =
     graft.ops.Dedup.bandedHammingPairs(
       audioSignatures(syntheticWavs(s)), "ehash",
-      AhashBands, AhashBandBits, AhashMaxHamming)
+      EhashScheme.nBands, EhashScheme.bits, EhashScheme.maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
   // O-121 (q45g): incremental AUDIO-dedup admission — the O-114
@@ -759,8 +786,10 @@ object Multimodal {
     val store = graft.util.Ephemeral.fixedDir("graft_ehash_store_q45g")
     val sigs = graft.ops.Dedup.materializeBounded(
       audioSignatures(syntheticWavs(s)))
-    sigIndexWrite(sigs.filter(col("doc_id") < 32), "ehash", store)
-    sigMerge(s, store, "ehash", sigs.filter(col("doc_id") >= 32))
+    sigIndexWrite(sigs.filter(col("doc_id") < 32), "ehash",
+      EhashScheme, store)
+    sigMerge(s, store, "ehash", EhashScheme,
+      sigs.filter(col("doc_id") >= 32))
   }
 
   // O-123 (q45h): BANDING-RECALL audit under planted perturbations —
@@ -909,12 +938,12 @@ object Multimodal {
     s"""(WITH $ahashSigsSql,
        |chunksI AS (
        |  SELECT doc_id, ahash, tc.c,
-       |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
-       |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c))
+       |    (ahash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+       |  FROM sigs, generate_series(0, ${EhashScheme.nBands - 1}) tc(c))
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM chunksI x JOIN chunksI y ON x.c = y.c AND x.ckey = y.ckey
        |WHERE x.doc_id < y.doc_id
-       |  AND bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming)"""
+       |  AND bit_count(xor(x.ahash, y.ahash)) <= ${EhashScheme.maxHamming})"""
       .stripMargin
 
   /** 32-bit Java-int wrap of a BIGINT expression, floor-mod style.
@@ -1088,13 +1117,13 @@ object Multimodal {
       s"""WITH $ehashSigsSql,
          |chunks AS (
          |  SELECT doc_id, ehash, tc.c,
-         |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
-         |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c))
+         |    (ehash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+         |  FROM sigsA, generate_series(0, ${EhashScheme.nBands - 1}) tc(c))
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
          |FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
          |WHERE x.doc_id < y.doc_id
-         |  AND bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming
+         |  AND bit_count(xor(x.ehash, y.ehash)) <= ${EhashScheme.maxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin,
     // q45g: the q45d admission rule replayed over the audio closed-form
     // hashes — corpus bands (doc_id < 32) vs batch bands, popcount <= 8

@@ -746,21 +746,34 @@ object Streams {
   // admitting nothing new — the MultimodalSpec lifecycle property), so
   // the index append is value-idempotent, but the admitted SINK would
   // carry replayed rows twice; a production sink dedups on doc_id.
-  def s19StreamImageScreen(s: SparkSession, d: String): DataFrame = {
+  /** The shared ingest-time perceptual-dedup screen topology (s19
+    * image / s20 audio — ONE definition, like the store trio it
+    * drives): build the standing band index from the corpus slice,
+    * stage the arriving records as a one-file stream source (one file
+    * -> one AvailableNow batch; the admitted set is slicing-sensitive
+    * only through keep-lowest ties, which a deterministic
+    * single-batch replay never exercises differently), then per
+    * micro-batch: decode + signature statelessly, run the pruned
+    * sigMerge against the store, persist the admitted signatures, and
+    * append them back. The localCheckpoint is LOAD-BEARING: the sink
+    * write and the index append must see the same admitted rows. */
+  private def streamSigScreen(s: SparkSession,
+      all: org.apache.spark.sql.Dataset[
+        graft.functions.Multimodal.MediaRecord],
+      corpusBound: Long,
+      sigsOf: org.apache.spark.sql.Dataset[
+        graft.functions.Multimodal.MediaRecord] => DataFrame,
+      sigCol: String, scheme: graft.functions.Multimodal.BandScheme,
+      tag: String): DataFrame = {
     import s.implicits._
-    val store = graft.util.Ephemeral.fixedDir("graft_ahash_store_s19")
-    val all = graft.functions.Multimodal.syntheticImages(s)
-    graft.functions.Multimodal.ahashIndexWrite(
-      graft.functions.Multimodal.imageSignatures(
-        all.filter(col("doc_id") < 50)), store)
-    // the arriving day's images, staged as the stream's file source
-    // (one file -> one AvailableNow batch; the admitted set is
-    // slicing-sensitive only through keep-lowest ties, which a
-    // deterministic single-batch replay never exercises differently)
-    val inDir = graft.util.Ephemeral.dir("graft_image_stream_in_")
-    all.filter(col("doc_id") >= 50).toDF()
+    val store = graft.util.Ephemeral.fixedDir(s"graft_${tag}_store")
+    graft.functions.Multimodal.sigIndexWrite(
+      sigsOf(all.filter(col("doc_id") < corpusBound)), sigCol, scheme,
+      store)
+    val inDir = graft.util.Ephemeral.dir(s"graft_${tag}_stream_in_")
+    all.filter(col("doc_id") >= corpusBound).toDF()
       .coalesce(1).write.mode("overwrite").parquet(inDir)
-    val admittedDir = graft.util.Ephemeral.dir("graft_image_admit_s19")
+    val admittedDir = graft.util.Ephemeral.dir(s"graft_${tag}_admit_")
     val q = s.readStream.schema(mediaSchema).parquet(inDir)
       .writeStream
       .option("checkpointLocation", ephemeralCheckpointDir())
@@ -768,22 +781,25 @@ object Streams {
         if (!batch.isEmpty) {
           val bs = batch.sparkSession
           import bs.implicits._
-          // decode + hash on ingest (stateless row-local), then the
-          // q45d merge; materialize ONCE — the sink write and the
-          // index append must see the same admitted rows
-          val admitted = graft.functions.Multimodal.ahashMerge(bs, store,
-            graft.functions.Multimodal.imageSignatures(
-              batch.as[graft.functions.Multimodal.MediaRecord]))
+          val admitted = graft.functions.Multimodal.sigMerge(bs, store,
+            sigCol, scheme,
+            sigsOf(batch.as[graft.functions.Multimodal.MediaRecord]))
             .localCheckpoint()
           admitted.write.mode("append").parquet(admittedDir)
-          graft.functions.Multimodal.ahashIndexWrite(
-            admitted, store, mode = "append")
+          graft.functions.Multimodal.sigIndexWrite(
+            admitted, sigCol, scheme, store, mode = "append")
         }
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.read.parquet(admittedDir).orderBy(col("doc_id"))
   }
+
+  def s19StreamImageScreen(s: SparkSession, d: String): DataFrame =
+    streamSigScreen(s, graft.functions.Multimodal.syntheticImages(s),
+      corpusBound = 50,
+      graft.functions.Multimodal.imageSignatures,
+      "ahash", graft.functions.Multimodal.AhashScheme, "s19_image")
 
   // O-122 (s20): ingest-time AUDIO-dedup screen — s19's topology over
   // the audio family through the signature-generalized store trio:
@@ -793,38 +809,11 @@ object Streams {
   // them back so later batches dedup against earlier arrivals — PCM
   // crosses the wire once, at ingest. The SIXTH standing-index family
   // with a persisted stream-ingest path (s15/s16/s17/s18/s19/s20).
-  def s20StreamAudioScreen(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val store = graft.util.Ephemeral.fixedDir("graft_ehash_store_s20")
-    val all = graft.functions.Multimodal.syntheticWavs(s)
-    graft.functions.Multimodal.sigIndexWrite(
-      graft.functions.Multimodal.audioSignatures(
-        all.filter(col("doc_id") < 32)), "ehash", store)
-    val inDir = graft.util.Ephemeral.dir("graft_audio_stream_in_")
-    all.filter(col("doc_id") >= 32).toDF()
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
-    val admittedDir = graft.util.Ephemeral.dir("graft_audio_admit_s20")
-    val q = s.readStream.schema(mediaSchema).parquet(inDir)
-      .writeStream
-      .option("checkpointLocation", ephemeralCheckpointDir())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val bs = batch.sparkSession
-          import bs.implicits._
-          val admitted = graft.functions.Multimodal.sigMerge(bs, store,
-            "ehash",
-            graft.functions.Multimodal.audioSignatures(
-              batch.as[graft.functions.Multimodal.MediaRecord]))
-            .localCheckpoint()
-          admitted.write.mode("append").parquet(admittedDir)
-          graft.functions.Multimodal.sigIndexWrite(
-            admitted, "ehash", store, mode = "append")
-        }
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.read.parquet(admittedDir).orderBy(col("doc_id"))
-  }
+  def s20StreamAudioScreen(s: SparkSession, d: String): DataFrame =
+    streamSigScreen(s, graft.functions.Multimodal.syntheticWavs(s),
+      corpusBound = 32,
+      graft.functions.Multimodal.audioSignatures,
+      "ehash", graft.functions.Multimodal.EhashScheme, "s20_audio")
 
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining

@@ -24,6 +24,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(times.contains("a") && errs.isEmpty)
   }
 
+  test("a one-pass crash cannot displace the surviving pass's timing") {
+    val out = Bench.combinePasses(
+      Map("q" -> 0.1, "ok" -> 2.0, "boom" -> 0.2),
+      Map("q" -> "crash fast", "boom" -> "crash"),
+      Map("q" -> 5.0, "ok" -> 3.0, "boom" -> 0.3),
+      Map("boom" -> "crash again"))
+    assert(out("q") === 5.0) // NOT the crash's artificially fast 0.1
+    assert(out("ok") === 2.0) // both valid -> plain min
+    assert(out("boom") === 0.2) // both crashed -> flagged min survives
+  }
+
   test("error messages are single-line and bounded (JSON-line safety)") {
     val (_, errs) = Bench.measureAll(Seq(
       "q_nl" -> (() => throw new RuntimeException("x\ny\tz " + "!" * 500))))

@@ -265,17 +265,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticWavs(spark)).cache()
     val batch = sigs.filter(col("doc_id") >= 32)
     Multimodal.sigIndexWrite(sigs.filter(col("doc_id") < 32), "ehash",
-      store)
-    val admitted = Multimodal.sigMerge(spark, store, "ehash", batch)
+      Multimodal.EhashScheme, store)
+    val admitted = Multimodal.sigMerge(spark, store, "ehash",
+        Multimodal.EhashScheme, batch)
       .as[(Long, Long)].collect()
     // id 32 completes stored group 10 (cross-store drop); each all-new
     // group admits its lowest member
     assert(admitted.map(_._1).toSeq === (33L to 57L by 3L).toSeq)
     Multimodal.sigIndexWrite(
-      admitted.toSeq.toDF("doc_id", "ehash"), "ehash", store,
-      mode = "append")
-    assert(Multimodal.sigMerge(spark, store, "ehash", batch).count()
-      === 0L)
+      admitted.toSeq.toDF("doc_id", "ehash"), "ehash",
+      Multimodal.EhashScheme, store, mode = "append")
+    assert(Multimodal.sigMerge(spark, store, "ehash",
+      Multimodal.EhashScheme, batch).count() === 0L)
     sigs.unpersist()
   }
 

@@ -243,14 +243,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("q45e: singleton complement anti-joins as a broadcast over " +
-    "the signature side; no quadratic join anywhere") {
+  test("q45e: singleton complement is a LEFT ANTI equi join — no " +
+    "quadratic join anywhere, no forced broadcast of the clustered set") {
     val plan = formatted("q45e_image_clusters")
-    // the clustered id set is pair-graph-bounded → broadcast LEFT ANTI;
-    // the signature side never shuffles for the complement
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // deliberately NOT pinned to BroadcastHashJoin: the clustered set
+    // is a corpus FRACTION on a dedup-heavy corpus, so the declared
+    // plan must not hint broadcast — AQE converts at runtime when the
+    // set is genuinely small (review finding, round 12)
     assert(plan.contains("LeftAnti"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
