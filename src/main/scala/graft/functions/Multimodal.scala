@@ -495,10 +495,17 @@ object Multimodal {
     * small (the fixture case). Callers pass a MATERIALIZED signature
     * table (it feeds both the pair join and the complement;
     * unmaterialized, decode would run twice — the q45d/s19 lesson). */
-  def imageClusters(sigs: DataFrame): DataFrame = {
+  def imageClusters(sigs: DataFrame): DataFrame =
+    sigClusters(sigs, "ahash", AhashScheme)
+
+  /** The family-generic form of the disposition ([[imageClusters]]'s
+    * scaladoc carries the scale argument): any (doc_id, <sigCol>)
+    * signature table under its family's [[BandScheme]]. */
+  def sigClusters(sigs: DataFrame, sigCol: String,
+      scheme: BandScheme): DataFrame = {
     val cc = graft.ops.Dedup.connectedComponents(
-      graft.ops.Dedup.bandedHammingPairs(sigs, "ahash",
-        AhashBands, AhashBandBits, AhashMaxHamming)
+      graft.ops.Dedup.bandedHammingPairs(sigs, sigCol,
+        scheme.nBands, scheme.bits, scheme.maxHamming)
         .select(col("doc_a"), col("doc_b")))
     val singles = sigs
       .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -509,6 +516,15 @@ object Multimodal {
       .unionByName(singles)
       .orderBy(col("cluster_id"), col("doc_id"))
   }
+
+  /** q45i: the audio twin of q45e through [[sigClusters]] — 20
+    * clusters of 3 gain-scaled variants, min-id canonical, no
+    * singletons in the fixture (the singleton complement path is the
+    * SAME code q45e's planted-unique test covers); `WHERE
+    * is_canonical` is the canonical audio corpus. */
+  def q45iAudioClusters(s: SparkSession, d: String): DataFrame =
+    sigClusters(graft.ops.Dedup.materializeBounded(
+      audioSignatures(syntheticWavs(s))), "ehash", EhashScheme)
 
   /** Declared O-117 binding over the shared 96-PNG fixture: 32 groups
     * of 3 brightness-shifted variants → 32 clusters of 3, min-id
@@ -901,6 +917,7 @@ object Multimodal {
     "q45f_audio_envelope_dedup" -> (q45fAudioEnvelopeDedup _),
     "q45g_audio_merge" -> (q45gAudioMerge _),
     "q45h_banding_recall" -> (q45hBandingRecall _),
+    "q45i_audio_clusters" -> (q45iAudioClusters _),
     "q46_binary_funcs" -> (q46BinaryFuncs _),
   )
 
@@ -1107,6 +1124,42 @@ object Multimodal {
          |  SELECT doc_id, doc_id AS cluster_id, CAST(1 AS BIGINT)
          |      AS cluster_size, TRUE AS is_canonical
          |  FROM sigs WHERE doc_id NOT IN (SELECT doc_id FROM clustered))
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+    // q45i: the q45e recursive-CTE CC replay over the audio
+    // closed-form hashes + the singleton complement
+    "q45i_audio_clusters" ->
+      s"""WITH RECURSIVE $ehashSigsSql,
+         |chunks AS (
+         |  SELECT doc_id, ehash, tc.c,
+         |    (ehash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+         |  FROM sigsA, generate_series(0, ${EhashScheme.nBands - 1}) tc(c)),
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.ehash, y.ehash)) <= ${EhashScheme.maxHamming}),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |clustered AS (
+         |  SELECT id AS doc_id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS cluster_size,
+         |    id = cluster_id AS is_canonical
+         |  FROM comp)
+         |SELECT doc_id, cluster_id, cluster_size, is_canonical
+         |FROM (
+         |  SELECT * FROM clustered
+         |  UNION ALL
+         |  SELECT doc_id, doc_id AS cluster_id, CAST(1 AS BIGINT)
+         |      AS cluster_size, TRUE AS is_canonical
+         |  FROM sigsA WHERE doc_id NOT IN (SELECT doc_id FROM clustered))
          |ORDER BY cluster_id, doc_id""".stripMargin,
     // closed-form replay of q45f: WAV PCM round-trips exactly and the
     // envelope is integer, so each group's 60-bit hash derives from
