@@ -2470,7 +2470,22 @@ object Dedup {
   // real pipeline persists intermediate corpora between jobs.
   /** The funnel over any (doc_id, lang, source, n_chars, text) table:
     * one row per stage with the surviving doc count. */
-  def curationFunnel(docs0: DataFrame): DataFrame = {
+  def curationFunnel(docs0: DataFrame): DataFrame =
+    funnelCounts(funnelStages(docs0))
+
+  private def funnelCounts(
+      stages: Seq[(Int, String, DataFrame)]): DataFrame =
+    stages.map { case (i, n, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(n).as("stage_name"),
+          col("n_docs"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("stage"))
+
+  /** The funnel's per-stage survivor tables, exposed so q87b can
+    * append the selection stage without re-deriving stages 0..5. */
+  private def funnelStages(
+      docs0: DataFrame): Seq[(Int, String, DataFrame)] = {
     val d0 = materializeBounded(docs0.filter(col("doc_id").isNotNull))
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     val s1 = materializeBounded(d0
@@ -2504,16 +2519,46 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     Seq((0, "input", d0), (1, "exact_dedup", s1), (2, "near_dup", s2),
       (3, "quality", s3), (4, "decontaminate", s4), (5, "train_split", s5))
-      .map { case (i, n, df) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i).as("stage"), lit(n).as("stage_name"),
-            col("n_docs"))
-      }.reduce(_ unionByName _)
-      .orderBy(col("stage"))
   }
 
   def q87CurationFunnel(s: SparkSession, d: String): DataFrame =
     curationFunnel(documents(s, d))
+
+  // O-126 (q87b): the funnel COMPOSED with the round's DSIR closure —
+  // a real curation run does not stop at the train split: the last
+  // stage shapes the surviving corpus into the TARGET-MATCHED mixture
+  // the trainer actually reads (Xie et al.'s loop, q100 -> q101,
+  // applied where it belongs in the pipeline). Stage 6 scores the
+  // stage-5 survivors' target affinity against the src0 eval domain
+  // (the SAME src0 that stage 4 decontaminated against and excluded
+  // from training — the target corpus informs selection without ever
+  // entering it) and admits the per-source top-affinity prefix under
+  // the q66b integer token quota. Output = the q87 funnel plus the
+  // selection row; the final count is the corpus a trainer gets.
+  /** Funnel + affinity-ranked selection over any (doc_id, lang,
+    * source, n_chars, text) table. Scale: stages 0..5 are q87's
+    * bounded plans; stage 6 is q101's shape over the stage-5
+    * survivors ∪ the target slice (model materialized once +
+    * broadcast, one |sources|-row quota collect, one ranking-window
+    * shuffle). */
+  def curationFunnelWithSelection(docs0: DataFrame,
+      targetSource: String = "src0",
+      weights: Map[String, Int] = Map("src1" -> 2)): DataFrame = {
+    val stages = funnelStages(docs0)
+    val d0 = stages.head._3
+    val s5 = stages.last._3
+    val affIn = d0.filter(col("source") === targetSource)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(s5.select(col("doc_id"), col("source"), col("text")))
+    val selected = TextAnalysis
+      .affinitySelect(affIn, targetSource, weights)
+      .select(col("doc_id"))
+    val s6 = s5.join(selected, Seq("doc_id"), "left_semi")
+    funnelCounts(stages :+ ((6, "affinity_select", s6)))
+  }
+
+  def q87bFunnelSelection(s: SparkSession, d: String): DataFrame =
+    curationFunnelWithSelection(documents(s, d))
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d),
@@ -2607,6 +2652,7 @@ object Dedup {
     "q89_cluster_merge" -> (q89ClusterMerge _),
     "q86_neardup_recall" -> (q86NeardupRecall _),
     "q87_curation_funnel" -> (q87CurationFunnel _),
+    "q87b_funnel_selection" -> (q87bFunnelSelection _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -2743,6 +2789,64 @@ object Dedup {
        |chunks AS (
        |  SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey
        |  FROM sigs, UNNEST(generate_series(0, ${SimChunks - 1})) AS t(c))""".stripMargin
+
+  /** The q87 funnel's stage CTEs (d0..s5) over `documents`, factored
+    * so the q87b oracle can append the selection stage without
+    * restating stages 0..5 (exactly mirroring the Spark-side
+    * funnelStages share). Ends WITHOUT a trailing comma. */
+  private lazy val funnelCtesSql: String =
+    s"""d0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |s1 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |${shingleSqlFor("(SELECT doc_id, text FROM s1)", "P")},
+         |cntP AS (SELECT doc_id, count(*) AS c FROM shP GROUP BY doc_id),
+         |prsP AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shP a JOIN shP b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nddrop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM prsP
+         |  JOIN cntP ca ON doc_a = ca.doc_id
+         |  JOIN cntP cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |s2 AS (
+         |  SELECT * FROM s1 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM nddrop n WHERE n.doc_id = f.doc_id)),
+         |qt AS (
+         |  SELECT doc_id,
+         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS INT) AS n_word_chars,
+         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
+         |  FROM s2),
+         |s3 AS (
+         |  SELECT s2.* FROM s2 JOIN qt USING (doc_id)
+         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
+         |    AND (n_word_chars >= n_tokens * 3
+         |      AND n_word_chars <= n_tokens * 6)
+         |    AND (n_distinct * 10 >= n_tokens * 3)),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM documents" +
+              " WHERE doc_id IS NOT NULL AND source = 'src0')", "E")},
+         |benchE AS (SELECT DISTINCT shingle FROM shE),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s3 WHERE source != 'src0')", "F")},
+         |flagged AS (
+         |  SELECT doc_id FROM shF JOIN benchE USING (shingle)
+         |  GROUP BY doc_id HAVING count(*) >= 10),
+         |s4 AS (
+         |  SELECT * FROM s3 f
+         |  WHERE source != 'src0' AND NOT EXISTS
+         |    (SELECT 1 FROM flagged g WHERE g.doc_id = f.doc_id)),
+         |s5 AS (
+         |  SELECT * FROM s4
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 100 < 80)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // String-shingle twin of the xxhash64 formulation (same reasoning
@@ -3392,58 +3496,7 @@ object Dedup {
     // 0.5 over the s1 survivors, q62's keep, q65's >= 10 shared
     // shingles vs src0 with src0 excluded, q59's bucket < 80)
     "q87_curation_funnel" ->
-      s"""WITH d0 AS (
-         |  SELECT doc_id, lang, source, n_chars, text FROM documents
-         |  WHERE doc_id IS NOT NULL),
-         |s1 AS (
-         |  SELECT doc_id, lang, source, n_chars, text FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-         |    FROM d0) WHERE rn = 1),
-         |${shingleSqlFor("(SELECT doc_id, text FROM s1)", "P")},
-         |cntP AS (SELECT doc_id, count(*) AS c FROM shP GROUP BY doc_id),
-         |prsP AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM shP a JOIN shP b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |nddrop AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM prsP
-         |  JOIN cntP ca ON doc_a = ca.doc_id
-         |  JOIN cntP cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
-         |s2 AS (
-         |  SELECT * FROM s1 f WHERE NOT EXISTS
-         |    (SELECT 1 FROM nddrop n WHERE n.doc_id = f.doc_id)),
-         |qt AS (
-         |  SELECT doc_id,
-         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
-         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
-         |      AS INT) AS n_word_chars,
-         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
-         |  FROM s2),
-         |s3 AS (
-         |  SELECT s2.* FROM s2 JOIN qt USING (doc_id)
-         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
-         |    AND (n_word_chars >= n_tokens * 3
-         |      AND n_word_chars <= n_tokens * 6)
-         |    AND (n_distinct * 10 >= n_tokens * 3)),
-         |${shingleSqlFor(
-            "(SELECT doc_id, text FROM documents" +
-              " WHERE doc_id IS NOT NULL AND source = 'src0')", "E")},
-         |benchE AS (SELECT DISTINCT shingle FROM shE),
-         |${shingleSqlFor(
-            "(SELECT doc_id, text FROM s3 WHERE source != 'src0')", "F")},
-         |flagged AS (
-         |  SELECT doc_id FROM shF JOIN benchE USING (shingle)
-         |  GROUP BY doc_id HAVING count(*) >= 10),
-         |s4 AS (
-         |  SELECT * FROM s3 f
-         |  WHERE source != 'src0' AND NOT EXISTS
-         |    (SELECT 1 FROM flagged g WHERE g.doc_id = f.doc_id)),
-         |s5 AS (
-         |  SELECT * FROM s4
-         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |    AS BIGINT) % 100 < 80),
+      s"""WITH $funnelCtesSql,
          |funnel AS (
          |  SELECT 0 AS stage, 'input' AS stage_name,
          |    (SELECT count(*) FROM d0) AS n_docs
@@ -3452,6 +3505,32 @@ object Dedup {
          |  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)
          |  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5))
+         |SELECT CAST(stage AS INT) AS stage, stage_name,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM funnel ORDER BY stage""".stripMargin,
+    // q87b: the funnel CTEs + the q101 affinity/quota stack over
+    // (src0 target slice UNION stage-5 survivors) + the selection
+    // count as stage 6 — one oracle composed from the two shared
+    // CTE factorings (funnelCtesSql, affinitySelectCtesOver)
+    "q87b_funnel_selection" ->
+      s"""WITH $funnelCtesSql,
+         |aff_in AS (
+         |  SELECT doc_id, source, text FROM d0 WHERE source = 'src0'
+         |  UNION ALL SELECT doc_id, source, text FROM s5),
+         |${graft.ops.TextAnalysis.affinitySelectCtesOver("aff_in")},
+         |sel AS (
+         |  SELECT c.doc_id FROM c JOIN ki USING (source)
+         |  WHERE c.cum_tok <= ki.tok_quota),
+         |funnel AS (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM d0) AS n_docs
+         |  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'near_dup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT 6, 'affinity_select',
+         |    (SELECT count(*) FROM sel))
          |SELECT CAST(stage AS INT) AS stage, stage_name,
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM funnel ORDER BY stage""".stripMargin,

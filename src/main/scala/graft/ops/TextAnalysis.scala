@@ -811,6 +811,56 @@ object TextAnalysis {
          |    AS mean_tf_permille
          |FROM per ORDER BY doc_id""".stripMargin
 
+  /** The q101 CTE stack over an arbitrary (doc_id, source, text)
+    * relation `src` — tk/pos/model/tot/per/aff/quota/c, target src0,
+    * weight src1=2 (the declared fixture binding). Consumers append
+    * their own final SELECT: q101 the full admission table, the q87b
+    * funnel oracle just the selected id set. */
+  private[graft] def affinitySelectCtesOver(src: String): String =
+    s"""tk AS (
+       |  SELECT doc_id, source, $toksSql AS w FROM $src
+       |  WHERE doc_id IS NOT NULL),
+       |pos AS (SELECT doc_id, source, t.tok
+       |  FROM tk, UNNEST(w) AS t(tok)),
+       |model AS (
+       |  SELECT tok,
+       |    CAST(count(CASE WHEN source = 'src0' THEN 1 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(count(CASE WHEN source != 'src0' THEN 1 END)
+       |      AS BIGINT) AS cb
+       |  FROM pos GROUP BY tok),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total,
+       |  CAST(sum(cb) AS BIGINT) AS b_total FROM model),
+       |per AS (
+       |  SELECT doc_id, source, t_total, b_total,
+       |    CAST(count(*) AS BIGINT) AS n_tok,
+       |    CAST(sum(ct) AS BIGINT) AS t_mass,
+       |    CAST(sum(cb) AS BIGINT) AS b_mass
+       |  FROM pos JOIN model USING (tok) CROSS JOIN tot
+       |  WHERE source != 'src0'
+       |  GROUP BY doc_id, source, t_total, b_total),
+       |aff AS (
+       |  SELECT doc_id, source, n_tok,
+       |    round((CAST(t_mass + 1 AS DOUBLE) * b_total) /
+       |      (CAST(b_mass + 1 AS DOUBLE) * t_total), 6) AS affinity,
+       |    ${Sampling.bucketSqlOf("doc_id")} AS bucket,
+       |    CASE WHEN source = 'src1' THEN 2 ELSE 1 END AS w
+       |  FROM per),
+       |counts AS (SELECT source, w, CAST(sum(n_tok) AS BIGINT) AS tok
+       |  FROM aff GROUP BY 1, 2),
+       |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
+       |tv AS (SELECT CAST(min(tok * wsum // w) AS BIGINT) AS t
+       |  FROM counts, ws),
+       |ki AS (SELECT source, CAST(w * t // wsum AS BIGINT) AS tok_quota
+       |  FROM counts, tv, ws),
+       |c AS (
+       |  SELECT doc_id, source, n_tok, affinity,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY affinity DESC, bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tok
+       |  FROM aff)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q72_corpus_freq_score" -> corpusFreqSql,
     "q92_tf_store_score" -> corpusFreqSql,
@@ -850,49 +900,7 @@ object TextAnalysis {
     // rounded affinity with the identical op order, so the DESC
     // ranking (and hence every cumulative sum) agrees exactly
     "q101_affinity_select" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source, $toksSql AS w FROM documents
-         |  WHERE doc_id IS NOT NULL),
-         |pos AS (SELECT doc_id, source, t.tok
-         |  FROM tk, UNNEST(w) AS t(tok)),
-         |model AS (
-         |  SELECT tok,
-         |    CAST(count(CASE WHEN source = 'src0' THEN 1 END)
-         |      AS BIGINT) AS ct,
-         |    CAST(count(CASE WHEN source != 'src0' THEN 1 END)
-         |      AS BIGINT) AS cb
-         |  FROM pos GROUP BY tok),
-         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total,
-         |  CAST(sum(cb) AS BIGINT) AS b_total FROM model),
-         |per AS (
-         |  SELECT doc_id, source, t_total, b_total,
-         |    CAST(count(*) AS BIGINT) AS n_tok,
-         |    CAST(sum(ct) AS BIGINT) AS t_mass,
-         |    CAST(sum(cb) AS BIGINT) AS b_mass
-         |  FROM pos JOIN model USING (tok) CROSS JOIN tot
-         |  WHERE source != 'src0'
-         |  GROUP BY doc_id, source, t_total, b_total),
-         |aff AS (
-         |  SELECT doc_id, source, n_tok,
-         |    round((CAST(t_mass + 1 AS DOUBLE) * b_total) /
-         |      (CAST(b_mass + 1 AS DOUBLE) * t_total), 6) AS affinity,
-         |    ${Sampling.bucketSqlOf("doc_id")} AS bucket,
-         |    CASE WHEN source = 'src1' THEN 2 ELSE 1 END AS w
-         |  FROM per),
-         |counts AS (SELECT source, w, CAST(sum(n_tok) AS BIGINT) AS tok
-         |  FROM aff GROUP BY 1, 2),
-         |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM counts),
-         |tv AS (SELECT CAST(min(tok * wsum // w) AS BIGINT) AS t
-         |  FROM counts, ws),
-         |ki AS (SELECT source, CAST(w * t // wsum AS BIGINT) AS tok_quota
-         |  FROM counts, tv, ws),
-         |c AS (
-         |  SELECT doc_id, source, n_tok, affinity,
-         |    CAST(sum(n_tok) OVER (PARTITION BY source
-         |      ORDER BY affinity DESC, bucket, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) AS cum_tok
-         |  FROM aff)
+      s"""WITH ${affinitySelectCtesOver("documents")}
          |SELECT c.doc_id, c.source, c.n_tok, c.affinity, c.cum_tok,
          |  ki.tok_quota
          |FROM c JOIN ki USING (source)

@@ -302,6 +302,28 @@ class MultimodalSpec extends SparkSpec {
       (99L, 99L, 1L, true)))
   }
 
+  test("sigClusters disposition is a PARTITION on a collision-heavy " +
+    "pseudo-random signature set: every doc exactly once, one " +
+    "canonical per cluster, cluster_id = member min") {
+    import spark.implicits._
+    // small signature alphabet forces a mixed graph: dense clusters,
+    // chains through shared bands, and genuine singletons
+    val sigs = (0L until 48L).map { i =>
+      val v = (i * i * 2654435761L) % 5 // 5 base patterns
+      (i, v * 0x0041041041041L) // spread bits so patterns differ >8
+    }.toDF("doc_id", "ehash")
+    val out = graft.functions.Multimodal
+      .sigClusters(sigs, "ehash", graft.functions.Multimodal.EhashScheme)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1).sorted === (0L until 48L))
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.forall(_._3 === members.size.toLong))
+      assert(members.count(_._4) === 1)
+      assert(members.filter(_._4).head._1 === members.map(_._1).min)
+      assert(cid === members.map(_._1).min)
+    }
+  }
+
   test("q45e: 32 clusters of 3, min-id canonical, every image covered") {
     import spark.implicits._
     val out = Multimodal.q45eImageClusters(spark, sf)
