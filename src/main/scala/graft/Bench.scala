@@ -142,12 +142,14 @@ object Bench {
     val (pass2, errs2) = measureAll(thunks)
     val results = combinePasses(pass1, errs1, pass2, errs2)
     // LOUD failure accounting (VERDICT r11 "What's wrong #1"): a query
-    // that threw in EITHER measured pass has a meaningless timing, so
-    // its name and error surface in-band — "errors":N rides BOTH JSON
-    // lines (the total line is the one guaranteed inside the driver's
-    // 2000-byte tail window) and the full messages go to stderr. The
-    // masked-crash shape — crash recorded as a fast success — is now
-    // unrepresentable.
+    // that threw in EITHER measured pass has its name and error surface
+    // in-band — "errors":N rides BOTH JSON lines (the total line is the
+    // one guaranteed inside the driver's 2000-byte tail window) and the
+    // full messages go to stderr. Note the reported timing for a
+    // ONE-pass failure is still VALID — combinePasses mins over the
+    // surviving pass only; only a BOTH-pass failure carries a
+    // meaningless (crash wall-time) number. The masked-crash shape —
+    // crash recorded as a fast success — is unrepresentable either way.
     val failed = (errs2 ++ errs1).toSeq.sortBy(_._1)
     failed.foreach { case (n, e) =>
       System.err.println(s"[graft.Bench] query $n FAILED: $e") }

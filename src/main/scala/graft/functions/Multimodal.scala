@@ -836,7 +836,7 @@ object Multimodal {
   private[graft] val BandingConfigs = Seq((4, 15), (5, 12), (6, 10))
 
   private def bandingRecallFor(sigs: DataFrame, sigCol: String,
-      family: String): DataFrame = {
+      family: String, maxHamming: Int): DataFrame = {
     val base = sigs.select(col("doc_id"), col(sigCol).as("sig"))
     val twins = graft.ops.Dedup.materializeBounded(base
       .select(col("doc_id"), col("sig"),
@@ -852,7 +852,7 @@ object Multimodal {
       .withColumnRenamed("sig", sigCol))
     BandingConfigs.map { case (nb, bits) =>
       val pairs = graft.ops.Dedup.bandedHammingPairs(all, sigCol,
-        nb, bits, AhashMaxHamming)
+        nb, bits, maxHamming)
       // planted pair = (doc_id, doc_id + d*10000); found pairs are
       // DISTINCT, so the left join matches at most once
       twins
@@ -886,8 +886,9 @@ object Multimodal {
       imageSignatures(syntheticImages(s)))
     val aud = graft.ops.Dedup.materializeBounded(
       audioSignatures(syntheticWavs(s)))
-    bandingRecallFor(img, "ahash", "ahash")
-      .unionByName(bandingRecallFor(aud, "ehash", "ehash"))
+    bandingRecallFor(img, "ahash", "ahash", AhashScheme.maxHamming)
+      .unionByName(
+        bandingRecallFor(aud, "ehash", "ehash", EhashScheme.maxHamming))
       .withColumn("recall",
         round(col("n_found").cast("double") / col("n_pairs"), 4))
       .select(col("family"), col("n_bands"), col("band_bits"), col("d"),
@@ -955,12 +956,12 @@ object Multimodal {
     s"""(WITH $ahashSigsSql,
        |chunksI AS (
        |  SELECT doc_id, ahash, tc.c,
-       |    (ahash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
-       |  FROM sigs, generate_series(0, ${EhashScheme.nBands - 1}) tc(c))
+       |    (ahash >> (${AhashScheme.bits} * tc.c)) & ${(1 << AhashScheme.bits) - 1} AS ckey
+       |  FROM sigs, generate_series(0, ${AhashScheme.nBands - 1}) tc(c))
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM chunksI x JOIN chunksI y ON x.c = y.c AND x.ckey = y.ckey
        |WHERE x.doc_id < y.doc_id
-       |  AND bit_count(xor(x.ahash, y.ahash)) <= ${EhashScheme.maxHamming})"""
+       |  AND bit_count(xor(x.ahash, y.ahash)) <= ${AhashScheme.maxHamming})"""
       .stripMargin
 
   /** 32-bit Java-int wrap of a BIGINT expression, floor-mod style.
@@ -1186,23 +1187,23 @@ object Multimodal {
       s"""WITH $ehashSigsSql,
         |bandC AS (
         |  SELECT doc_id, ehash, tc.c,
-        |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
-        |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c)
+        |    (ehash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+        |  FROM sigsA, generate_series(0, ${EhashScheme.nBands - 1}) tc(c)
         |  WHERE doc_id < 32),
         |bandB AS (
         |  SELECT doc_id, ehash, tc.c,
-        |    (ehash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
-        |  FROM sigsA, generate_series(0, ${AhashBands - 1}) tc(c)
+        |    (ehash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+        |  FROM sigsA, generate_series(0, ${EhashScheme.nBands - 1}) tc(c)
         |  WHERE doc_id >= 32),
         |hit AS (
         |  SELECT DISTINCT x.doc_id
         |  FROM bandB x JOIN bandC y ON x.c = y.c AND x.ckey = y.ckey
-        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= ${EhashScheme.maxHamming}
         |  UNION
         |  SELECT DISTINCT y.doc_id
         |  FROM bandB x JOIN bandB y
         |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= $AhashMaxHamming)
+        |  WHERE bit_count(xor(x.ehash, y.ehash)) <= ${EhashScheme.maxHamming})
         |SELECT doc_id, ehash FROM sigsA
         |WHERE doc_id >= 32 AND doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY doc_id""".stripMargin,
@@ -1248,7 +1249,9 @@ object Multimodal {
          |    ON x.family = y.family AND x.nb = y.nb
          |      AND x.c = y.c AND x.ckey = y.ckey
          |  WHERE x.doc_id < y.doc_id
-         |    AND bit_count(xor(x.sig, y.sig)) <= $AhashMaxHamming),
+         |    AND bit_count(xor(x.sig, y.sig)) <=
+         |      CASE x.family WHEN 'ahash' THEN ${AhashScheme.maxHamming}
+         |        ELSE ${EhashScheme.maxHamming} END),
          |probe AS (
          |  SELECT t.family, cfg.nb, cfg.bits, t.d,
          |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
