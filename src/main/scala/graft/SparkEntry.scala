@@ -33,7 +33,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.SetOps.queries ++
       ops.Scalars.queries ++ ops.Typed.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Dedup.queries ++ ops.UnifiedClusters.queries ++
+      ops.Similarity.queries ++
       ops.TextAnalysis.queries ++ ops.Sampling.queries ++
       functions.Multimodal.queries ++
       streaming.Streams.queries ++
@@ -46,7 +47,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.SetOps.oracles ++
       ops.Scalars.oracles ++ ops.Typed.oracles ++
-      ops.Dedup.oracles ++ ops.Similarity.oracles ++
+      ops.Dedup.oracles ++ ops.UnifiedClusters.oracles ++
+      ops.Similarity.oracles ++
       ops.TextAnalysis.oracles ++ ops.Sampling.oracles ++
       functions.Multimodal.oracles ++
       streaming.Streams.oracles ++

@@ -510,7 +510,7 @@ object Dedup {
     * one hidden linear write cost left in the store family). One
     * definition shared by the store write and the pruned update (the
     * q90 shared-key convention). */
-  private def clusterBucket(docId: Column): Column =
+  private[graft] def clusterBucket(docId: Column): Column =
     pmod(docId, lit(64)).cast("int")
 
   /** Schema'd readers for the standing near-dup tables: an EMPTY
@@ -616,7 +616,7 @@ object Dedup {
     * foreachBatch loop); a crash after the swap but before the delete
     * leaves the marker on a CONSISTENT store, where the heal finds
     * no orphans and the next completed update clears it. */
-  private def tornMarker(s: SparkSession, store: String): Boolean = {
+  private[graft] def tornMarker(s: SparkSession, store: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$store/clusters_staging")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -639,35 +639,53 @@ object Dedup {
     val batchBands = batchBandsOf(newDocs)
     val newEdges = materializeBounded(
       newEdgesFromBands(s, store, batchBands))
-    val clusters = clusterLabelsTable(s, store)
-    // TORN-store heal (ADVICE r10, reworked round 11): when the
-    // staging marker says a previous update crashed between its first
-    // append and its completed swap, the label table is UNTRUSTED —
-    // it can be stale (crash before the swap) or, worse,
-    // mixed-generation (crash mid-way through the dynamic partition
-    // overwrite: some buckets new, some old), in which case ANY
-    // label-driven touched/untouched attribution can both duplicate
-    // docs and under-pull their components. So the heal does not
-    // attribute at all: it rebuilds the ENTIRE label set as
-    // CC(standing edges ∪ new edges) — labels = CC(edges) is the
-    // store invariant, so the rebuild is exact by definition, a merge
-    // over a torn store still returns the full-recompute answer, and
-    // ANY completed persisting update repairs the store (a fail-fast
-    // here would have killed the s15 replay path that is documented
-    // to do the repairing). Cost: pair-graph-bounded CC, paid only on
-    // the crash-recovery path; clean stores skip all of this on one
-    // FS existence probe. Rows the crashed batch never got to append
-    // (its bands, or its edges) are NOT reconstructable here — replay
-    // restores them byte-identically (the at-least-once posture);
-    // the heal guarantees consistency, not recovery of unpersisted
-    // data.
-    if (tornMarker(s, store)) {
+    val (untouched, relabeled) = relabelAgainst(newEdges,
+      clusterEdgesTable(s, store), clusterLabelsTable(s, store),
+      tornMarker(s, store))
+    (batchBands, newEdges, untouched, relabeled)
+  }
+
+  /** The touched-component relabel, FAMILY-AGNOSTIC (round 13 — the
+    * r12 verdict's point that nothing in this algorithm is MinHash-
+    * specific once edges arrive as rows): given the batch's new
+    * verified edges and a store's standing (doc_a, doc_b) edge table
+    * + (doc_id, cluster_id, cluster_size, is_canonical, kb) label
+    * table, return (untouched label rows WITH kb, relabeled
+    * touched-subgraph rows). Shared by the MinHash cluster store
+    * (q89/s15) and the unified multi-signal store (q61d). Both
+    * edge inputs must be bare (doc_a, doc_b) — provenance-carrying
+    * callers project the family column away first.
+    *
+    * TORN-store heal (ADVICE r10, reworked round 11): when the
+    * staging marker says a previous update crashed between its first
+    * append and its completed swap, the label table is UNTRUSTED —
+    * it can be stale (crash before the swap) or, worse,
+    * mixed-generation (crash mid-way through the dynamic partition
+    * overwrite: some buckets new, some old), in which case ANY
+    * label-driven touched/untouched attribution can both duplicate
+    * docs and under-pull their components. So the heal does not
+    * attribute at all: it rebuilds the ENTIRE label set as
+    * CC(standing edges ∪ new edges) — labels = CC(edges) is the
+    * store invariant, so the rebuild is exact by definition, a merge
+    * over a torn store still returns the full-recompute answer, and
+    * ANY completed persisting update repairs the store (a fail-fast
+    * here would have killed the s15 replay path that is documented
+    * to do the repairing). Cost: pair-graph-bounded CC, paid only on
+    * the crash-recovery path; clean stores skip all of this on one
+    * FS existence probe. Rows the crashed batch never got to append
+    * (its bands, or its edges) are NOT reconstructable here — replay
+    * restores them byte-identically (the at-least-once posture);
+    * the heal guarantees consistency, not recovery of unpersisted
+    * data. */
+  private[graft] def relabelAgainst(newEdges: DataFrame,
+      standingEdges: DataFrame, clusters: DataFrame,
+      torn: Boolean): (DataFrame, DataFrame) = {
+    if (torn) {
       val allEdges = materializeBounded(
-        newEdges.unionByName(clusterEdgesTable(s, store)).distinct())
-      return (batchBands, newEdges,
-        clusters.limit(0)
-          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-            col("is_canonical"), col("kb")),
+        newEdges.unionByName(standingEdges).distinct())
+      return (clusters.limit(0)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"), col("kb")),
         connectedComponents(allEdges)
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             col("is_canonical")))
@@ -679,7 +697,7 @@ object Dedup {
         .select(col("cluster_id")).distinct())
     // an edge's endpoints share a cluster by construction, so doc_a
     // alone attributes the edge to its component
-    val touchedEdges = clusterEdgesTable(s, store)
+    val touchedEdges = standingEdges
       .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id")),
         Seq("doc_a"))
       .join(broadcast(touched), Seq("cluster_id"), "left_semi")
@@ -698,7 +716,7 @@ object Dedup {
       .join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"), col("kb"))
-    (batchBands, newEdges, untouched,
+    (untouched,
       subCc.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical")))
   }
@@ -823,29 +841,43 @@ object Dedup {
       maxFilesPerBucket: Int = 4): Seq[Int] = {
     val bandBuckets = neardupIndexCompact(s, s"$store/bands",
       maxFilesPerBucket)
-    val edgesPath = new org.apache.hadoop.fs.Path(s"$store/edges")
-    val fs = edgesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    compactUnpartitioned(s, s"$store/edges", maxFilesPerBucket)
+    bandBuckets
+  }
+
+  /** Rename-swap compaction of an UNPARTITIONED parquet table that
+    * gains one file-set per append (the cluster stores' edge tables):
+    * rewrite to at most `maxFiles` files (coalesce, no shuffle;
+    * DISTINCT keeps the pass idempotent and reclaims replayed
+    * appends), then swap in by RENAME — both copies exist on disk at
+    * every instant, and the worst crash leaves the live path briefly
+    * absent with the previous table intact at `<dir>_old` for manual
+    * recovery (the ADVICE r10 posture). Shared by the MinHash cluster
+    * store and the unified multi-signal store (round 13). */
+  private[graft] def compactUnpartitioned(s: SparkSession, dir: String,
+      maxFiles: Int): Unit = {
+    val livePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = livePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val nFiles =
-      if (fs.exists(edgesPath))
-        fs.listStatus(edgesPath).count(f =>
+      if (fs.exists(livePath))
+        fs.listStatus(livePath).count(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet"))
       else 0
-    if (nFiles > maxFilesPerBucket) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$store/edges_compacting")
-      s.read.parquet(s"$store/edges").distinct()
-        .coalesce(maxFilesPerBucket)
+    if (nFiles > maxFiles) {
+      val tmp = new org.apache.hadoop.fs.Path(s"${dir}_compacting")
+      s.read.parquet(dir).distinct()
+        .coalesce(maxFiles)
         .write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$store/edges_old")
+      val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
       if (fs.exists(old)) fs.delete(old, true)
-      require(fs.rename(edgesPath, old),
-        s"edge compaction: could not move $edgesPath aside")
-      require(fs.rename(tmp, edgesPath),
-        s"edge compaction: could not move $tmp into place — previous " +
+      require(fs.rename(livePath, old),
+        s"compaction: could not move $livePath aside")
+      require(fs.rename(tmp, livePath),
+        s"compaction: could not move $tmp into place — previous " +
           s"table preserved at $old")
       try fs.delete(old, true)
       catch { case _: java.io.IOException => () }
     }
-    bandBuckets
   }
 
   /** Declared write-then-merge binding (the q85 pattern lifted to the
@@ -883,6 +915,18 @@ object Dedup {
     docTokens(docs)
       .select(col("doc_id"),
         explode(hashedShingleExpr(col("w"))).as("h"))
+
+  /** (doc_id, h, c): hashed shingle rows carrying the doc's DISTINCT
+    * shingle count on every row — the unified cluster store's shingle
+    * index shape (round 13). The count rides along ROW-LOCALLY
+    * (size() of the per-doc array before the explode), so the exact-
+    * Jaccard denominator needs no second aggregate or join at merge
+    * time: a pair's |A| and |B| arrive with the matched rows. */
+  private[graft] def hashedShinglesWithCount(docs: DataFrame): DataFrame =
+    docTokens(docs)
+      .select(col("doc_id"), hashedShingleExpr(col("w")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("c"),
+        explode(col("hs")).as("h"))
 
   /** (doc_id, source, h): one row per DISTINCT hashed shingle per doc —
     * the decontamination probe shape, shared by the batch check (q65)
@@ -1372,7 +1416,7 @@ object Dedup {
     manifestDiff(s, oldStore, newStore)
   }
 
-  private val NHashes = 16
+  private[graft] val NHashes = 16
   private val NBands = 8 // 2 rows per band
 
   // O-59 scale path: MinHash (16 min-hashes) + LSH (8 bands of 2). Fully
@@ -1544,7 +1588,7 @@ object Dedup {
   }
 
   private val SimBits = 60 // md5-derived token hash width (15 hex chars)
-  private val SimChunks = 4 // banding: 4 chunks of 15 bits
+  private[graft] val SimChunks = 4 // banding: 4 chunks of 15 bits
 
   // O-59 SimHash variant: 60-bit signature from md5-derived token hashes
   // (15 hex chars -> BIGINT, the widest slice both engines parse without
@@ -1572,14 +1616,20 @@ object Dedup {
     // token; the expression form halved the signature stage (A/B in
     // NOTES round-5). NULL signature = doc with no tokens (the explode
     // form dropped those docs by construction).
-    val sigs = docs
+    bandedHammingPairs(simhashSigs(docs), "simhash", SimChunks, 15, 8)
+  }
+
+  /** (doc_id, simhash) signature table over any (doc_id, text) docs —
+    * the q36c signature pass factored out (round 13) so the unified
+    * cluster store can persist the SAME signatures its pair rule
+    * verifies against. NULL signature (no tokens) rows drop. */
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.SimhashSignature(
           split(trim(col("text")), "\\s+")).as("simhash"))
       .filter(col("simhash").isNotNull)
-    bandedHammingPairs(sigs, "simhash", SimChunks, 15, 8)
-  }
 
   /** THE banded hamming-join, stated once (shared by q36c's text
     * SimHash and q45c's image aHash — two signature families, one pair
@@ -2560,6 +2610,87 @@ object Dedup {
   def q87bFunnelSelection(s: SparkSession, d: String): DataFrame =
     curationFunnelWithSelection(documents(s, d))
 
+  // O-129 (q87c): the EXTENDED funnel — q87's chain plus the three
+  // cleaning stages a production curation run adds (VERDICT r12 #5),
+  // in the order a real pipeline runs them: PII scrub FIRST (SURVEY's
+  // O-76 rationale — everything downstream must see scrubbed text,
+  // including the eval suite the decontamination stage screens
+  // against), then exact dedup over the SCRUBBED bytes, near-dup,
+  // repetition filter (q62b), quality (q62), cross-doc segment dedup
+  // (q77 — text rewritten to the kept segments, fully-duplicated docs
+  // drop), decontamination (vs the scrubbed src0 suite), train split.
+  // The fixture corpus is PII-free, so the binding plants the q69
+  // injection (both engines build the identical view) — the scrub
+  // stage is load-bearing: its [EMAIL]/[PHONE] tokens flow through
+  // every downstream shingle and hash.
+  //
+  // Scale shape: each stage is its own declared operator's bounded
+  // plan over the previous stage's MATERIALIZED survivors (the q87
+  // argument); the two text-rewriting stages (scrub, segment dedup)
+  // are row-local transforms + q77's bounded-width-key shuffles; no
+  // stage rescans an earlier stage's input.
+  /** The extended funnel over any (doc_id, lang, source, n_chars,
+    * text) table: one row per stage with the surviving doc count. */
+  def curationFunnelExtended(docs0: DataFrame): DataFrame =
+    funnelCounts(funnelStagesExtended(docs0))
+
+  private def funnelStagesExtended(
+      docs0: DataFrame): Seq[(Int, String, DataFrame)] = {
+    val d0 = materializeBounded(docs0.filter(col("doc_id").isNotNull))
+    // 1: scrub IN PLACE — no docs drop, the corpus transforms
+    val s1 = materializeBounded(TextAnalysis.piiScrubText(d0))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val s2 = materializeBounded(s1
+      .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "content_hash"))
+    val ndDrop = nearDupPairs(s2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = materializeBounded(s2.join(ndDrop, Seq("doc_id"), "left_anti"))
+    val s4 = materializeBounded(s3.join(
+      TextAnalysis.repetitionFilter(s3).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    val s5 = materializeBounded(s4.join(
+      TextAnalysis.qualityFilter(s4).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    // 6: segment dedup REWRITES text to the kept segments (token set
+    // preserved up to whitespace normalization — downstream stages
+    // are token-keyed); docs whose every segment is shared drop here
+    val s6 = materializeBounded(s5
+      .join(segmentDedup(s5).select(col("doc_id"), col("clean_text")),
+        Seq("doc_id"))
+      .withColumn("text", col("clean_text")).drop("clean_text"))
+    // 7: decontaminate vs the SCRUBBED eval suite (stage-1 src0 —
+    // the suite is scrubbed with the corpus, before any dedup)
+    val bench = sourcedShingleRows(s1)
+      .filter(col("source") === "src0")
+      .select(col("h")).distinct()
+    val flagged = sourcedShingleRows(s6)
+      .filter(col("source") =!= "src0")
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .select(col("doc_id"))
+    val s7 = materializeBounded(s6
+      .filter(col("source") =!= "src0")
+      .join(flagged, Seq("doc_id"), "left_anti"))
+    val s8 = s7.join(
+      Sampling.hashSplit(s7).filter(col("split") === "train")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Seq((0, "input", d0), (1, "pii_scrub", s1), (2, "exact_dedup", s2),
+      (3, "near_dup", s3), (4, "repetition", s4), (5, "quality", s5),
+      (6, "segment_dedup", s6), (7, "decontaminate", s7),
+      (8, "train_split", s8))
+  }
+
+  def q87cFunnelExtended(s: SparkSession, d: String): DataFrame =
+    curationFunnelExtended(TextAnalysis.injectPii(documents(s, d)))
+
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d),
       Some(graft.functions.Multimodal.imageAhashPairs(s)))
@@ -2653,6 +2784,7 @@ object Dedup {
     "q86_neardup_recall" -> (q86NeardupRecall _),
     "q87_curation_funnel" -> (q87CurationFunnel _),
     "q87b_funnel_selection" -> (q87bFunnelSelection _),
+    "q87c_funnel_extended" -> (q87cFunnelExtended _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -2679,7 +2811,7 @@ object Dedup {
     * q85 merge needs corpus and batch signatures in one query). Plain
     * (non-interpolated) template: the `\s+` regex must not pass through
     * an s-interpolator's escape processing. */
-  private def shingleSqlFor(src: String, tag: String): String =
+  private[graft] def shingleSqlFor(src: String, tag: String): String =
     """toksTAG AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       |  FROM SRC
@@ -2771,10 +2903,90 @@ object Dedup {
   /** SimHash pipeline CTEs shared by the q36c and q61 oracles (chunks =
     * banded signatures; the pair predicate itself differs only in the
     * projected columns). */
-  private val simhashCtesSql =
+  private val simhashCtesSql = simhashCtesSqlFor("documents")
+
+  /** One-shot unified multi-signal cluster table in SQL over an
+    * arbitrary (doc_id, lang, source, n_chars, text) docs relation:
+    * all four pair families (exact shingle Jaccard, SimHash,
+    * embedding sign-LSH, image aHash) as scoped-WITH derived tables,
+    * unioned with provenance, the q61 recursive-CC CTEs over the
+    * union, then per-family edge counts joined to cluster sizes.
+    * Shared by q61c (docsRel = `documents`) and q61d (docsRel = the
+    * corpus ∪ rekeyed-batch union — incremental-equals-full-recompute
+    * across ALL families). The embedding and image relations stay the
+    * full fixture tables in both bindings (q61d's batch split
+    * partitions them without rekeys, so corpus ∪ batch = the full
+    * table). */
+  private[graft] def unifiedClustersSql(docsRel: String): String =
+    s"""WITH RECURSIVE
+       |shp AS (SELECT doc_a, doc_b FROM (
+       |  WITH ${shingleSqlFor(
+             s"(SELECT doc_id, text FROM $docsRel" +
+               " WHERE doc_id IS NOT NULL)", "U")},
+       |  cnt AS (SELECT doc_id, count(*) AS c FROM shU GROUP BY doc_id),
+       |  pairs AS (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      count(*) AS inter
+       |    FROM shU a JOIN shU b USING (shingle)
+       |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN cnt ca ON doc_a = ca.doc_id
+       |  JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5)),
+       |simp AS (SELECT doc_a, doc_b FROM (
+       |  WITH ${simhashCtesSqlFor(docsRel)}
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+       |  WHERE x.doc_id < y.doc_id
+       |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
+       |lshp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM
+       |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})),
+       |imgp AS (SELECT doc_a, doc_b FROM
+       |  ${graft.functions.Multimodal.ahashPairsSql} t),
+       |fams AS (
+       |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
+       |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
+       |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp
+       |  UNION ALL SELECT doc_a, doc_b, 'img_ahash' FROM imgp),
+       |uprs AS (SELECT DISTINCT doc_a, doc_b FROM fams),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM uprs
+       |  UNION SELECT doc_b, doc_a FROM uprs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, l) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+       |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+       |fc AS (
+       |  SELECT c.cluster_id,
+       |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_shingle,
+       |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_simhash,
+       |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_emb_lsh,
+       |    CAST(sum(CASE WHEN family = 'img_ahash' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_img_ahash
+       |  FROM fams f JOIN comp c ON f.doc_a = c.id
+       |  GROUP BY c.cluster_id)
+       |SELECT cluster_id,
+       |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+       |  n_shingle, n_simhash, n_emb_lsh, n_img_ahash
+       |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
+       |      GROUP BY cluster_id) cs
+       |JOIN fc USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
+  /** The q36c SimHash CTE stack over an arbitrary (doc_id, text)
+    * relation (round 13: the q61d oracle replays SimHash over the
+    * corpus ∪ rekeyed-batch union, so the relation is a parameter;
+    * `simhashCtesSql` binds the plain `documents` everyone else
+    * uses). Ends with `chunks`. */
+  private def simhashCtesSqlFor(rel: String): String =
     s"""toks AS (
        |  SELECT doc_id, t.tok
-       |  FROM documents,
+       |  FROM $rel,
        |    UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
        |  WHERE t.tok != ''),
        |hs AS (
@@ -3006,64 +3218,7 @@ object Dedup {
     // three families' CTE names from colliding), unioned into one edge
     // set, the q61 recursive-CC CTEs over the union, then per-family
     // edge counts joined to cluster sizes
-    "q61c_unified_canonical" ->
-      s"""WITH RECURSIVE
-         |shp AS (SELECT doc_a, doc_b FROM (
-         |  WITH $shinglesSql,
-         |  cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |  pairs AS (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |      count(*) AS inter
-         |    FROM sh a JOIN sh b USING (shingle)
-         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5)),
-         |simp AS (SELECT doc_a, doc_b FROM (
-         |  WITH $simhashCtesSql
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
-         |  WHERE x.doc_id < y.doc_id
-         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
-         |lshp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM
-         |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})),
-         |imgp AS (SELECT doc_a, doc_b FROM
-         |  ${graft.functions.Multimodal.ahashPairsSql} t),
-         |fams AS (
-         |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
-         |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
-         |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp
-         |  UNION ALL SELECT doc_a, doc_b, 'img_ahash' FROM imgp),
-         |uprs AS (SELECT DISTINCT doc_a, doc_b FROM fams),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM uprs
-         |  UNION SELECT doc_b, doc_a FROM uprs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(id, l) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
-         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
-         |fc AS (
-         |  SELECT c.cluster_id,
-         |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_shingle,
-         |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_simhash,
-         |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_emb_lsh,
-         |    CAST(sum(CASE WHEN family = 'img_ahash' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_img_ahash
-         |  FROM fams f JOIN comp c ON f.doc_a = c.id
-         |  GROUP BY c.cluster_id)
-         |SELECT cluster_id,
-         |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
-         |  n_shingle, n_simhash, n_emb_lsh, n_img_ahash
-         |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
-         |      GROUP BY cluster_id) cs
-         |JOIN fc USING (cluster_id)
-         |ORDER BY cluster_id""".stripMargin,
+    "q61c_unified_canonical" -> unifiedClustersSql("documents"),
     "q35_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, source, n_chars, sha256(text) AS content_hash
@@ -3505,6 +3660,135 @@ object Dedup {
          |  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)
          |  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5))
+         |SELECT CAST(stage AS INT) AS stage, stage_name,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM funnel ORDER BY stage""".stripMargin,
+    // q87c: the extended-funnel replay — q69's injection + scrub view
+    // feeding the q87 chain with q62b's repetition rubric, q77's
+    // segment reassembly, and the decontamination bench drawn from the
+    // SCRUBBED src0 suite; every stage restates its declared
+    // operator's oracle formulation over the previous stage (the
+    // funnelCtesSql composition style), with shingle stacks via the
+    // shared shingleSqlFor factoring
+    "q87c_funnel_extended" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |injX AS (
+         |  SELECT doc_id, lang, source, n_chars, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact doc' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS t
+         |  FROM d0),
+         |s1 AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    regexp_replace(regexp_replace(t,
+         |      '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+         |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
+         |  FROM injX),
+         |s2 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
+         |cntR AS (SELECT doc_id, count(*) AS c FROM shR GROUP BY doc_id),
+         |prsR AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shR a JOIN shR b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nddropX AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM prsR
+         |  JOIN cntR ca ON doc_a = ca.doc_id
+         |  JOIN cntR cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |s3 AS (
+         |  SELECT * FROM s2 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id)),
+         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM s3),
+         |t1R AS (SELECT doc_id, t.tok FROM tkR, UNNEST(w) AS t(tok)),
+         |tmodalR AS (SELECT doc_id, max(c) AS ttop FROM (
+         |  SELECT doc_id, tok, count(*) AS c FROM t1R GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bgR AS (SELECT doc_id, concat_ws(' ', w[i+1], w[i+2]) AS b
+         |  FROM tkR, UNNEST(generate_series(0, len(w)-2)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |bmodalR AS (SELECT doc_id, max(c) AS btop FROM (
+         |  SELECT doc_id, b, count(*) AS c FROM bgR GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |repkeep AS (
+         |  SELECT t.doc_id
+         |  FROM tkR t
+         |  LEFT JOIN tmodalR USING (doc_id)
+         |  LEFT JOIN bmodalR USING (doc_id)
+         |  WHERE coalesce(ttop, 0) * 100 <= len(w) * 12
+         |    AND coalesce(btop, 0) * 100 <= greatest(len(w) - 1, 0) * 5),
+         |s4 AS (
+         |  SELECT * FROM s3
+         |  WHERE doc_id IN (SELECT doc_id FROM repkeep)),
+         |qtX AS (
+         |  SELECT doc_id,
+         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS INT) AS n_word_chars,
+         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
+         |  FROM s4),
+         |s5 AS (
+         |  SELECT s4.* FROM s4 JOIN qtX USING (doc_id)
+         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
+         |    AND (n_word_chars >= n_tokens * 3
+         |      AND n_word_chars <= n_tokens * 6)
+         |    AND (n_distinct * 10 >= n_tokens * 3)),
+         |tkS AS (SELECT doc_id, $qtoksSql AS w FROM s5),
+         |segS AS (
+         |  SELECT doc_id, CAST(s AS INT) AS pos,
+         |    array_to_string(w[s*$SegWidth+1 : s*$SegWidth+$SegWidth], ' ')
+         |      AS seg
+         |  FROM (SELECT doc_id, w FROM tkS WHERE len(w) >= 1) t,
+         |    UNNEST(generate_series(0, (len(w) + ${SegWidth - 1})
+         |      // $SegWidth - 1)) AS g(s)),
+         |dupS AS (
+         |  SELECT seg FROM segS GROUP BY seg
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |keptS AS (
+         |  SELECT s.doc_id,
+         |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
+         |  FROM segS s ANTI JOIN dupS d ON s.seg = d.seg
+         |  GROUP BY s.doc_id),
+         |s6 AS (
+         |  SELECT s5.doc_id, s5.lang, s5.source, s5.n_chars,
+         |    k.clean_text AS text
+         |  FROM s5 JOIN keptS k ON s5.doc_id = k.doc_id),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s1 WHERE source = 'src0')", "G")},
+         |benchG AS (SELECT DISTINCT shingle FROM shG),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s6 WHERE source != 'src0')", "H")},
+         |flaggedX AS (
+         |  SELECT doc_id FROM shH JOIN benchG USING (shingle)
+         |  GROUP BY doc_id HAVING count(*) >= 10),
+         |s7 AS (
+         |  SELECT * FROM s6 f
+         |  WHERE source != 'src0' AND NOT EXISTS
+         |    (SELECT 1 FROM flaggedX g WHERE g.doc_id = f.doc_id)),
+         |s8 AS (
+         |  SELECT * FROM s7
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 100 < 80),
+         |funnel AS (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM d0) AS n_docs
+         |  UNION ALL SELECT 1, 'pii_scrub', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'repetition', (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT 5, 'quality', (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT 6, 'segment_dedup', (SELECT count(*) FROM s6)
+         |  UNION ALL SELECT 7, 'decontaminate', (SELECT count(*) FROM s7)
+         |  UNION ALL SELECT 8, 'train_split', (SELECT count(*) FROM s8))
          |SELECT CAST(stage AS INT) AS stage, stage_name,
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM funnel ORDER BY stage""".stripMargin,

@@ -375,16 +375,8 @@ object Similarity {
     * and q36d's 0.4-cosine verification threshold. */
   def embeddingNearDupLsh(emb: DataFrame, nBands: Int = NdBands,
       bandBits: Int = BandBits,
-      minDot: Long = 400000000000L): DataFrame = {
-    require(bandBits <= 64, "a band key packs into one long")
-    val banded = emb
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("qe"),
-        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
-          SignLshSignature(col("qe"), (0 until bandBits).map(j =>
-            planeMask(b * bandBits + j))).as("bkey"))): _*)).as("bb"))
-      .select(col("vec_id"), col("qe"), col("bb.band").as("band"),
-        col("bb.bkey").as("bkey"))
+      minDot: Long = NdMinDot): DataFrame = {
+    val banded = lshBandRows(emb, nBands, bandBits)
     // shuffle-hash: the self-join's two sides are the SAME plan, so the
     // band exchange is computed once and reused; a signature table never
     // broadcasts at 100 TB (same reasoning as q36b).
@@ -397,6 +389,28 @@ object Similarity {
       .filter(col("dot_e12") >= minDot)
       .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The q36f verify threshold (quantized-dot e12 scale), exposed so
+    * the unified cluster store's stored-layout replay of the emb_lsh
+    * pair rule cannot drift from the in-query default (round 13). */
+  private[graft] val NdMinDot: Long = 400000000000L
+
+  /** (vec_id, qe, band, bkey): the q36f sign-LSH band rows, factored
+    * out (round 13) so the in-query pair join and the unified cluster
+    * store's PERSISTED emb_lsh index share one definition of the
+    * quantize + plane-mask + band-key pipeline. */
+  private[graft] def lshBandRows(emb: DataFrame, nBands: Int = NdBands,
+      bandBits: Int = BandBits): DataFrame = {
+    require(bandBits <= 64, "a band key packs into one long")
+    emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"),
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+          SignLshSignature(col("qe"), (0 until bandBits).map(j =>
+            planeMask(b * bandBits + j))).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("qe"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
   }
 
   def q36fEmbeddingNeardupLsh(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,470 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal.BandScheme
+
+/** O-127 (q61d): INCREMENTAL maintenance of the unified multi-signal
+  * cluster table — the q89/s15 standing-store cadence applied to the
+  * q61c deliverable (VERDICT r12, next-round #1).
+  *
+  * q61c resolves ONE cluster table over the union of all four pair
+  * families (exact shingle Jaccard, SimHash, embedding sign-LSH,
+  * image aHash) but recomputes every family's pair join and the full
+  * connected-components pass per run; at a daily 100 TB cadence the
+  * multi-signal cluster table is exactly the artifact a curation team
+  * wants maintained in O(new edges). This store closes that: each
+  * family persists the admission-index layout it already uses
+  * elsewhere (the q85 band-row / q36 inverted-shingle shapes), an
+  * arriving batch derives its new edges per family through that
+  * family's PRUNED index join, and one family-agnostic
+  * touched-component relabel ([[Dedup.relabelAgainst]] — shared with
+  * the MinHash store, one definition) folds them into the standing
+  * label table. Edges persist WITH their family column, so the q61c
+  * provenance rollup (which signal welded each cluster) is a
+  * label-join + partial-agg'd groupBy over the edge table — no
+  * signature pipeline reruns.
+  *
+  * Store layout (all tables hash-bucketed into 64 `kb` partitions;
+  * schema'd readers keep EMPTY tables readable — the
+  * clusterLabelsTable reasoning):
+  *   - `shingle/`   (doc_id, c, h, kb=pmod(h, 64)) — the exact-Jaccard
+  *     family's inverted index; `c` is the doc's distinct-shingle
+  *     count, carried row-locally so the merge's Jaccard denominator
+  *     needs no second aggregate ([[Dedup.hashedShinglesWithCount]]).
+  *   - `simhash/`, `img_ahash/` — [[Multimodal.sigIndexWrite]]'s band
+  *     rows (doc_id, sig, band, ckey, kb) under each family's scheme.
+  *   - `emb_lsh/`   (vec_id, qe, band, bkey, kb) — the q36f band rows
+  *     ([[Similarity.lshBandRows]]) with the carried quantized vector
+  *     so the dot-product verify runs INSIDE the band join.
+  *   - `edges/`     (doc_a, doc_b, family) — the unified edge set.
+  *   - `clusters/`  (doc_id, cluster_id, cluster_size, is_canonical,
+  *     kb=pmod(doc_id, 64)) — the label table; incremental updates
+  *     rewrite only dirty buckets (dynamic partition overwrite, the
+  *     q89 idiom).
+  *
+  * Scale shape: batch index rows are materialized once per family and
+  * feed both the <= 64-bucket prune collect and the verify joins; the
+  * standing index reads are partition-pruned to the batch's buckets
+  * (the q83/q85 static-IN argument — the shingle family's batch
+  * typically touches all 64, which is the honest exact-family cost,
+  * still O(batch shingles) join work against a co-located layout);
+  * every verify (Jaccard ratio, popcount, quantized dot) runs inside
+  * its band/hash join; the relabel's CC sees only new + touched
+  * edges. Nothing rescans corpus text, pixels, or float vectors.
+  *
+  * Crash posture: identical to the MinHash store — the
+  * `clusters_staging` dir is the in-progress marker (written before
+  * any append, deleted after the swap), a torn store heals by exact
+  * full-CC rebuild inside [[Dedup.relabelAgainst]], index/edge
+  * appends replay idempotently (compaction's DISTINCT reclaims the
+  * duplicates), and indices append BEFORE edges so a crash can never
+  * persist an edge whose doc no future batch can band-match
+  * (the neardupClusterStoreUpdate ordering argument).
+  *
+  * Ref intended semantics: continuous point upserts into standing
+  * series, rg.py:43-50 — re-expressed as standing-index maintenance.
+  */
+object UnifiedClusters {
+  import Dedup.materializeBounded
+
+  private[graft] val SimScheme = BandScheme(Dedup.SimChunks, 15, 8)
+
+  // ---- schema'd readers (empty-partitioned-write safe) -------------
+  private def shingleIndexTable(s: SparkSession, store: String): DataFrame =
+    s.read.schema("doc_id BIGINT, c BIGINT, h BIGINT, kb INT")
+      .parquet(s"$store/shingle")
+  private def sigIndexTable(s: SparkSession, store: String,
+      family: String, sigCol: String): DataFrame =
+    s.read.schema(s"doc_id BIGINT, $sigCol BIGINT, band INT, " +
+        "ckey BIGINT, kb INT")
+      .parquet(s"$store/$family")
+  private def lshIndexTable(s: SparkSession, store: String): DataFrame =
+    s.read.schema("vec_id BIGINT, qe ARRAY<BIGINT>, band INT, " +
+        "bkey BIGINT, kb INT")
+      .parquet(s"$store/emb_lsh")
+  private[graft] def edgesTable(s: SparkSession, store: String): DataFrame =
+    s.read.schema("doc_a BIGINT, doc_b BIGINT, family STRING")
+      .parquet(s"$store/edges")
+
+  // ---- per-family index rows (batch and build share these) ---------
+  /** Shingle index rows with the 64-way h-hash bucket. */
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
+    Dedup.hashedShinglesWithCount(docs)
+      .withColumn("kb", pmod(col("h"), lit(64)).cast("int"))
+
+  /** LSH index rows with the 64-way (band, bkey) bucket. */
+  private def lshRowsOf(emb: DataFrame): DataFrame =
+    Similarity.lshBandRows(emb.filter(col("vec_id").isNotNull))
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("bkey")), lit(64)).cast("int"))
+
+  /** Sig-family band rows with [[Multimodal.sigIndexWrite]]'s bucket. */
+  private def sigRowsOf(sigs: DataFrame, sigCol: String,
+      scheme: BandScheme): DataFrame =
+    Dedup.bandChunkRows(sigs.filter(col("doc_id").isNotNull), sigCol,
+        scheme.nBands, scheme.bits)
+      .withColumnRenamed("chunk", "band")
+      .withColumn("kb",
+        pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int"))
+
+  /** 64-bucket co-located partitioned write (the q85 layout). */
+  private def writeBuckets(rows: DataFrame, path: String, mode: String,
+      ordCols: String*): Unit =
+    rows.repartition(64, col("kb"))
+      .sortWithinPartitions(("kb" +: ordCols).map(col): _*)
+      .write.mode(mode).partitionBy("kb").parquet(path)
+
+  // ---- pair rules over index rows (self-join at build time,
+  //      cross + intra at merge time — ONE rule per family) ----------
+  /** The per-family id guard: SELF pair sets (build-time corpus,
+    * intra-batch) restrict to x.id < y.id so each unordered pair is
+    * produced ONCE; CROSS sets (batch vs standing index) can meet in
+    * either orientation, so the guard is only the no-self-pair rule
+    * (a re-ingest under the same id is not an edge) and least/
+    * greatest + DISTINCT canonicalize. */
+  private def idGuard(self: Boolean, xid: String, yid: String) =
+    if (self) col(xid) < col(yid) else col(xid) =!= col(yid)
+
+  /** Exact-Jaccard >= 0.5 pairs between two shingle index tables. */
+  private def shinglePairs(self: Boolean)(x: DataFrame,
+      y: DataFrame): DataFrame =
+    x.as("x").hint("shuffle_hash")
+      .join(y.as("y").hint("shuffle_hash"), col("x.h") === col("y.h"))
+      .filter(idGuard(self, "x.doc_id", "y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.c").as("n_a"), col("y.c").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        >= 0.5)
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
+
+  /** Banded-hamming pairs between two sig-family band tables (the
+    * [[Dedup.bandedHammingPairs]] rule over stored rows). */
+  private def sigPairs(sigCol: String, scheme: BandScheme,
+      self: Boolean)(x: DataFrame, y: DataFrame): DataFrame =
+    x.as("x").hint("shuffle_hash")
+      .join(y.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") &&
+          col("x.ckey") === col("y.ckey"))
+      .filter(idGuard(self, "x.doc_id", "y.doc_id"))
+      .filter(expr(s"bit_count(x.$sigCol ^ y.$sigCol)")
+        <= scheme.maxHamming)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+
+  /** Sign-LSH band-collision pairs with the quantized-dot verify
+    * INSIDE the join (the q36f rule over stored rows). */
+  private def lshPairs(self: Boolean)(x: DataFrame,
+      y: DataFrame): DataFrame =
+    x.as("x").hint("shuffle_hash")
+      .join(y.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey"))
+      .filter(idGuard(self, "x.vec_id", "y.vec_id"))
+      .filter(graft.functions.LongArrayDot(col("x.qe"), col("y.qe"))
+        >= Similarity.NdMinDot)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("doc_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("doc_b"))
+      .distinct()
+
+  private def famLit(df: DataFrame, family: String): DataFrame =
+    df.select(col("doc_a"), col("doc_b"), lit(family).as("family"))
+
+  /** The full unified edge set derived from the WRITTEN index tables
+    * (one signature pass over the corpus, the
+    * neardupClusterStoreWrite lineage-break argument). */
+  private def edgesFromIndices(s: SparkSession, store: String): DataFrame = {
+    val sh = shingleIndexTable(s, store)
+    val sim = sigIndexTable(s, store, "simhash", "simhash")
+    val img = sigIndexTable(s, store, "img_ahash", "ahash")
+    val lsh = lshIndexTable(s, store)
+    famLit(shinglePairs(self = true)(sh, sh), "shingle")
+      .unionByName(famLit(
+        sigPairs("simhash", SimScheme, self = true)(sim, sim), "simhash"))
+      .unionByName(famLit(lshPairs(self = true)(lsh, lsh), "emb_lsh"))
+      .unionByName(famLit(sigPairs("ahash", Multimodal.AhashScheme,
+        self = true)(img, img), "img_ahash"))
+  }
+
+  /** Build the standing unified store from a corpus slice: the four
+    * family indices, the provenance-carrying edge set (derived from
+    * the written indices), and the resolved cluster table. */
+  def unifiedClusterStoreWrite(docs: DataFrame, emb: DataFrame,
+      imgSigs: DataFrame, store: String): Unit = {
+    val s = docs.sparkSession
+    writeBuckets(shingleRowsOf(docs), s"$store/shingle", "overwrite", "h")
+    writeBuckets(sigRowsOf(Dedup.simhashSigs(docs), "simhash", SimScheme),
+      s"$store/simhash", "overwrite", "band", "ckey")
+    writeBuckets(lshRowsOf(emb), s"$store/emb_lsh", "overwrite",
+      "band", "bkey")
+    writeBuckets(sigRowsOf(imgSigs, "ahash", Multimodal.AhashScheme),
+      s"$store/img_ahash", "overwrite", "band", "ckey")
+    edgesFromIndices(s, store).write.mode("overwrite")
+      .parquet(s"$store/edges")
+    Dedup.connectedComponents(
+        edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct())
+      .withColumn("kb", Dedup.clusterBucket(col("doc_id")))
+      .repartition(64, col("kb"))
+      .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$store/clusters")
+  }
+
+  private def requireUnifiedStore(s: SparkSession, store: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("shingle", "simhash", "emb_lsh", "img_ahash", "edges", "clusters")
+      .foreach { part =>
+        val p = new org.apache.hadoop.fs.Path(s"$store/$part")
+        require(p.getFileSystem(conf).exists(p),
+          s"unified cluster store at '$store' has no '$part' table — " +
+            "build it with unifiedClusterStoreWrite before merging")
+      }
+  }
+
+  /** Prune a standing index read to the batch's touched buckets: the
+    * bucket ids are collected driver-side (<= 64 ints, the q83
+    * convention) so the IN is STATIC and parquet partition pruning
+    * applies at plan time. */
+  private def prunedTo(index: DataFrame, batchRows: DataFrame): DataFrame = {
+    val keys = batchRows.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)) // <= 64 buckets
+    if (keys.isEmpty) index.limit(0)
+    else index.filter(col("kb").isin(keys.toIndexedSeq: _*))
+  }
+
+  /** The batch's new verified edges across all four families — each
+    * family's pruned cross join against its standing index plus its
+    * intra-batch self pair set, provenance-tagged. Exposed
+    * unmaterialized for the plan-shape pin. */
+  private[graft] def unifiedNewEdgesPlan(s: SparkSession, store: String,
+      batchSh: DataFrame, batchSim: DataFrame, batchLsh: DataFrame,
+      batchImg: DataFrame): DataFrame = {
+    // DISTINCT over cross ∪ intra: the two sides are disjoint except
+    // when a batch re-ingests an id the store already indexes, where a
+    // pair could otherwise surface on both sides and double its
+    // provenance count (edge-bounded, cheap insurance)
+    def cross(index: DataFrame, batch: DataFrame,
+        rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
+      rule(false)(prunedTo(index, batch), batch)
+        .unionByName(rule(true)(batch, batch))
+        .distinct()
+    famLit(cross(shingleIndexTable(s, store), batchSh,
+        self => shinglePairs(self)), "shingle")
+      .unionByName(famLit(cross(sigIndexTable(s, store, "simhash",
+          "simhash"), batchSim,
+        self => sigPairs("simhash", SimScheme, self)), "simhash"))
+      .unionByName(famLit(cross(lshIndexTable(s, store), batchLsh,
+        self => lshPairs(self)), "emb_lsh"))
+      .unionByName(famLit(cross(sigIndexTable(s, store, "img_ahash",
+          "ahash"), batchImg,
+        self => sigPairs("ahash", Multimodal.AhashScheme, self)),
+        "img_ahash"))
+  }
+
+  /** The four families' MATERIALIZED batch index rows (each feeds the
+    * bucket-prune collect, the verify joins, and the persisting
+    * append — one signature/decode pass per family per merge). */
+  private def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame): Seq[DataFrame] = Seq(
+    materializeBounded(shingleRowsOf(batchDocs)),
+    materializeBounded(
+      sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
+    materializeBounded(lshRowsOf(batchEmb)),
+    materializeBounded(
+      sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme)))
+
+  /** The batch's new-edges plan from raw batch inputs, UNmaterialized
+    * — the plan-shape pin's probe (the clusterMergeNewEdgesPlan
+    * convention: the merge itself materializes this before CC, which
+    * hides the pruned-scan shape from the final declared tree). */
+  private[graft] def unifiedMergeNewEdgesPlan(s: SparkSession,
+      store: String, batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame): DataFrame = {
+    val Seq(batchSh, batchSim, batchLsh, batchImg) =
+      batchRowsOf(batchDocs, batchEmb, batchImgSigs)
+    unifiedNewEdgesPlan(s, store, batchSh, batchSim, batchLsh, batchImg)
+  }
+
+  /** The merge computation's parts: (batch index rows x4, new edges
+    * WITH family, untouched label rows WITH kb, relabeled rows). The
+    * relabel is [[Dedup.relabelAgainst]] — the same algorithm (and
+    * torn-store heal) the MinHash store runs. */
+  private def unifiedMergeParts(s: SparkSession, store: String,
+      batchDocs: DataFrame, batchEmb: DataFrame, batchImgSigs: DataFrame)
+      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+    requireUnifiedStore(s, store)
+    val Seq(batchSh, batchSim, batchLsh, batchImg) =
+      batchRowsOf(batchDocs, batchEmb, batchImgSigs)
+    val newEdges = materializeBounded(unifiedNewEdgesPlan(s, store,
+      batchSh, batchSim, batchLsh, batchImg))
+    val (untouched, relabeled) = Dedup.relabelAgainst(
+      newEdges.select(col("doc_a"), col("doc_b")).distinct(),
+      edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct(),
+      Dedup.clusterLabelsTable(s, store),
+      Dedup.tornMarker(s, store))
+    (Seq(batchSh, batchSim, batchLsh, batchImg), newEdges, untouched,
+      relabeled)
+  }
+
+  /** The q61c output shape (cluster_id, cluster_size, n_shingle,
+    * n_simhash, n_emb_lsh, n_img_ahash) assembled from an updated
+    * label table plus the full provenance edge set. cluster_size is
+    * recomputed from the labels (pair-graph-bounded) rather than
+    * trusted from the carried column: untouched rows carry their old
+    * size, which IS still correct, but one definition beats two
+    * invariants. */
+  private def provenanceRollup(labels: DataFrame,
+      allEdges: DataFrame): DataFrame = {
+    val famCounts = allEdges
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        sum(when(col("family") === "shingle", 1L).otherwise(0L))
+          .as("n_shingle"),
+        sum(when(col("family") === "simhash", 1L).otherwise(0L))
+          .as("n_simhash"),
+        sum(when(col("family") === "emb_lsh", 1L).otherwise(0L))
+          .as("n_emb_lsh"),
+        sum(when(col("family") === "img_ahash", 1L).otherwise(0L))
+          .as("n_img_ahash"))
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .join(famCounts, Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("n_shingle"),
+        col("n_simhash"), col("n_emb_lsh"), col("n_img_ahash"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Updated unified cluster table (q61c's shape) for the standing
+    * corpus plus the batch, computed incrementally against the stored
+    * indices — equals [[Dedup.unifiedDedupClusters]] over the FULL
+    * corpus ∪ batch (the oracle replays exactly that). Read-only:
+    * see [[unifiedClusterStoreUpdate]] for the persisting twin. */
+  def unifiedClusterMerge(s: SparkSession, store: String,
+      batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame): DataFrame = {
+    val (_, newEdges, untouched, relabeled) =
+      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs)
+    val labels = materializeBounded(
+      untouched.drop("kb").unionByName(relabeled))
+    provenanceRollup(labels,
+      edgesTable(s, store).unionByName(newEdges))
+  }
+
+  /** Persist the merge: append each family's batch index rows (future
+    * merges match against them), append the provenance-tagged new
+    * edges, and rewrite ONLY the dirty cluster buckets — the
+    * neardupClusterStoreUpdate protocol verbatim (staging marker
+    * first, indices before edges, dynamic partition overwrite swap,
+    * unconditional marker delete). */
+  def unifiedClusterStoreUpdate(s: SparkSession, store: String,
+      batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame): Unit = {
+    val (batchRows, newEdges, untouched, relabeled) =
+      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs)
+    val dirty = materializeBounded(
+      relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))))
+    val buckets = dirty.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)) // <= 64, the corpusMerge convention
+    val tmp = s"$store/clusters_staging"
+    if (buckets.nonEmpty)
+      untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
+        .unionByName(dirty)
+        .repartition(buckets.length, col("kb"))
+        .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    // indices append BEFORE edges (the neardupClusterStoreUpdate
+    // ordering: a crash between the two loses only not-yet-appended
+    // EDGES, restored by replay, with the batch's docs still
+    // discoverable through the indices — never the reverse)
+    val Seq(batchSh, batchSim, batchLsh, batchImg) = batchRows
+    writeBuckets(batchSh.select(col("doc_id"), col("c"), col("h"),
+      col("kb")), s"$store/shingle", "append", "h")
+    writeBuckets(batchSim.select(col("doc_id"), col("simhash"),
+      col("band"), col("ckey"), col("kb")), s"$store/simhash", "append",
+      "band", "ckey")
+    writeBuckets(batchLsh.select(col("vec_id"), col("qe"), col("band"),
+      col("bkey"), col("kb")), s"$store/emb_lsh", "append",
+      "band", "bkey")
+    writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
+      col("band"), col("ckey"), col("kb")), s"$store/img_ahash", "append",
+      "band", "ckey")
+    newEdges.write.mode("append").parquet(s"$store/edges")
+    if (buckets.nonEmpty) {
+      s.read.parquet(tmp).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb").parquet(s"$store/clusters")
+      s.catalog.refreshByPath(store)
+    }
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Bound file counts under daily merges: the four index tables
+    * compact via the shared bucket pass, the unpartitioned edge table
+    * via the rename-swap rewrite (both [[Dedup]] primitives — the
+    * DISTINCT also reclaims replayed appends; family rides in the
+    * edge rows so provenance survives). The cluster table needs no
+    * pass (every bucket was last written as one file). */
+  def unifiedClusterStoreCompact(s: SparkSession, store: String,
+      maxFilesPerBucket: Int = 4): Unit = {
+    val proj: Map[String, Seq[String]] = Map(
+      "shingle" -> Seq("doc_id", "c", "h"),
+      "simhash" -> Seq("doc_id", "simhash", "band", "ckey"),
+      "emb_lsh" -> Seq("vec_id", "qe", "band", "bkey"),
+      "img_ahash" -> Seq("doc_id", "ahash", "band", "ckey"))
+    proj.toSeq.sortBy(_._1).foreach { case (fam, cols) =>
+      Dedup.compactBuckets(s, s"$store/$fam", "kb", cols.map(col),
+        Seq(col("kb"), col(cols(cols.length - 2)), col(cols.last)),
+        maxFilesPerBucket)
+    }
+    Dedup.compactUnpartitioned(s, s"$store/edges", maxFilesPerBucket)
+  }
+
+  /** Declared O-127 binding (the q89 pattern lifted to the unified
+    * store): corpus = docs 0-249 with their embeddings (vec < 250)
+    * and the attachment images below the q45d mid-group split
+    * (doc_id < 50); batch = docs 250+ PLUS re-identified copies of
+    * docs 0-49 (welding via BOTH text families), embeddings 250+,
+    * and the remaining images (group 16 straddles the split, so an
+    * image edge crosses the store boundary). Oracle: the one-shot
+    * q61c SQL over the FULL corpus ∪ batch — emb and image relations
+    * are the full fixture tables (the batch split partitions them;
+    * no rekeys), the docs relation is documents ∪ the rekeyed
+    * copies. */
+  def q61dUnifiedClusterMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val imgSigs = materializeBounded(Multimodal.imageSignatures(
+      Multimodal.syntheticImages(s)))
+    val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_q61d")
+    unifiedClusterStoreWrite(
+      docs.filter(col("doc_id") < 250),
+      emb.filter(col("vec_id") < 250),
+      imgSigs.filter(col("doc_id") < 50), store)
+    val batchDocs = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
+    unifiedClusterMerge(s, store, batchDocs,
+      emb.filter(col("vec_id") >= 250),
+      imgSigs.filter(col("doc_id") >= 50))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61d_unified_cluster_merge" -> (q61dUnifiedClusterMerge _))
+
+  val oracles: Map[String, String] = Map(
+    "q61d_unified_cluster_merge" -> Dedup.unifiedClustersSql(
+      s"""(SELECT doc_id, lang, source, n_chars, text FROM documents
+         |   UNION ALL
+         |   SELECT doc_id + ${Dedup.ReKeyOffset} AS doc_id, lang,
+         |     source, n_chars, text
+         |   FROM documents WHERE doc_id < 50)""".stripMargin))
+}

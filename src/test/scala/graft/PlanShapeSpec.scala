@@ -105,6 +105,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
   }
 
+  test("q61d: unified merge prunes every family index and plans no " +
+    "cartesian") {
+    // the q89 pin lifted to the four-family store: each standing index
+    // read partition-filters on the batch's kb set (four pruned scans
+    // in ONE edge plan), every verify is a hash join, no nested loop
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Tables.documents(spark, sf)
+    val emb = ops.Tables.embeddings(spark, sf)
+    val imgSigs = functions.Multimodal.imageSignatures(
+      functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+    val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_q61d")
+    ops.UnifiedClusters.unifiedClusterStoreWrite(
+      docs.filter(col("doc_id") < 250),
+      emb.filter(col("vec_id") < 250),
+      imgSigs.filter(col("doc_id") < 50), store)
+    val edgePlan = ops.UnifiedClusters.unifiedMergeNewEdgesPlan(spark,
+        store, docs.filter(col("doc_id") >= 250),
+        emb.filter(col("vec_id") >= 250),
+        imgSigs.filter(col("doc_id") >= 50))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one pruned scan per standing family index
+    assert(edgePlan.sliding("PartitionFilters: [kb".length)
+      .count(_ == "PartitionFilters: [kb") >= 4, edgePlan)
+    assert(edgePlan.contains("ShuffledHashJoin"), edgePlan)
+    assert(!edgePlan.contains("CartesianProduct"), edgePlan)
+    assert(!edgePlan.contains("BroadcastNestedLoopJoin"), edgePlan)
+    val merged = formatted("q61d_unified_cluster_merge")
+    assert(!merged.contains("CartesianProduct"), merged)
+    assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
+  }
+
   test("q84: the panel ADC side prunes cells and broadcast-joins the LUT") {
     // the whole 8-probe panel shares ONE partition-pruned read of the
     // union of probed cells (cell_id is the store's partition column),

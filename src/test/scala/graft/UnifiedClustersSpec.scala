@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** O-127: the unified multi-signal cluster store — incremental merge
+  * equals the one-shot q61c recompute over corpus ∪ batch, the
+  * persisting update rewrites only dirty label buckets, and replayed
+  * updates are reclaimed by compaction. */
+class UnifiedClustersSpec extends SparkSpec {
+
+  private def docsAt(d: String) = ops.Tables.documents(spark, d)
+  private def embAt(d: String) = ops.Tables.embeddings(spark, d)
+  private lazy val imgSigs = functions.Multimodal.imageSignatures(
+    functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+
+  /** The q61d fixture split at sf0.001, shared across tests. */
+  private def fixture(): (DataFrame, DataFrame, DataFrame, DataFrame,
+      DataFrame, DataFrame) = {
+    val docs = docsAt(sf)
+    val emb = embAt(sf)
+    val corpusDocs = docs.filter(col("doc_id") < 250)
+    val batchDocs = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000000L))
+    (corpusDocs, batchDocs,
+      emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250),
+      imgSigs.filter(col("doc_id") < 50), imgSigs.filter(col("doc_id") >= 50))
+  }
+
+  /** One-shot expected table: unifiedDedupClusters over the FULL
+    * corpus ∪ batch (every family's full fixture slice). */
+  private def oneShot(): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val docs = docsAt(sf)
+    val allDocs = docs.unionByName(docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000000L))
+    rows(ops.Dedup.unifiedDedupClusters(allDocs, embAt(sf),
+      Some(functions.Multimodal.imageAhashPairs(spark))))
+  }
+
+  test("q61d: incremental unified merge equals the one-shot " +
+    "multi-signal recompute over corpus ∪ batch") {
+    val got = rows(ops.UnifiedClusters.q61dUnifiedClusterMerge(spark, sf))
+    assert(got === oneShot())
+    // the fixture genuinely exercises every family: at least one
+    // cluster per provenance column across the table
+    val byFam = got.map(r => (r._3, r._4, r._5, r._6))
+    assert(byFam.exists(_._1 > 0), "no shingle edges in fixture")
+    assert(byFam.exists(_._2 > 0), "no simhash edges in fixture")
+    assert(byFam.exists(_._3 > 0), "no emb_lsh edges in fixture")
+    assert(byFam.exists(_._4 > 0), "no img_ahash edges in fixture")
+  }
+
+  test("unifiedClusterStoreUpdate rewrites only dirty label buckets " +
+    "and the read-back equals the read-only merge") {
+    val (cd, bd, ce, be, ci, bi) = fixture()
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_upd_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    val merged = ops.UnifiedClusters.unifiedClusterMerge(
+      spark, store, bd, be, bi)
+    val mergedRows = rows(merged)
+    val before = spark.read.parquet(s"$store/clusters")
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(before.nonEmpty, "standing store must have clusters")
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    // the persisted label table now equals CC over the persisted
+    // (provenance-tagged) edge set
+    val labels = spark.read.parquet(s"$store/clusters")
+    val expect = ops.Dedup.connectedComponents(
+      ops.UnifiedClusters.edgesTable(spark, store)
+        .select(col("doc_a"), col("doc_b")).distinct())
+    assert(labels.select(col("doc_id"), col("cluster_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      expect.select(col("doc_id"), col("cluster_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    // a second read-only merge with an EMPTY batch reproduces the
+    // same provenance table from the persisted store alone
+    val emptyDocs = cd.limit(0)
+    val replayed = rows(ops.UnifiedClusters.unifiedClusterMerge(
+      spark, store, emptyDocs, ce.limit(0), ci.limit(0)))
+    assert(replayed === mergedRows)
+    // staging marker cleared
+    assert(!new java.io.File(s"$store/clusters_staging").exists())
+  }
+
+  test("untouched cluster buckets are byte-identical across an update") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def txt(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    // two standing clusters in known pmod(doc_id, 64) buckets: {5, 6}
+    // (alpha) and {70, 71} (beta -> kb 6, 7); bucket 7 must survive
+    // an alpha-side weld byte-identically (the GenericApiSpec pin,
+    // replayed over the unified store)
+    val corpus = docsOf(5L -> txt("alpha"), 6L -> txt("alpha"),
+      70L -> txt("beta"), 71L -> txt("beta"))
+    val emb0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_prune_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(corpus, emb0, img0, store)
+    def bucketFiles(kb: Int): Seq[(String, Seq[Byte])] = {
+      val dir = new java.io.File(s"$store/clusters/kb=$kb")
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+        .map(f => (f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq))
+    }
+    val b7Before = bucketFiles(7)
+    assert(b7Before.nonEmpty)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      docsOf(200L -> txt("alpha")), emb0, img0)
+    assert(bucketFiles(7) === b7Before,
+      "untouched bucket kb=7 must be byte-identical across the update")
+    val after = spark.read.parquet(s"$store/clusters")
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after.contains((200L, 5L)) && after.contains((70L, 70L)))
+  }
+
+  test("replayed updates duplicate only appended rows and compaction " +
+    "reclaims them (at-least-once posture)") {
+    val (cd, bd, ce, be, ci, bi) = fixture()
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_replay_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    val edgesOnce = ops.UnifiedClusters.edgesTable(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    val labelsOnce = spark.read.parquet(s"$store/clusters")
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // replay the SAME batch: labels must not change; edges gain
+    // duplicate rows that compaction's DISTINCT reclaims
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    val labelsTwice = spark.read.parquet(s"$store/clusters")
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(labelsTwice === labelsOnce)
+    ops.UnifiedClusters.unifiedClusterStoreCompact(spark, store,
+      maxFilesPerBucket = 1)
+    val edgesCompacted = ops.UnifiedClusters.edgesTable(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    assert(edgesCompacted === edgesOnce.distinct)
+    // the post-compaction store still answers an empty-batch merge
+    // with the same provenance table
+    val replayed = ops.UnifiedClusters.unifiedClusterMerge(spark, store,
+      cd.limit(0), ce.limit(0), ci.limit(0))
+    assert(rows(replayed) === oneShot())
+  }
+
+  test("torn store heals: a lingering staging marker forces the exact " +
+    "full-CC rebuild and the merge still equals the one-shot") {
+    val (cd, bd, ce, be, ci, bi) = fixture()
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_torn_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    // simulate a crash window: marker present over a consistent store
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$store/clusters_staging"))
+    val got = rows(ops.UnifiedClusters.unifiedClusterMerge(
+      spark, store, bd, be, bi))
+    assert(got === oneShot())
+  }
+}
