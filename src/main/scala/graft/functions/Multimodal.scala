@@ -382,7 +382,21 @@ object Multimodal {
     * band stores — a store written at 4x15 probed with 5x12 keys
     * would miss matches with no error (review finding, round 12).
     * Both families currently ship 4x15 / hamming 8; the values are
-    * deliberately separate constants, not aliases. */
+    * deliberately separate constants, not aliases.
+    *
+    * RADIUS CONTRACT (round 13, per q45h's measured matrix): the
+    * banded join guarantees full recall only for hamming < nBands
+    * (pigeonhole); on the shipped 4x15 the measured recall is
+    * 1.0 / 1.0 / ~0.68 / 0.0 at d = 2/4/6/8, i.e. `maxHamming` is
+    * the VERIFY bound applied inside the candidate join, NOT a
+    * recall promise — spread d=8 drift is invisible to every 60-bit
+    * factoring (~10% even at 6x10). 4x15 is kept deliberately: each
+    * band's key space is 2^bits, and the self-join's candidate
+    * volume grows as n^2/2^bits per band, so the finer bandings
+    * that close d=6 (5x12, 6x10) cost an 8-32x denser join — the
+    * wrong default at 100 TB. Deployments retuning for d=6 recall
+    * must REBUILD the family's persisted band stores (SCALE.md,
+    * "The banding decision"). */
   final case class BandScheme(nBands: Int, bits: Int, maxHamming: Int)
   private[graft] val AhashScheme =
     BandScheme(AhashBands, AhashBandBits, AhashMaxHamming)
@@ -577,6 +591,23 @@ object Multimodal {
   def ahashIndexWrite(sigs: DataFrame, store: String,
       mode: String = "overwrite"): Unit =
     sigIndexWrite(sigs, "ahash", AhashScheme, store, mode)
+
+  /** Bound a perceptual band store's file counts under daily appends
+    * (VERDICT r12 #3): [[sigMerge]] appends one file-set per merge
+    * into each touched kb bucket, so under a steady ingest cadence
+    * the 64 buckets accumulate files without bound — the same problem
+    * the exact-hash and text band stores already solve. This is the
+    * SAME shared pass (driver-side bucket listing, partition-pruned
+    * rewrite of only the oversized buckets, dynamic-overwrite swap;
+    * DISTINCT keeps it idempotent and reclaims replayed appends),
+    * parameterized over the signature column — one compaction
+    * definition now serves all four bucket-partitioned index
+    * families. Returns the compacted bucket ids. */
+  def sigIndexCompact(s: SparkSession, store: String, sigCol: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    graft.ops.Dedup.compactBuckets(s, store, "kb",
+      Seq(col("doc_id"), col(sigCol), col("band"), col("ckey")),
+      Seq(col("kb"), col("band"), col("ckey")), maxFilesPerBucket)
 
   /** Admit the batch's perceptually-new images against the stored band
     * index: the index read is partition-pruned to the batch's <= 64 kb

@@ -200,6 +200,54 @@ class MultimodalSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("sigIndexCompact bounds per-bucket files without changing the " +
+    "merge's answer (merge -> compact -> probe unchanged)") {
+    import spark.implicits._
+    val store = graft.util.Ephemeral.dir("ahash_compaction")
+    val sigs = Multimodal.imageSignatures(
+      Multimodal.syntheticImages(spark)).cache()
+    // three generations of appends: initial write + two admitted
+    // batches, so touched buckets carry several file-sets
+    Multimodal.ahashIndexWrite(sigs.filter(col("doc_id") < 30), store)
+    val b1 = Multimodal.ahashMerge(spark, store,
+      sigs.filter(col("doc_id") >= 30 && col("doc_id") < 60))
+      .as[(Long, Long)].collect()
+    Multimodal.ahashIndexWrite(b1.toSeq.toDF("doc_id", "ahash"), store,
+      mode = "append")
+    val b2 = Multimodal.ahashMerge(spark, store,
+      sigs.filter(col("doc_id") >= 60)).as[(Long, Long)].collect()
+    Multimodal.ahashIndexWrite(b2.toSeq.toDF("doc_id", "ahash"), store,
+      mode = "append")
+    // an at-least-once REPLAY of the b2 append: duplicate band rows
+    // the compaction's DISTINCT must reclaim
+    Multimodal.ahashIndexWrite(b2.toSeq.toDF("doc_id", "ahash"), store,
+      mode = "append")
+    def probe(): Seq[Long] = Multimodal.ahashMerge(spark, store,
+      sigs.filter(col("doc_id") >= 50)).as[(Long, Long)]
+      .collect().map(_._1).toSeq
+    val beforeProbe = probe()
+    val distinctBefore = spark.read.parquet(store).distinct().count()
+    assert(spark.read.parquet(store).count() > distinctBefore,
+      "the replayed append must have produced duplicate rows")
+    def maxFiles(): Int = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("kb="))
+      .map(_.listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).max
+    assert(maxFiles() > 1, "fixture must append several file-sets")
+    val compacted = Multimodal.sigIndexCompact(spark, store, "ahash",
+      maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty)
+    assert(maxFiles() === 1)
+    assert(spark.read.parquet(store).count() === distinctBefore,
+      "compaction must keep exactly the distinct rows")
+    assert(probe() === beforeProbe,
+      "compaction must not change the pruned merge's answer")
+    // idempotent: a second pass finds nothing oversized
+    assert(Multimodal.sigIndexCompact(spark, store, "ahash",
+      maxFilesPerBucket = 1).isEmpty)
+    sigs.unpersist()
+  }
+
   test("audioEnvelopeHash: gain-invariant, material-sensitive, None " +
     "on short/silent/unsupported payloads; 16-bit path decodes") {
     def wav8(samples: Array[Int]): Array[Byte] = {
