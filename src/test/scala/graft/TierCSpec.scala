@@ -483,4 +483,38 @@ class TierCSpec extends SparkSpec {
       assert(rs.map(_._1).toSet === expect, s"source $src")
     }
   }
+
+  test("q101b: global selection is the top-affinity prefix ACROSS " +
+    "sources under one budget — the distributed prefix sum equals the " +
+    "naive single-ordering recompute") {
+    import spark.implicits._
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 100
+    }
+    val sel = ops.TextAnalysis.q101bAffinitySelectGlobal(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("affinity"), col("cum_tok"), col("tok_budget"))
+      .as[(Long, String, Long, Double, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    val budget = sel.head._6
+    sel.foreach { case (_, _, _, _, cum, b) =>
+      assert(b === budget && cum <= budget) }
+    // independent recompute: ONE global ordering, driver-side greedy
+    val full = ops.TextAnalysis.q100TargetAffinity(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("affinity"))
+      .as[(Long, String, Long, Double)].collect()
+    val expectedBudget = full.map(_._3).sum / 2
+    assert(budget === expectedBudget)
+    val ranked = full.sortBy(r => (-r._4, bucketOf(r._1), r._1))
+    val cums = ranked.scanLeft(0L)((acc, r) => acc + r._3).tail
+    val expect = ranked.zip(cums).takeWhile(_._2 <= budget)
+      .map { case (r, c) => (r._1, c) }.toMap
+    assert(sel.map(_._1).toSet === expect.keySet)
+    // and the REPORTED cum_tok matches the global running total (the
+    // partition offsets are correct, not just the final cut)
+    sel.foreach { case (id, _, _, _, c, _) => assert(expect(id) === c) }
+  }
 }
