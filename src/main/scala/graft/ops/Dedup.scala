@@ -1403,6 +1403,19 @@ object Dedup {
     snapshotDiffProjected(side(oldStore, "o"), side(newStore, "n"))
   }
 
+  /** Bound the manifest store's file counts under streaming appends
+    * (s21 lands one file-set per micro-batch): the shared bucket
+    * compaction pass. Its DISTINCT doubles as the at-least-once
+    * reclaim — a replayed batch re-appends IDENTICAL (doc_id, source,
+    * h) rows, which would otherwise multiply the gate's full-outer
+    * join; after compaction the diff is exact again (the family's
+    * standing posture, same as the hash/band/edge stores). */
+  def manifestCompact(s: SparkSession, store: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    compactBuckets(s, store, "kb",
+      Seq(col("doc_id"), col("source"), col("h")),
+      Seq(col("kb"), col("doc_id")), maxFilesPerBucket)
+
   /** Declared O-119 binding: materialize both generations' manifests
     * (the q95 snapshot views, so both bindings describe the same
     * promotion), then diff the STORES. Oracle: q95's SQL verbatim —
@@ -3304,7 +3317,7 @@ object Dedup {
 
   /** Shared q95/q95b oracle: the from-text diff over the deterministic
     * snapshot views. */
-  private lazy val q95DiffSql: String =
+  private[graft] lazy val q95DiffSql: String =
       s"""WITH o AS (
          |  SELECT doc_id, source, sha256(text) AS h, 1 AS p
          |  FROM documents

@@ -815,6 +815,59 @@ object Streams {
       graft.functions.Multimodal.audioSignatures,
       "ehash", graft.functions.Multimodal.EhashScheme, "s20_audio")
 
+  // O-130 (s21): ingest-time MANIFEST maintenance — the promotion
+  // gate made continuous (VERDICT r12 #7, the last store family
+  // without a stream binding): a corpus-build pipeline writes each
+  // generation's (doc_id, source, sha256) manifest AS IT MATERIALIZES
+  // the generation, so here the new generation arrives as the stream
+  // and every micro-batch appends its manifest rows (manifestWrite,
+  // mode append — ~40 B/doc, the batch's text is hashed exactly once
+  // inside the write) into the standing new-generation store. When
+  // the stream drains, the declared answer is the q95 gate itself:
+  // manifestDiff over the two PERSISTED stores — zero text rescans.
+  // manifestCompact runs after the drain: it bounds the per-bucket
+  // file counts the per-batch appends grow, and its DISTINCT is the
+  // at-least-once reclaim (a replayed batch re-appends IDENTICAL
+  // manifest rows, which would otherwise multiply the gate's
+  // full-outer join).
+  //
+  // Fixture: old = the q95 old snapshot (manifested at build time);
+  // the stream carries q95's new snapshot view. Oracle = q95's SQL
+  // verbatim (the from-text diff of the same generations) — the
+  // SEVENTH standing-index family with a persisted stream path.
+  def s21StreamManifestGate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+    val oldStore = graft.util.Ephemeral.fixedDir("graft_manifest_o_s21")
+    // fresh per invocation: the new-generation store accumulates via
+    // per-batch appends (the s16 admitted-sink convention)
+    val newStore = graft.util.Ephemeral.dir("graft_manifest_n_s21")
+    graft.ops.Dedup.manifestWrite(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), oldStore)
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val newGen = docStream.filter(pmod(col("doc_id"), lit(10)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 4,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val q = newGen.writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Dedup.manifestWrite(batch, newStore, "append")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // compact to ONE file per bucket at the gate point: unlike the
+    // hash/band stores (where duplicate rows are merely unreclaimed
+    // bytes), duplicate manifest rows MULTIPLY the gate's full-outer
+    // join — so the reclaim must be unconditional, not threshold-
+    // gated, before the diff is read (a bounded manifest-sized
+    // rewrite, paid once per promotion gate)
+    graft.ops.Dedup.manifestCompact(s, newStore, maxFilesPerBucket = 1)
+    graft.ops.Dedup.manifestDiff(s, oldStore, newStore)
+  }
+
   /** O-48 AS A DECLARED, ORACLE-CHECKED QUERY (VERDICT r5 #1): checkpoint
     * RESUME across two separate runs — the reference's defining
     * incremental behavior (`sha..HEAD` resume, rg.py:119-156): run 1
@@ -926,6 +979,7 @@ object Streams {
     "s18_stream_tf_maintain" -> (s18StreamTfMaintain _),
     "s19_stream_image_screen" -> (s19StreamImageScreen _),
     "s20_stream_audio_screen" -> (s20StreamAudioScreen _),
+    "s21_stream_manifest_gate" -> (s21StreamManifestGate _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -992,6 +1046,10 @@ object Streams {
     // one deterministic batch), the s19 argument over the audio family
     "s20_stream_audio_screen" ->
       graft.functions.Multimodal.oracles("q45g_audio_merge"),
+    // s21 = the q95 gate with the new generation manifested from the
+    // stream: the drained stores' diff equals the from-text diff of
+    // the same deterministic snapshot views
+    "s21_stream_manifest_gate" -> graft.ops.Dedup.q95DiffSql,
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

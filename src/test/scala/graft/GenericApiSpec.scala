@@ -869,4 +869,30 @@ class GenericApiSpec extends SparkSpec {
     // the null-safe compare, not misclassified
     assert(out === Array(("s", 1L, 1L, 1L, 1L)))
   }
+
+  test("manifest replay reclaim: a re-appended batch multiplies the " +
+    "gate's join until manifestCompact(1), which restores the exact diff") {
+    import spark.implicits._
+    val o = graft.util.Ephemeral.dir("manifest_rr_o")
+    val n = graft.util.Ephemeral.dir("manifest_rr_n")
+    val oldDocs = Seq((1L, "s", "x"), (2L, "s", "y"))
+      .toDF("doc_id", "source", "text")
+    val newDocs = Seq((1L, "s", "x"), (3L, "s", "z"))
+      .toDF("doc_id", "source", "text")
+    ops.Dedup.manifestWrite(oldDocs, o)
+    ops.Dedup.manifestWrite(newDocs, n)
+    def diff() = ops.Dedup.manifestDiff(spark, o, n)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val clean = diff()
+    assert(clean === Seq(("s", 1L, 1L, 0L, 1L)))
+    // an at-least-once REPLAY re-appends the identical batch: the
+    // duplicate new-side rows multiply the full-outer join (doc 1
+    // now counts same twice, doc 3 added twice)
+    ops.Dedup.manifestWrite(newDocs, n, mode = "append")
+    assert(diff() !== clean, "duplicates must be visible pre-reclaim")
+    // the s21 gate-point pass: unconditional one-file-per-bucket
+    // DISTINCT rewrite — the diff is exact again
+    ops.Dedup.manifestCompact(spark, n, maxFilesPerBucket = 1)
+    assert(diff() === clean)
+  }
 }
