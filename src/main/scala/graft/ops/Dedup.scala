@@ -921,12 +921,24 @@ object Dedup {
     * index shape (round 13). The count rides along ROW-LOCALLY
     * (size() of the per-doc array before the explode), so the exact-
     * Jaccard denominator needs no second aggregate or join at merge
-    * time: a pair's |A| and |B| arrive with the matched rows. */
+    * time: a pair's |A| and |B| arrive with the matched rows.
+    *
+    * Shape: the explode's child is an INLINE expression (the
+    * shingleExpr plan-shape trap above — a NAMED computed array makes
+    * InferFiltersFromGenerate re-evaluate the whole shingling chain
+    * in a non-codegen Filter; measured 10 s vs 0.5 s on the q61d
+    * build), and the per-doc array is LET-BOUND as a lambda variable
+    * so size() and the element fan-out read one evaluation (the
+    * repetitionFilter binding pattern). */
   private[graft] def hashedShinglesWithCount(docs: DataFrame): DataFrame =
     docTokens(docs)
-      .select(col("doc_id"), hashedShingleExpr(col("w")).as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("c"),
-        explode(col("hs")).as("h"))
+      .select(col("doc_id"),
+        explode(element_at(transform(
+          array(hashedShingleExpr(col("w"))),
+          hs => transform(hs, h =>
+            struct(size(hs).cast("long").as("c"), h.as("h")))), 1))
+          .as("ch"))
+      .select(col("doc_id"), col("ch.c").as("c"), col("ch.h").as("h"))
 
   /** (doc_id, source, h): one row per DISTINCT hashed shingle per doc —
     * the decontamination probe shape, shared by the batch check (q65)

@@ -309,18 +309,41 @@ object TextAnalysis {
     def modal(arr: Column): Column =
       coalesce(array_max(transform(array_distinct(arr),
         t => size(filter(arr, x => x === t)))), lit(0))
+    // LET-BINDING via single-element transform (round 13): the token
+    // and bigram arrays are bound as LAMBDA VARIABLES (w, bg) so each
+    // evaluates exactly once per row NO MATTER how the surrounding
+    // plan collapses. The previous withColumn formulation relied on
+    // the projection boundary to materialize them — but a downstream
+    // filter(keep) (the q87c funnel stage) collapses the projections
+    // and inlines the array EXPRESSIONS into the higher-order
+    // lambdas, where Spark's interpreted HOF evaluation re-computes
+    // an inlined child per ELEMENT: modal's filter-per-distinct then
+    // re-tokenizes the document O(n_distinct * n_tokens) times per
+    // row — measured 590 s for the funnel's repetition stage at
+    // sf0.1 vs ~2 s with the binding (the declared q62b only ever
+    // paid one inlining level, which is why its Verify never
+    // surfaced it). A lambda variable is a slot read; the blowup is
+    // structurally impossible here.
+    def bigramsOf(w: Column): Column =
+      when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1),
+            element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    val st = element_at(transform(array(toks), w =>
+      element_at(transform(array(bigramsOf(w)), bg =>
+        struct(
+          size(w).as("n_tokens"),
+          modal(w).as("top_token_n"),
+          size(bg).as("n_bigrams"),
+          modal(bg).as("top_bigram_n"))), 1)), 1)
     docsParallel(docs)
-      .withColumn("toks", toks)
-      .withColumn("bigrams", when(size(col("toks")) >= 2,
-        transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))))
-        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), st.as("st"))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        modal(col("toks")).as("top_token_n"),
-        size(col("bigrams")).as("n_bigrams"),
-        modal(col("bigrams")).as("top_bigram_n"))
+        col("st.n_tokens").as("n_tokens"),
+        col("st.top_token_n").as("top_token_n"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.top_bigram_n").as("top_bigram_n"))
       .withColumn("pass_token",
         col("top_token_n") * 100 <= col("n_tokens") * 12)
       .withColumn("pass_bigram",

@@ -72,6 +72,42 @@ object UnifiedClusters {
 
   private[graft] val SimScheme = BandScheme(Dedup.SimChunks, 15, 8)
 
+  /** GRAFT_UNI_DEBUG: per-phase stderr timings (the GRAFT_CC_DEBUG
+    * convention) — dev-only, zero cost when unset. */
+  private def timed[A](what: String)(body: => A): A = {
+    if (!sys.env.contains("GRAFT_UNI_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(s"[graft.uni] $what " +
+        s"${(System.nanoTime() - t0) / 1000000} ms")
+      r
+    }
+  }
+
+  /** Submit INDEPENDENT Spark jobs concurrently (SparkSession job
+    * submission is thread-safe; local[32] has the slack). The store's
+    * build and merge are dominated at bench scale by serialized
+    * job-submission rounds — four family pipelines and four bucketed
+    * table writes with no data dependency between them — and the same
+    * structure holds on a cluster, where each write is a barrier the
+    * others need not wait behind. Failures rethrow to the caller. */
+  private def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ParallelEc
+    Await.result(Future.sequence(tasks.map(t => Future(t()))),
+      Duration.Inf)
+  }
+  private lazy val ParallelEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-uni-store")
+          t.setDaemon(true)
+          t
+        }))
+
   // ---- schema'd readers (empty-partitioned-write safe) -------------
   private def shingleIndexTable(s: SparkSession, store: String): DataFrame =
     s.read.schema("doc_id BIGINT, c BIGINT, h BIGINT, kb INT")
@@ -176,43 +212,50 @@ object UnifiedClusters {
   private def famLit(df: DataFrame, family: String): DataFrame =
     df.select(col("doc_a"), col("doc_b"), lit(family).as("family"))
 
-  /** The full unified edge set derived from the WRITTEN index tables
-    * (one signature pass over the corpus, the
-    * neardupClusterStoreWrite lineage-break argument). */
-  private def edgesFromIndices(s: SparkSession, store: String): DataFrame = {
-    val sh = shingleIndexTable(s, store)
-    val sim = sigIndexTable(s, store, "simhash", "simhash")
-    val img = sigIndexTable(s, store, "img_ahash", "ahash")
-    val lsh = lshIndexTable(s, store)
-    famLit(shinglePairs(self = true)(sh, sh), "shingle")
-      .unionByName(famLit(
-        sigPairs("simhash", SimScheme, self = true)(sim, sim), "simhash"))
-      .unionByName(famLit(lshPairs(self = true)(lsh, lsh), "emb_lsh"))
-      .unionByName(famLit(sigPairs("ahash", Multimodal.AhashScheme,
-        self = true)(img, img), "img_ahash"))
-  }
-
   /** Build the standing unified store from a corpus slice: the four
-    * family indices, the provenance-carrying edge set (derived from
-    * the written indices), and the resolved cluster table. */
+    * family indices, the provenance-carrying edge set, and the
+    * resolved cluster table. Each family's index rows are
+    * materialized ONCE and feed BOTH the bucketed write and the
+    * build-time self pair join (the neardupClusterStoreWrite
+    * one-signature-pass argument, without re-reading the tables the
+    * same rows were just written to — the read-back variant paid
+    * four extra scan+shuffle rounds per build, measured as the bulk
+    * of q61d's fixed cost); CC likewise runs over the same
+    * materialized edge set the edge table is written from. */
   def unifiedClusterStoreWrite(docs: DataFrame, emb: DataFrame,
       imgSigs: DataFrame, store: String): Unit = {
-    val s = docs.sparkSession
-    writeBuckets(shingleRowsOf(docs), s"$store/shingle", "overwrite", "h")
-    writeBuckets(sigRowsOf(Dedup.simhashSigs(docs), "simhash", SimScheme),
-      s"$store/simhash", "overwrite", "band", "ckey")
-    writeBuckets(lshRowsOf(emb), s"$store/emb_lsh", "overwrite",
-      "band", "bkey")
-    writeBuckets(sigRowsOf(imgSigs, "ahash", Multimodal.AhashScheme),
-      s"$store/img_ahash", "overwrite", "band", "ckey")
-    edgesFromIndices(s, store).write.mode("overwrite")
-      .parquet(s"$store/edges")
-    Dedup.connectedComponents(
-        edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct())
+    val Seq(sh, sim, lsh, img) = timed("build.rows")(inParallel(Seq(
+      () => timed("build.rows.shingle")(
+        materializeBounded(shingleRowsOf(docs))),
+      () => timed("build.rows.simhash")(materializeBounded(
+        sigRowsOf(Dedup.simhashSigs(docs), "simhash", SimScheme))),
+      () => timed("build.rows.lsh")(materializeBounded(lshRowsOf(emb))),
+      () => timed("build.rows.img")(materializeBounded(
+        sigRowsOf(imgSigs, "ahash", Multimodal.AhashScheme))))))
+    timed("build.writes")(inParallel(Seq(
+      () => writeBuckets(sh, s"$store/shingle", "overwrite", "h"),
+      () => writeBuckets(sim, s"$store/simhash", "overwrite",
+        "band", "ckey"),
+      () => writeBuckets(lsh, s"$store/emb_lsh", "overwrite",
+        "band", "bkey"),
+      () => writeBuckets(img, s"$store/img_ahash", "overwrite",
+        "band", "ckey"))))
+    val fams = timed("build.fams")(materializeBounded(
+      famLit(shinglePairs(self = true)(sh, sh), "shingle")
+        .unionByName(famLit(
+          sigPairs("simhash", SimScheme, self = true)(sim, sim),
+          "simhash"))
+        .unionByName(famLit(lshPairs(self = true)(lsh, lsh), "emb_lsh"))
+        .unionByName(famLit(sigPairs("ahash", Multimodal.AhashScheme,
+          self = true)(img, img), "img_ahash"))))
+    timed("build.edges_write")(
+      fams.write.mode("overwrite").parquet(s"$store/edges"))
+    timed("build.cc_clusters")(Dedup.connectedComponents(
+        fams.select(col("doc_a"), col("doc_b")).distinct())
       .withColumn("kb", Dedup.clusterBucket(col("doc_id")))
       .repartition(64, col("kb"))
       .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$store/clusters")
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$store/clusters"))
   }
 
   private def requireUnifiedStore(s: SparkSession, store: String): Unit = {
@@ -226,15 +269,25 @@ object UnifiedClusters {
       }
   }
 
-  /** Prune a standing index read to the batch's touched buckets: the
-    * bucket ids are collected driver-side (<= 64 ints, the q83
-    * convention) so the IN is STATIC and parquet partition pruning
-    * applies at plan time. */
-  private def prunedTo(index: DataFrame, batchRows: DataFrame): DataFrame = {
-    val keys = batchRows.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64 buckets
+  /** Prune a standing index read to the batch's touched buckets (the
+    * <= 64-int static-IN, the q83 convention); the key sets for all
+    * four families come from ONE collect over the union of the
+    * materialized batch rows (4 scheduler rounds folded into 1). */
+  private def prunedTo(index: DataFrame, keys: Seq[Int]): DataFrame =
     if (keys.isEmpty) index.limit(0)
-    else index.filter(col("kb").isin(keys.toIndexedSeq: _*))
+    else index.filter(col("kb").isin(keys: _*))
+
+  /** One job: every family's touched-bucket set. */
+  private def touchedKeys(batchSh: DataFrame, batchSim: DataFrame,
+      batchLsh: DataFrame, batchImg: DataFrame): Map[String, Seq[Int]] = {
+    val rows = batchSh.select(lit("shingle").as("f"), col("kb"))
+      .unionByName(batchSim.select(lit("simhash").as("f"), col("kb")))
+      .unionByName(batchLsh.select(lit("emb_lsh").as("f"), col("kb")))
+      .unionByName(batchImg.select(lit("img_ahash").as("f"), col("kb")))
+      .distinct().collect() // <= 4 * 64 rows
+    rows.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getInt(1)).toSeq }
+      .withDefaultValue(Seq.empty)
   }
 
   /** The batch's new verified edges across all four families — each
@@ -248,20 +301,21 @@ object UnifiedClusters {
     // when a batch re-ingests an id the store already indexes, where a
     // pair could otherwise surface on both sides and double its
     // provenance count (edge-bounded, cheap insurance)
-    def cross(index: DataFrame, batch: DataFrame,
+    val keys = touchedKeys(batchSh, batchSim, batchLsh, batchImg)
+    def cross(index: DataFrame, batch: DataFrame, fam: String,
         rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
-      rule(false)(prunedTo(index, batch), batch)
+      rule(false)(prunedTo(index, keys(fam)), batch)
         .unionByName(rule(true)(batch, batch))
         .distinct()
-    famLit(cross(shingleIndexTable(s, store), batchSh,
+    famLit(cross(shingleIndexTable(s, store), batchSh, "shingle",
         self => shinglePairs(self)), "shingle")
       .unionByName(famLit(cross(sigIndexTable(s, store, "simhash",
-          "simhash"), batchSim,
+          "simhash"), batchSim, "simhash",
         self => sigPairs("simhash", SimScheme, self)), "simhash"))
       .unionByName(famLit(cross(lshIndexTable(s, store), batchLsh,
-        self => lshPairs(self)), "emb_lsh"))
+        "emb_lsh", self => lshPairs(self)), "emb_lsh"))
       .unionByName(famLit(cross(sigIndexTable(s, store, "img_ahash",
-          "ahash"), batchImg,
+          "ahash"), batchImg, "img_ahash",
         self => sigPairs("ahash", Multimodal.AhashScheme, self)),
         "img_ahash"))
   }
@@ -270,13 +324,13 @@ object UnifiedClusters {
     * bucket-prune collect, the verify joins, and the persisting
     * append — one signature/decode pass per family per merge). */
   private def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame): Seq[DataFrame] = Seq(
-    materializeBounded(shingleRowsOf(batchDocs)),
-    materializeBounded(
+      batchImgSigs: DataFrame): Seq[DataFrame] = inParallel(Seq(
+    () => materializeBounded(shingleRowsOf(batchDocs)),
+    () => materializeBounded(
       sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
-    materializeBounded(lshRowsOf(batchEmb)),
-    materializeBounded(
-      sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme)))
+    () => materializeBounded(lshRowsOf(batchEmb)),
+    () => materializeBounded(
+      sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme))))
 
   /** The batch's new-edges plan from raw batch inputs, UNmaterialized
     * — the plan-shape pin's probe (the clusterMergeNewEdgesPlan
@@ -299,14 +353,16 @@ object UnifiedClusters {
       : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
     requireUnifiedStore(s, store)
     val Seq(batchSh, batchSim, batchLsh, batchImg) =
-      batchRowsOf(batchDocs, batchEmb, batchImgSigs)
-    val newEdges = materializeBounded(unifiedNewEdgesPlan(s, store,
-      batchSh, batchSim, batchLsh, batchImg))
-    val (untouched, relabeled) = Dedup.relabelAgainst(
+      timed("merge.batch_rows")(
+        batchRowsOf(batchDocs, batchEmb, batchImgSigs))
+    val newEdges = timed("merge.new_edges")(
+      materializeBounded(unifiedNewEdgesPlan(s, store,
+        batchSh, batchSim, batchLsh, batchImg)))
+    val (untouched, relabeled) = timed("merge.relabel")(Dedup.relabelAgainst(
       newEdges.select(col("doc_a"), col("doc_b")).distinct(),
       edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct(),
       Dedup.clusterLabelsTable(s, store),
-      Dedup.tornMarker(s, store))
+      Dedup.tornMarker(s, store)))
     (Seq(batchSh, batchSim, batchLsh, batchImg), newEdges, untouched,
       relabeled)
   }
@@ -356,6 +412,22 @@ object UnifiedClusters {
       edgesTable(s, store).unionByName(newEdges))
   }
 
+  /** The unified cluster table READ BACK from the persisted store —
+    * the O(0)-compute path a downstream consumer takes between
+    * merges: labels are a label-table scan, provenance is the one
+    * edge-table rollup, no signature pipeline runs. Equals the
+    * one-shot recompute whenever the store is clean (every completed
+    * update maintains labels = CC(edges)); duplicate edge rows from
+    * un-compacted at-least-once replays inflate only the n_* counts
+    * (the family's documented posture — compaction's DISTINCT
+    * restores exactness). */
+  def unifiedClustersFromStore(s: SparkSession, store: String): DataFrame =
+    provenanceRollup(
+      Dedup.clusterLabelsTable(s, store)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical")),
+      edgesTable(s, store))
+
   /** Persist the merge: append each family's batch index rows (future
     * merges match against them), append the provenance-tagged new
     * edges, and rewrite ONLY the dirty cluster buckets — the
@@ -383,17 +455,24 @@ object UnifiedClusters {
     // EDGES, restored by replay, with the batch's docs still
     // discoverable through the indices — never the reverse)
     val Seq(batchSh, batchSim, batchLsh, batchImg) = batchRows
-    writeBuckets(batchSh.select(col("doc_id"), col("c"), col("h"),
-      col("kb")), s"$store/shingle", "append", "h")
-    writeBuckets(batchSim.select(col("doc_id"), col("simhash"),
-      col("band"), col("ckey"), col("kb")), s"$store/simhash", "append",
-      "band", "ckey")
-    writeBuckets(batchLsh.select(col("vec_id"), col("qe"), col("band"),
-      col("bkey"), col("kb")), s"$store/emb_lsh", "append",
-      "band", "bkey")
-    writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
-      col("band"), col("ckey"), col("kb")), s"$store/img_ahash", "append",
-      "band", "ckey")
+    // the four family appends are mutually independent — concurrent
+    // submission; the PROTOCOL order (staging first, all indices
+    // before edges) is preserved by the surrounding barriers. A crash
+    // here can leave any subset of family indices un-appended; replay
+    // restores them byte-identically (at-least-once), same window as
+    // the sequential form.
+    inParallel(Seq(
+      () => writeBuckets(batchSh.select(col("doc_id"), col("c"),
+        col("h"), col("kb")), s"$store/shingle", "append", "h"),
+      () => writeBuckets(batchSim.select(col("doc_id"), col("simhash"),
+        col("band"), col("ckey"), col("kb")), s"$store/simhash",
+        "append", "band", "ckey"),
+      () => writeBuckets(batchLsh.select(col("vec_id"), col("qe"),
+        col("band"), col("bkey"), col("kb")), s"$store/emb_lsh",
+        "append", "band", "bkey"),
+      () => writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
+        col("band"), col("ckey"), col("kb")), s"$store/img_ahash",
+        "append", "band", "ckey")))
     newEdges.write.mode("append").parquet(s"$store/edges")
     if (buckets.nonEmpty) {
       s.read.parquet(tmp).write.mode("overwrite")

@@ -815,6 +815,63 @@ object Streams {
       graft.functions.Multimodal.audioSignatures,
       "ehash", graft.functions.Multimodal.EhashScheme, "s20_audio")
 
+  // O-131 (s22): ingest-time UNIFIED cluster maintenance — s15's
+  // foreachBatch cadence over the round's q61d store (VERDICT r12 #1
+  // completed into the stream tier): the standing corpus keeps all
+  // four families' admission indices + provenance edges + labels on
+  // disk; each arriving text micro-batch is joined ROW-BOUNDED to its
+  // attachments (embeddings by the vec_id<->doc_id identification —
+  // the batch id list broadcasts, the embedding table is scanned
+  // once per batch) and folded in through unifiedClusterStoreUpdate
+  // (per-family pruned edge derivation + the shared touched-component
+  // relabel + dirty-bucket label writes). The image family's late
+  // attachments ride the FIRST micro-batch (a real pipeline's
+  // attachment channel is its own stream; one side-channel batch
+  // exercises the image index's incremental growth without a second
+  // source). The declared answer is the store READ BACK after the
+  // drain (unifiedClustersFromStore — labels scan + edge rollup, no
+  // signature reruns); oracle = q61d's one-shot SQL over the same
+  // corpus ∪ batch union.
+  def s22StreamUnifiedMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+    val emb = graft.ops.Tables.embeddings(s, d)
+    val imgSigs = graft.functions.Multimodal.imageSignatures(
+      graft.functions.Multimodal.syntheticImages(s)).localCheckpoint()
+    val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_s22")
+    graft.ops.UnifiedClusters.unifiedClusterStoreWrite(
+      docs.filter(col("doc_id") < 250),
+      emb.filter(col("vec_id") < 250),
+      imgSigs.filter(col("doc_id") < 50), store)
+    val docStream = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val batchIn = docStream.filter(col("doc_id") >= 250)
+      .unionByName(docStream.filter(col("doc_id") < 50)
+        .withColumn("doc_id",
+          col("doc_id") + graft.ops.Dedup.ReKeyOffset))
+    val q = batchIn.writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          // the batch's own attachments: vec_id == doc_id (the q61c
+          // identification); the id list is batch-bounded and
+          // broadcasts into a LEFT SEMI probe of the vector table
+          val ids = broadcast(
+            batch.select(col("doc_id").as("vec_id")).distinct())
+          val batchEmb = emb.join(ids, Seq("vec_id"), "left_semi")
+          val batchImg =
+            if (batchId == 0L) imgSigs.filter(col("doc_id") >= 50)
+            else imgSigs.limit(0)
+          graft.ops.UnifiedClusters.unifiedClusterStoreUpdate(
+            ss, store, batch, batchEmb, batchImg)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.UnifiedClusters.unifiedClustersFromStore(s, store)
+  }
+
   // O-130 (s21): ingest-time MANIFEST maintenance — the promotion
   // gate made continuous (VERDICT r12 #7, the last store family
   // without a stream binding): a corpus-build pipeline writes each
@@ -980,6 +1037,7 @@ object Streams {
     "s19_stream_image_screen" -> (s19StreamImageScreen _),
     "s20_stream_audio_screen" -> (s20StreamAudioScreen _),
     "s21_stream_manifest_gate" -> (s21StreamManifestGate _),
+    "s22_stream_unified_maintain" -> (s22StreamUnifiedMaintain _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -1050,6 +1108,12 @@ object Streams {
     // stream: the drained stores' diff equals the from-text diff of
     // the same deterministic snapshot views
     "s21_stream_manifest_gate" -> graft.ops.Dedup.q95DiffSql,
+    // s22 = q61d's corpus ∪ batch union ingested through foreachBatch
+    // (one-file source -> one deterministic batch), answered from the
+    // drained store's read-back: the one-shot four-family SQL is the
+    // same oracle
+    "s22_stream_unified_maintain" ->
+      graft.ops.UnifiedClusters.oracles("q61d_unified_cluster_merge"),
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->
