@@ -1398,6 +1398,16 @@ object Dedup {
     docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("source"),
         sha2(col("text").cast("binary"), 256).as("h"))
+      // exact-duplicate rows dedup AT WRITE TIME (round-13 review
+      // finding): a single ingest batch carrying the same row twice
+      // would land both copies in ONE file, where the gate-point
+      // compaction (which reclaims across FILES) could never see
+      // them — and duplicate manifest rows multiply the diff's
+      // full-outer join. With the write distinct, within-file dups
+      // are impossible and cross-file dups are exactly the replayed
+      // appends compaction's DISTINCT reclaims. No-op for well-formed
+      // generations; rows are 40 B.
+      .distinct()
       .withColumn("kb", pmod(xxhash64(col("doc_id")), lit(64)).cast("int"))
       .repartition(64, col("kb"))
       .sortWithinPartitions(col("kb"), col("doc_id"))
@@ -2452,10 +2462,21 @@ object Dedup {
     val fams = materializeBounded(famsPlan)
     val cc = connectedComponents(fams.select(col("doc_a"), col("doc_b"))
       .distinct())
-    // every edge's endpoints share a cluster by construction, so one
-    // endpoint suffices to attribute the edge
+    unifiedFamilyRollup(cc, fams)
+  }
+
+  /** The q61c output contract stated ONCE (round-13 review finding —
+    * the unified STORE's read-back path had restated it): per-cluster
+    * size plus per-family edge counts over any (doc_id, cluster_id,
+    * ...) label table and (doc_a, doc_b, family) edge set. Every
+    * edge's endpoints share a cluster by construction, so doc_a alone
+    * attributes the edge. cluster_size is recomputed from the labels
+    * (pair-graph-bounded) rather than trusted from a carried column —
+    * one definition beats two invariants. */
+  private[graft] def unifiedFamilyRollup(labels: DataFrame,
+      fams: DataFrame): DataFrame = {
     val famCounts = fams
-      .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")),
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")),
         Seq("doc_a"))
       .groupBy(col("cluster_id"))
       .agg(
@@ -2467,7 +2488,7 @@ object Dedup {
           .as("n_emb_lsh"),
         sum(when(col("family") === "img_ahash", 1L).otherwise(0L))
           .as("n_img_ahash"))
-    cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .join(famCounts, Seq("cluster_id"))
       .select(col("cluster_id"), col("cluster_size"), col("n_shingle"),
         col("n_simhash"), col("n_emb_lsh"), col("n_img_ahash"))
@@ -2659,35 +2680,54 @@ object Dedup {
   def curationFunnelExtended(docs0: DataFrame): DataFrame =
     funnelCounts(funnelStagesExtended(docs0))
 
-  private def funnelStagesExtended(
+  /** GRAFT_FUNNEL_DEBUG: per-stage stderr timings (materializeBounded
+    * is eager, so each stage's real cost lands at construction) —
+    * dev-only, zero cost when unset; ProfileQ87c drives THIS
+    * definition so the profiler cannot drift from the query
+    * (round-13 review finding). */
+  private def stageTimed(what: String)(body: => DataFrame): DataFrame = {
+    if (!sys.env.contains("GRAFT_FUNNEL_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      val df = body
+      System.err.println(s"[graft.funnel] $what " +
+        s"${(System.nanoTime() - t0) / 1000000} ms")
+      df
+    }
+  }
+
+  private[graft] def funnelStagesExtended(
       docs0: DataFrame): Seq[(Int, String, DataFrame)] = {
-    val d0 = materializeBounded(docs0.filter(col("doc_id").isNotNull))
+    val d0 = stageTimed("d0")(
+      materializeBounded(docs0.filter(col("doc_id").isNotNull)))
     // 1: scrub IN PLACE — no docs drop, the corpus transforms
-    val s1 = materializeBounded(TextAnalysis.piiScrubText(d0))
+    val s1 = stageTimed("s1_scrub")(
+      materializeBounded(TextAnalysis.piiScrubText(d0)))
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-    val s2 = materializeBounded(s1
+    val s2 = stageTimed("s2_exact")(materializeBounded(s1
       .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "content_hash"))
+      .drop("rn", "content_hash")))
     val ndDrop = nearDupPairs(s2)
       .select(col("doc_b").as("doc_id")).distinct()
-    val s3 = materializeBounded(s2.join(ndDrop, Seq("doc_id"), "left_anti"))
-    val s4 = materializeBounded(s3.join(
+    val s3 = stageTimed("s3_neardup")(
+      materializeBounded(s2.join(ndDrop, Seq("doc_id"), "left_anti")))
+    val s4 = stageTimed("s4_repetition")(materializeBounded(s3.join(
       TextAnalysis.repetitionFilter(s3).filter(col("keep"))
         .select(col("doc_id")),
-      Seq("doc_id"), "left_semi"))
-    val s5 = materializeBounded(s4.join(
+      Seq("doc_id"), "left_semi")))
+    val s5 = stageTimed("s5_quality")(materializeBounded(s4.join(
       TextAnalysis.qualityFilter(s4).filter(col("keep"))
         .select(col("doc_id")),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")))
     // 6: segment dedup REWRITES text to the kept segments (token set
     // preserved up to whitespace normalization — downstream stages
     // are token-keyed); docs whose every segment is shared drop here
-    val s6 = materializeBounded(s5
+    val s6 = stageTimed("s6_segment")(materializeBounded(s5
       .join(segmentDedup(s5).select(col("doc_id"), col("clean_text")),
         Seq("doc_id"))
-      .withColumn("text", col("clean_text")).drop("clean_text"))
+      .withColumn("text", col("clean_text")).drop("clean_text")))
     // 7: decontaminate vs the SCRUBBED eval suite (stage-1 src0 —
     // the suite is scrubbed with the corpus, before any dedup)
     val bench = sourcedShingleRows(s1)
@@ -2700,9 +2740,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
       .select(col("doc_id"))
-    val s7 = materializeBounded(s6
+    val s7 = stageTimed("s7_decontaminate")(materializeBounded(s6
       .filter(col("source") =!= "src0")
-      .join(flagged, Seq("doc_id"), "left_anti"))
+      .join(flagged, Seq("doc_id"), "left_anti")))
     val s8 = s7.join(
       Sampling.hashSplit(s7).filter(col("split") === "train")
         .select(col("doc_id")),

@@ -164,7 +164,17 @@ object UnifiedClusters {
   private def idGuard(self: Boolean, xid: String, yid: String) =
     if (self) col(xid) < col(yid) else col(xid) =!= col(yid)
 
-  /** Exact-Jaccard >= 0.5 pairs between two shingle index tables. */
+  /** Exact-Jaccard >= 0.5 pairs between two shingle index tables.
+    * The intersection is a DISTINCT-h count, not a row count (round-13
+    * review finding): the standing index is append-replayed under the
+    * at-least-once posture, and a row-counted `inter` over duplicated
+    * rows inflates while the carried n_a/n_b stay true — enough to
+    * push a sub-threshold pair over 0.5 and weld clusters PERMANENTLY
+    * (edges are persisted; compaction reclaims duplicate index rows
+    * but never wrong edges). With distinct-h the verify is exact over
+    * ANY duplication, restoring the family's "duplicates are merely
+    * unreclaimed bytes" contract; on clean stores the two counts are
+    * identical (per-doc shingles are distinct by construction). */
   private def shinglePairs(self: Boolean)(x: DataFrame,
       y: DataFrame): DataFrame =
     x.as("x").hint("shuffle_hash")
@@ -172,7 +182,7 @@ object UnifiedClusters {
       .filter(idGuard(self, "x.doc_id", "y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.c").as("n_a"), col("y.c").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(countDistinct(col("x.h")).as("inter"))
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
         >= 0.5)
       .select(least(col("a"), col("b")).as("doc_a"),
@@ -375,26 +385,8 @@ object UnifiedClusters {
     * size, which IS still correct, but one definition beats two
     * invariants. */
   private def provenanceRollup(labels: DataFrame,
-      allEdges: DataFrame): DataFrame = {
-    val famCounts = allEdges
-      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")),
-        Seq("doc_a"))
-      .groupBy(col("cluster_id"))
-      .agg(
-        sum(when(col("family") === "shingle", 1L).otherwise(0L))
-          .as("n_shingle"),
-        sum(when(col("family") === "simhash", 1L).otherwise(0L))
-          .as("n_simhash"),
-        sum(when(col("family") === "emb_lsh", 1L).otherwise(0L))
-          .as("n_emb_lsh"),
-        sum(when(col("family") === "img_ahash", 1L).otherwise(0L))
-          .as("n_img_ahash"))
-    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-      .join(famCounts, Seq("cluster_id"))
-      .select(col("cluster_id"), col("cluster_size"), col("n_shingle"),
-        col("n_simhash"), col("n_emb_lsh"), col("n_img_ahash"))
-      .orderBy(col("cluster_id"))
-  }
+      allEdges: DataFrame): DataFrame =
+    Dedup.unifiedFamilyRollup(labels, allEdges)
 
   /** Updated unified cluster table (q61c's shape) for the standing
     * corpus plus the batch, computed incrementally against the stored
@@ -494,15 +486,21 @@ object UnifiedClusters {
     * pass (every bucket was last written as one file). */
   def unifiedClusterStoreCompact(s: SparkSession, store: String,
       maxFilesPerBucket: Int = 4): Unit = {
-    val proj: Map[String, Seq[String]] = Map(
-      "shingle" -> Seq("doc_id", "c", "h"),
-      "simhash" -> Seq("doc_id", "simhash", "band", "ckey"),
-      "emb_lsh" -> Seq("vec_id", "qe", "band", "bkey"),
-      "img_ahash" -> Seq("doc_id", "ahash", "band", "ckey"))
-    proj.toSeq.sortBy(_._1).foreach { case (fam, cols) =>
-      Dedup.compactBuckets(s, s"$store/$fam", "kb", cols.map(col),
-        Seq(col("kb"), col(cols(cols.length - 2)), col(cols.last)),
-        maxFilesPerBucket)
+    // projection and SORT keys stated per family (review finding: a
+    // generic last-two-columns sort picked the shingle family's
+    // per-doc count over its h join key, scattering h across row
+    // groups) — each family compacts back to its own write order
+    val fams: Seq[(String, Seq[String], Seq[String])] = Seq(
+      ("emb_lsh", Seq("vec_id", "qe", "band", "bkey"),
+        Seq("band", "bkey")),
+      ("img_ahash", Seq("doc_id", "ahash", "band", "ckey"),
+        Seq("band", "ckey")),
+      ("shingle", Seq("doc_id", "c", "h"), Seq("h")),
+      ("simhash", Seq("doc_id", "simhash", "band", "ckey"),
+        Seq("band", "ckey")))
+    fams.foreach { case (fam, projCols, ordCols) =>
+      Dedup.compactBuckets(s, s"$store/$fam", "kb", projCols.map(col),
+        (("kb" +: ordCols)).map(col), maxFilesPerBucket)
     }
     Dedup.compactUnpartitioned(s, s"$store/edges", maxFilesPerBucket)
   }

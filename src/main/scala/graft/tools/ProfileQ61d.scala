@@ -37,7 +37,8 @@ object ProfileQ61d {
         imgSigs.filter(col("doc_id") < 50), store))
       val batchDocs = docs.filter(col("doc_id") >= 250)
         .unionByName(docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + 1000000000L))
+          .withColumn("doc_id",
+            col("doc_id") + graft.ops.Dedup.ReKeyOffset))
       val merged = t("merge_plan+exec")(
         UnifiedClusters.unifiedClusterMerge(spark, store, batchDocs,
           emb.filter(col("vec_id") >= 250),
