@@ -2984,7 +2984,34 @@ object Dedup {
     * table). */
   private[graft] def unifiedClustersSql(docsRel: String): String =
     s"""WITH RECURSIVE
-       |shp AS (SELECT doc_a, doc_b FROM (
+       |${unifiedFamiliesCcSql(docsRel)},
+       |fc AS (
+       |  SELECT c.cluster_id,
+       |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_shingle,
+       |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_simhash,
+       |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_emb_lsh,
+       |    CAST(sum(CASE WHEN family = 'img_ahash' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_img_ahash
+       |  FROM fams f JOIN comp c ON f.doc_a = c.id
+       |  GROUP BY c.cluster_id)
+       |SELECT cluster_id,
+       |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+       |  n_shingle, n_simhash, n_emb_lsh, n_img_ahash
+       |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
+       |      GROUP BY cluster_id) cs
+       |JOIN fc USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
+  /** The four family pair sets ∪ recursive-CTE CC over an arbitrary
+    * docs relation, WITHOUT a final select — ends at `comp(id,
+    * cluster_id)` with `fams` still in scope. Shared by the q61c/q61d
+    * cluster-table oracles above and q61e's canonical-corpus oracle
+    * (which needs the component labels, not the rollup). */
+  private def unifiedFamiliesCcSql(docsRel: String): String =
+    s"""shp AS (SELECT doc_a, doc_b FROM (
        |  WITH ${shingleSqlFor(
              s"(SELECT doc_id, text FROM $docsRel" +
                " WHERE doc_id IS NOT NULL)", "U")},
@@ -3022,26 +3049,8 @@ object Dedup {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
-       |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
-       |fc AS (
-       |  SELECT c.cluster_id,
-       |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_shingle,
-       |    CAST(sum(CASE WHEN family = 'simhash' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_simhash,
-       |    CAST(sum(CASE WHEN family = 'emb_lsh' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_emb_lsh,
-       |    CAST(sum(CASE WHEN family = 'img_ahash' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS n_img_ahash
-       |  FROM fams f JOIN comp c ON f.doc_a = c.id
-       |  GROUP BY c.cluster_id)
-       |SELECT cluster_id,
-       |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
-       |  n_shingle, n_simhash, n_emb_lsh, n_img_ahash
-       |FROM (SELECT cluster_id, count(*) AS cluster_size FROM comp
-       |      GROUP BY cluster_id) cs
-       |JOIN fc USING (cluster_id)
-       |ORDER BY cluster_id""".stripMargin
+       |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)"""
+      .stripMargin
 
   /** The q36c SimHash CTE stack over an arbitrary (doc_id, text)
     * relation (round 13: the q61d oracle replays SimHash over the

@@ -256,6 +256,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles hash exchanges:\n$plan")
   }
 
+  test("q101b: the global budget never plans a single-partition " +
+    "window — the cumulative sum runs per-pid with a broadcast offset") {
+    val plan = formatted("q101b_affinity_select_global")
+    // the naive global cumulative window is Window over Exchange
+    // SinglePartition — the one shape this operator exists to avoid;
+    // the distributed form windows PARTITIONED BY pid (parallel) and
+    // joins the per-partition offsets as a broadcast local relation
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q98: the kNN vote is row-local — no hash shuffle at all") {
     val plan = formatted("q98_knn_label_prop")
     // the seed panel rides as KnnMajorityLabel's reference arrays, so
