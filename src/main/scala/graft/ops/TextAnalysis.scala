@@ -649,7 +649,15 @@ object TextAnalysis {
     val sums = ranked.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("ptok")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1) // <= P rows
-    val budget = sums.map(_._2).sum * budgetNum / budgetDen
+    // BigInt intermediate (round-13 ADVICE): total * budgetNum first
+    // overflows Long at corpus token totals a 100 TB run actually has
+    // (2^63 / 10^13 tokens leaves budgetNum < 10^6), flipping the
+    // budget negative and emptying the selection silently
+    val budget = {
+      val b = BigInt(sums.map(_._2).sum) * budgetNum / budgetDen
+      require(b.isValidLong, s"token budget $b exceeds Long range")
+      b.toLong
+    }
     // offsets: tokens in all EARLIER partitions (range order == pid
     // order, highest affinity in pid 0)
     val offsets = sums

@@ -91,13 +91,20 @@ object UnifiedClusters {
     * job-submission rounds — four family pipelines and four bucketed
     * table writes with no data dependency between them — and the same
     * structure holds on a cluster, where each write is a barrier the
-    * others need not wait behind. Failures rethrow to the caller. */
+    * others need not wait behind. ALL tasks run to completion before
+    * a failure rethrows (round-13 ADVICE: Future.sequence fails fast,
+    * letting sibling append jobs land AFTER the caller unwound — the
+    * crash-window analysis assumes the store is quiescent at
+    * exception time, so the await must be unconditional). */
   private def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ParallelEc
-    Await.result(Future.sequence(tasks.map(t => Future(t()))),
+    val done = Await.result(
+      Future.sequence(tasks.map(t => Future(scala.util.Try(t())))),
       Duration.Inf)
+    done.collectFirst { case scala.util.Failure(e) => throw e }
+    done.map(_.get)
   }
   private lazy val ParallelEc =
     scala.concurrent.ExecutionContext.fromExecutorService(
@@ -365,9 +372,18 @@ object UnifiedClusters {
     val Seq(batchSh, batchSim, batchLsh, batchImg) =
       timed("merge.batch_rows")(
         batchRowsOf(batchDocs, batchEmb, batchImgSigs))
+    // LEFT ANTI vs the standing edge table (round-13 ADVICE): a batch
+    // re-ingesting a doc already edged in the store re-derives the
+    // same (doc_a, doc_b, family) row — without this, the update path
+    // appends the duplicate (inflating provenance counts until
+    // compaction) and a replayed batch's relabel re-touches every
+    // component it already welded. Edge-bounded: the standing table
+    // is scanned by the relabel anyway.
     val newEdges = timed("merge.new_edges")(
       materializeBounded(unifiedNewEdgesPlan(s, store,
-        batchSh, batchSim, batchLsh, batchImg)))
+          batchSh, batchSim, batchLsh, batchImg)
+        .join(edgesTable(s, store),
+          Seq("doc_a", "doc_b", "family"), "left_anti")))
     val (untouched, relabeled) = timed("merge.relabel")(Dedup.relabelAgainst(
       newEdges.select(col("doc_a"), col("doc_b")).distinct(),
       edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct(),
@@ -413,12 +429,22 @@ object UnifiedClusters {
     * un-compacted at-least-once replays inflate only the n_* counts
     * (the family's documented posture — compaction's DISTINCT
     * restores exactness). */
-  def unifiedClustersFromStore(s: SparkSession, store: String): DataFrame =
+  def unifiedClustersFromStore(s: SparkSession, store: String): DataFrame = {
+    // a torn store (crashed mid-update) would silently serve stale or
+    // mixed-generation labels inconsistent with the edge table here —
+    // merge/update heal via relabelAgainst, but this read path runs no
+    // relabel, so it must refuse instead (round-13 ADVICE)
+    require(!Dedup.tornMarker(s, store),
+      s"unified cluster store at '$store' is torn (clusters_staging " +
+        "marker present — a previous update crashed mid-swap); run " +
+        "unifiedClusterStoreUpdate with any batch (empty is fine) to " +
+        "heal before reading back")
     provenanceRollup(
       Dedup.clusterLabelsTable(s, store)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("is_canonical")),
       edgesTable(s, store))
+  }
 
   /** Persist the merge: append each family's batch index rows (future
     * merges match against them), append the provenance-tagged new
@@ -436,12 +462,12 @@ object UnifiedClusters {
     val buckets = dirty.select(col("kb")).distinct()
       .collect().map(_.getInt(0)) // <= 64, the corpusMerge convention
     val tmp = s"$store/clusters_staging"
-    if (buckets.nonEmpty)
+    if (buckets.nonEmpty) timed("update.label_stage")(
       untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
         .unionByName(dirty)
         .repartition(buckets.length, col("kb"))
         .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp))
     // indices append BEFORE edges (the neardupClusterStoreUpdate
     // ordering: a crash between the two loses only not-yet-appended
     // EDGES, restored by replay, with the batch's docs still
@@ -453,7 +479,7 @@ object UnifiedClusters {
     // here can leave any subset of family indices un-appended; replay
     // restores them byte-identically (at-least-once), same window as
     // the sequential form.
-    inParallel(Seq(
+    timed("update.index_appends")(inParallel(Seq(
       () => writeBuckets(batchSh.select(col("doc_id"), col("c"),
         col("h"), col("kb")), s"$store/shingle", "append", "h"),
       () => writeBuckets(batchSim.select(col("doc_id"), col("simhash"),
@@ -464,9 +490,10 @@ object UnifiedClusters {
         "append", "band", "bkey"),
       () => writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
         col("band"), col("ckey"), col("kb")), s"$store/img_ahash",
-        "append", "band", "ckey")))
-    newEdges.write.mode("append").parquet(s"$store/edges")
-    if (buckets.nonEmpty) {
+        "append", "band", "ckey"))))
+    timed("update.edges_append")(
+      newEdges.write.mode("append").parquet(s"$store/edges"))
+    if (buckets.nonEmpty) timed("update.label_swap") {
       s.read.parquet(tmp).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb").parquet(s"$store/clusters")
@@ -521,11 +548,16 @@ object UnifiedClusters {
     val emb = Tables.embeddings(s, d)
     val imgSigs = materializeBounded(Multimodal.imageSignatures(
       Multimodal.syntheticImages(s)))
-    val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_q61d")
-    unifiedClusterStoreWrite(
-      docs.filter(col("doc_id") < 250),
-      emb.filter(col("vec_id") < 250),
-      imgSigs.filter(col("doc_id") < 50), store)
+    // built once per (JVM, data dir): the merge below is READ-ONLY,
+    // so the store after build is byte-identical on every invocation
+    // and the rebuild bought nothing but write rounds (verdict r13 #1)
+    val store = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_uni_cluster_q61d", d)) { dir =>
+      unifiedClusterStoreWrite(
+        docs.filter(col("doc_id") < 250),
+        emb.filter(col("vec_id") < 250),
+        imgSigs.filter(col("doc_id") < 50), dir)
+    }
     val batchDocs = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))

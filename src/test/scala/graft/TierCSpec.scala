@@ -517,4 +517,18 @@ class TierCSpec extends SparkSpec {
     // partition offsets are correct, not just the final cut)
     sel.foreach { case (id, _, _, _, c, _) => assert(expect(id) === c) }
   }
+
+  test("q101b: the budget ratio survives Long-overflow-scale " +
+    "numerators (BigInt intermediate, round-13 ADVICE)") {
+    // total(~1e5 toks) * 1e14 overflows a Long multiply; the ratio
+    // 1e14/2e14 = 1/2 must still select exactly the default's rows
+    val base = ops.TextAnalysis.affinitySelectGlobal(
+      ops.Tables.documents(spark, sf)).select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted
+    val big = ops.TextAnalysis.affinitySelectGlobal(
+      ops.Tables.documents(spark, sf),
+      budgetNum = 100000000000000L, budgetDen = 200000000000000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(big === base)
+  }
 }

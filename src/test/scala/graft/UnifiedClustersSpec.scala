@@ -206,4 +206,21 @@ class UnifiedClustersSpec extends SparkSpec {
       spark, store, bd, be, bi))
     assert(got === oneShot())
   }
+
+  test("torn store read-back refuses: unifiedClustersFromStore has no " +
+    "relabel to heal with, so it must not serve mixed-generation labels") {
+    val (cd, _, ce, _, ci, _) = fixture()
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_tornread_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    // clean store reads back fine
+    assert(ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+      .count() > 0)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$store/clusters_staging"))
+    val e = intercept[IllegalArgumentException] {
+      ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
 }
