@@ -814,10 +814,16 @@ object Multimodal {
     * samples per frame and n = 600, frameSum*n >= total*count
     * reduces to 60*v0 >= sum(v0) — and replays the banding. */
   def q45fAudioEnvelopeDedup(s: SparkSession, d: String): DataFrame =
+    audioEhashPairs(s).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The ehash pair set over the audio attachment fixture — ONE
+    * definition shared by q45f (the pair listing) and q61c (the
+    * multi-signal union's fifth family, round-14: audio edges weld
+    * clusters like image edges do): the imageAhashPairs twin. */
+  private[graft] def audioEhashPairs(s: SparkSession): DataFrame =
     graft.ops.Dedup.bandedHammingPairs(
       audioSignatures(syntheticWavs(s)), "ehash",
       EhashScheme.nBands, EhashScheme.bits, EhashScheme.maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   // O-121 (q45g): incremental AUDIO-dedup admission — the O-114
   // standing-index idiom through the signature-generalized store trio
@@ -1318,5 +1324,21 @@ object Multimodal {
       |    AS ehash
       |  FROM cellsA JOIN totA USING (g) GROUP BY cellsA.g),
       |sigsA AS (SELECT doc_id, ehash FROM auds JOIN hashesA USING (g))"""
+      .stripMargin
+
+  /** The banded pair rule replayed over `sigsA`, as a self-contained
+    * parenthesized subquery yielding (doc_a, doc_b) — the
+    * [[ahashPairsSql]] twin for the audio family's edge contribution
+    * to the q61c multi-signal union. */
+  private[graft] lazy val ehashPairsSql: String =
+    s"""(WITH $ehashSigsSql,
+       |chunksA AS (
+       |  SELECT doc_id, ehash, tc.c,
+       |    (ehash >> (${EhashScheme.bits} * tc.c)) & ${(1 << EhashScheme.bits) - 1} AS ckey
+       |  FROM sigsA, generate_series(0, ${EhashScheme.nBands - 1}) tc(c))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM chunksA x JOIN chunksA y ON x.c = y.c AND x.ckey = y.ckey
+       |WHERE x.doc_id < y.doc_id
+       |  AND bit_count(xor(x.ehash, y.ehash)) <= ${EhashScheme.maxHamming})"""
       .stripMargin
 }

@@ -10,9 +10,10 @@ import graft.functions.Multimodal.BandScheme
   * cluster table — the q89/s15 standing-store cadence applied to the
   * q61c deliverable (VERDICT r12, next-round #1).
   *
-  * q61c resolves ONE cluster table over the union of all four pair
+  * q61c resolves ONE cluster table over the union of all five pair
   * families (exact shingle Jaccard, SimHash, embedding sign-LSH,
-  * image aHash) but recomputes every family's pair join and the full
+  * image aHash, audio ehash) but recomputes every family's pair join
+  * and the full
   * connected-components pass per run; at a daily 100 TB cadence the
   * multi-signal cluster table is exactly the artifact a curation team
   * wants maintained in O(new edges). This store closes that: each
@@ -34,8 +35,12 @@ import graft.functions.Multimodal.BandScheme
   *     family's inverted index; `c` is the doc's distinct-shingle
   *     count, carried row-locally so the merge's Jaccard denominator
   *     needs no second aggregate ([[Dedup.hashedShinglesWithCount]]).
-  *   - `simhash/`, `img_ahash/` — [[Multimodal.sigIndexWrite]]'s band
-  *     rows (doc_id, sig, band, ckey, kb) under each family's scheme.
+  *   - `simhash/`, `img_ahash/`, `ehash/` — [[Multimodal.sigIndexWrite]]'s
+  *     band rows (doc_id, sig, band, ckey, kb) under each family's
+  *     scheme (ehash — the audio family — joined round 14: the r13
+  *     verdict's missing #1, an audio-only duplicate signal could not
+  *     weld clusters even though q45i resolves the family's own
+  *     clusters).
   *   - `emb_lsh/`   (vec_id, qe, band, bkey, kb) — the q36f band rows
   *     ([[Similarity.lshBandRows]]) with the carried quantized vector
   *     so the dot-product verify runs INSIDE the band join.
@@ -88,7 +93,7 @@ object UnifiedClusters {
   /** Submit INDEPENDENT Spark jobs concurrently (SparkSession job
     * submission is thread-safe; local[32] has the slack). The store's
     * build and merge are dominated at bench scale by serialized
-    * job-submission rounds — four family pipelines and four bucketed
+    * job-submission rounds — five family pipelines and five bucketed
     * table writes with no data dependency between them — and the same
     * structure holds on a cluster, where each write is a barrier the
     * others need not wait behind. ALL tasks run to completion before
@@ -229,26 +234,28 @@ object UnifiedClusters {
   private def famLit(df: DataFrame, family: String): DataFrame =
     df.select(col("doc_a"), col("doc_b"), lit(family).as("family"))
 
-  /** Build the standing unified store from a corpus slice: the four
+  /** Build the standing unified store from a corpus slice: the five
     * family indices, the provenance-carrying edge set, and the
     * resolved cluster table. Each family's index rows are
     * materialized ONCE and feed BOTH the bucketed write and the
     * build-time self pair join (the neardupClusterStoreWrite
     * one-signature-pass argument, without re-reading the tables the
     * same rows were just written to — the read-back variant paid
-    * four extra scan+shuffle rounds per build, measured as the bulk
+    * per-family extra scan+shuffle rounds per build, measured as the bulk
     * of q61d's fixed cost); CC likewise runs over the same
     * materialized edge set the edge table is written from. */
   def unifiedClusterStoreWrite(docs: DataFrame, emb: DataFrame,
-      imgSigs: DataFrame, store: String): Unit = {
-    val Seq(sh, sim, lsh, img) = timed("build.rows")(inParallel(Seq(
+      imgSigs: DataFrame, audSigs: DataFrame, store: String): Unit = {
+    val Seq(sh, sim, lsh, img, aud) = timed("build.rows")(inParallel(Seq(
       () => timed("build.rows.shingle")(
         materializeBounded(shingleRowsOf(docs))),
       () => timed("build.rows.simhash")(materializeBounded(
         sigRowsOf(Dedup.simhashSigs(docs), "simhash", SimScheme))),
       () => timed("build.rows.lsh")(materializeBounded(lshRowsOf(emb))),
       () => timed("build.rows.img")(materializeBounded(
-        sigRowsOf(imgSigs, "ahash", Multimodal.AhashScheme))))))
+        sigRowsOf(imgSigs, "ahash", Multimodal.AhashScheme))),
+      () => timed("build.rows.aud")(materializeBounded(
+        sigRowsOf(audSigs, "ehash", Multimodal.EhashScheme))))))
     timed("build.writes")(inParallel(Seq(
       () => writeBuckets(sh, s"$store/shingle", "overwrite", "h"),
       () => writeBuckets(sim, s"$store/simhash", "overwrite",
@@ -256,6 +263,8 @@ object UnifiedClusters {
       () => writeBuckets(lsh, s"$store/emb_lsh", "overwrite",
         "band", "bkey"),
       () => writeBuckets(img, s"$store/img_ahash", "overwrite",
+        "band", "ckey"),
+      () => writeBuckets(aud, s"$store/ehash", "overwrite",
         "band", "ckey"))))
     val fams = timed("build.fams")(materializeBounded(
       famLit(shinglePairs(self = true)(sh, sh), "shingle")
@@ -264,7 +273,9 @@ object UnifiedClusters {
           "simhash"))
         .unionByName(famLit(lshPairs(self = true)(lsh, lsh), "emb_lsh"))
         .unionByName(famLit(sigPairs("ahash", Multimodal.AhashScheme,
-          self = true)(img, img), "img_ahash"))))
+          self = true)(img, img), "img_ahash"))
+        .unionByName(famLit(sigPairs("ehash", Multimodal.EhashScheme,
+          self = true)(aud, aud), "ehash"))))
     timed("build.edges_write")(
       fams.write.mode("overwrite").parquet(s"$store/edges"))
     timed("build.cc_clusters")(Dedup.connectedComponents(
@@ -277,7 +288,8 @@ object UnifiedClusters {
 
   private def requireUnifiedStore(s: SparkSession, store: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    Seq("shingle", "simhash", "emb_lsh", "img_ahash", "edges", "clusters")
+    Seq("shingle", "simhash", "emb_lsh", "img_ahash", "ehash", "edges",
+      "clusters")
       .foreach { part =>
         val p = new org.apache.hadoop.fs.Path(s"$store/$part")
         require(p.getFileSystem(conf).exists(p),
@@ -288,7 +300,7 @@ object UnifiedClusters {
 
   /** Prune a standing index read to the batch's touched buckets (the
     * <= 64-int static-IN, the q83 convention); the key sets for all
-    * four families come from ONE collect over the union of the
+    * five families come from ONE collect over the union of the
     * materialized batch rows (4 scheduler rounds folded into 1). */
   private def prunedTo(index: DataFrame, keys: Seq[Int]): DataFrame =
     if (keys.isEmpty) index.limit(0)
@@ -296,29 +308,31 @@ object UnifiedClusters {
 
   /** One job: every family's touched-bucket set. */
   private def touchedKeys(batchSh: DataFrame, batchSim: DataFrame,
-      batchLsh: DataFrame, batchImg: DataFrame): Map[String, Seq[Int]] = {
+      batchLsh: DataFrame, batchImg: DataFrame,
+      batchAud: DataFrame): Map[String, Seq[Int]] = {
     val rows = batchSh.select(lit("shingle").as("f"), col("kb"))
       .unionByName(batchSim.select(lit("simhash").as("f"), col("kb")))
       .unionByName(batchLsh.select(lit("emb_lsh").as("f"), col("kb")))
       .unionByName(batchImg.select(lit("img_ahash").as("f"), col("kb")))
-      .distinct().collect() // <= 4 * 64 rows
+      .unionByName(batchAud.select(lit("ehash").as("f"), col("kb")))
+      .distinct().collect() // <= 5 * 64 rows
     rows.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getInt(1)).toSeq }
       .withDefaultValue(Seq.empty)
   }
 
-  /** The batch's new verified edges across all four families — each
+  /** The batch's new verified edges across all five families — each
     * family's pruned cross join against its standing index plus its
     * intra-batch self pair set, provenance-tagged. Exposed
     * unmaterialized for the plan-shape pin. */
   private[graft] def unifiedNewEdgesPlan(s: SparkSession, store: String,
       batchSh: DataFrame, batchSim: DataFrame, batchLsh: DataFrame,
-      batchImg: DataFrame): DataFrame = {
+      batchImg: DataFrame, batchAud: DataFrame): DataFrame = {
     // DISTINCT over cross ∪ intra: the two sides are disjoint except
     // when a batch re-ingests an id the store already indexes, where a
     // pair could otherwise surface on both sides and double its
     // provenance count (edge-bounded, cheap insurance)
-    val keys = touchedKeys(batchSh, batchSim, batchLsh, batchImg)
+    val keys = touchedKeys(batchSh, batchSim, batchLsh, batchImg, batchAud)
     def cross(index: DataFrame, batch: DataFrame, fam: String,
         rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
       rule(false)(prunedTo(index, keys(fam)), batch)
@@ -335,19 +349,26 @@ object UnifiedClusters {
           "ahash"), batchImg, "img_ahash",
         self => sigPairs("ahash", Multimodal.AhashScheme, self)),
         "img_ahash"))
+      .unionByName(famLit(cross(sigIndexTable(s, store, "ehash",
+          "ehash"), batchAud, "ehash",
+        self => sigPairs("ehash", Multimodal.EhashScheme, self)),
+        "ehash"))
   }
 
-  /** The four families' MATERIALIZED batch index rows (each feeds the
+  /** The five families' MATERIALIZED batch index rows (each feeds the
     * bucket-prune collect, the verify joins, and the persisting
     * append — one signature/decode pass per family per merge). */
   private def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame): Seq[DataFrame] = inParallel(Seq(
-    () => materializeBounded(shingleRowsOf(batchDocs)),
-    () => materializeBounded(
-      sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
-    () => materializeBounded(lshRowsOf(batchEmb)),
-    () => materializeBounded(
-      sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme))))
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): Seq[DataFrame] =
+    inParallel(Seq(
+      () => materializeBounded(shingleRowsOf(batchDocs)),
+      () => materializeBounded(
+        sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
+      () => materializeBounded(lshRowsOf(batchEmb)),
+      () => materializeBounded(
+        sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme)),
+      () => materializeBounded(
+        sigRowsOf(batchAudSigs, "ehash", Multimodal.EhashScheme))))
 
   /** The batch's new-edges plan from raw batch inputs, UNmaterialized
     * — the plan-shape pin's probe (the clusterMergeNewEdgesPlan
@@ -355,10 +376,11 @@ object UnifiedClusters {
     * hides the pruned-scan shape from the final declared tree). */
   private[graft] def unifiedMergeNewEdgesPlan(s: SparkSession,
       store: String, batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame): DataFrame = {
-    val Seq(batchSh, batchSim, batchLsh, batchImg) =
-      batchRowsOf(batchDocs, batchEmb, batchImgSigs)
-    unifiedNewEdgesPlan(s, store, batchSh, batchSim, batchLsh, batchImg)
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) =
+      batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs)
+    unifiedNewEdgesPlan(s, store, batchSh, batchSim, batchLsh, batchImg,
+      batchAud)
   }
 
   /** The merge computation's parts: (batch index rows x4, new edges
@@ -366,12 +388,13 @@ object UnifiedClusters {
     * relabel is [[Dedup.relabelAgainst]] — the same algorithm (and
     * torn-store heal) the MinHash store runs. */
   private def unifiedMergeParts(s: SparkSession, store: String,
-      batchDocs: DataFrame, batchEmb: DataFrame, batchImgSigs: DataFrame)
+      batchDocs: DataFrame, batchEmb: DataFrame, batchImgSigs: DataFrame,
+      batchAudSigs: DataFrame)
       : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
     requireUnifiedStore(s, store)
-    val Seq(batchSh, batchSim, batchLsh, batchImg) =
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) =
       timed("merge.batch_rows")(
-        batchRowsOf(batchDocs, batchEmb, batchImgSigs))
+        batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs))
     // LEFT ANTI vs the standing edge table (round-13 ADVICE): a batch
     // re-ingesting a doc already edged in the store re-derives the
     // same (doc_a, doc_b, family) row — without this, the update path
@@ -381,7 +404,7 @@ object UnifiedClusters {
     // is scanned by the relabel anyway.
     val newEdges = timed("merge.new_edges")(
       materializeBounded(unifiedNewEdgesPlan(s, store,
-          batchSh, batchSim, batchLsh, batchImg)
+          batchSh, batchSim, batchLsh, batchImg, batchAud)
         .join(edgesTable(s, store),
           Seq("doc_a", "doc_b", "family"), "left_anti")))
     val (untouched, relabeled) = timed("merge.relabel")(Dedup.relabelAgainst(
@@ -389,8 +412,8 @@ object UnifiedClusters {
       edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct(),
       Dedup.clusterLabelsTable(s, store),
       Dedup.tornMarker(s, store)))
-    (Seq(batchSh, batchSim, batchLsh, batchImg), newEdges, untouched,
-      relabeled)
+    (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud), newEdges,
+      untouched, relabeled)
   }
 
   /** The q61c output shape (cluster_id, cluster_size, n_shingle,
@@ -411,9 +434,10 @@ object UnifiedClusters {
     * see [[unifiedClusterStoreUpdate]] for the persisting twin. */
   def unifiedClusterMerge(s: SparkSession, store: String,
       batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame): DataFrame = {
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
     val (_, newEdges, untouched, relabeled) =
-      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs)
+      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs,
+        batchAudSigs)
     val labels = materializeBounded(
       untouched.drop("kb").unionByName(relabeled))
     provenanceRollup(labels,
@@ -454,9 +478,10 @@ object UnifiedClusters {
     * unconditional marker delete). */
   def unifiedClusterStoreUpdate(s: SparkSession, store: String,
       batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame): Unit = {
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): Unit = {
     val (batchRows, newEdges, untouched, relabeled) =
-      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs)
+      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs,
+        batchAudSigs)
     val dirty = materializeBounded(
       relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))))
     val buckets = dirty.select(col("kb")).distinct()
@@ -472,8 +497,8 @@ object UnifiedClusters {
     // ordering: a crash between the two loses only not-yet-appended
     // EDGES, restored by replay, with the batch's docs still
     // discoverable through the indices — never the reverse)
-    val Seq(batchSh, batchSim, batchLsh, batchImg) = batchRows
-    // the four family appends are mutually independent — concurrent
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) = batchRows
+    // the five family appends are mutually independent — concurrent
     // submission; the PROTOCOL order (staging first, all indices
     // before edges) is preserved by the surrounding barriers. A crash
     // here can leave any subset of family indices un-appended; replay
@@ -490,6 +515,9 @@ object UnifiedClusters {
         "append", "band", "bkey"),
       () => writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
         col("band"), col("ckey"), col("kb")), s"$store/img_ahash",
+        "append", "band", "ckey"),
+      () => writeBuckets(batchAud.select(col("doc_id"), col("ehash"),
+        col("band"), col("ckey"), col("kb")), s"$store/ehash",
         "append", "band", "ckey"))))
     timed("update.edges_append")(
       newEdges.write.mode("append").parquet(s"$store/edges"))
@@ -505,7 +533,7 @@ object UnifiedClusters {
     catch { case _: java.io.IOException => () }
   }
 
-  /** Bound file counts under daily merges: the four index tables
+  /** Bound file counts under daily merges: the five index tables
     * compact via the shared bucket pass, the unpartitioned edge table
     * via the rename-swap rewrite (both [[Dedup]] primitives — the
     * DISTINCT also reclaims replayed appends; family rides in the
@@ -522,6 +550,8 @@ object UnifiedClusters {
         Seq("band", "bkey")),
       ("img_ahash", Seq("doc_id", "ahash", "band", "ckey"),
         Seq("band", "ckey")),
+      ("ehash", Seq("doc_id", "ehash", "band", "ckey"),
+        Seq("band", "ckey")),
       ("shingle", Seq("doc_id", "c", "h"), Seq("h")),
       ("simhash", Seq("doc_id", "simhash", "band", "ckey"),
         Seq("band", "ckey")))
@@ -533,21 +563,26 @@ object UnifiedClusters {
   }
 
   /** Declared O-127 binding (the q89 pattern lifted to the unified
-    * store): corpus = docs 0-249 with their embeddings (vec < 250)
-    * and the attachment images below the q45d mid-group split
-    * (doc_id < 50); batch = docs 250+ PLUS re-identified copies of
-    * docs 0-49 (welding via BOTH text families), embeddings 250+,
-    * and the remaining images (group 16 straddles the split, so an
-    * image edge crosses the store boundary). Oracle: the one-shot
-    * q61c SQL over the FULL corpus ∪ batch — emb and image relations
-    * are the full fixture tables (the batch split partitions them;
-    * no rekeys), the docs relation is documents ∪ the rekeyed
-    * copies. */
+    * store): corpus = docs 0-249 with their embeddings (vec < 250),
+    * the attachment images below the q45d mid-group split
+    * (doc_id < 50), and the attachment tracks below the q45g
+    * mid-group split (doc_id < 32); batch = docs 250+ PLUS
+    * re-identified copies of docs 0-49 (welding via BOTH text
+    * families), embeddings 250+, the remaining images (group 16
+    * straddles the split, so an image edge crosses the store
+    * boundary) and the remaining tracks (group 10 straddles at 32 —
+    * the audio twin of the same boundary-crossing geometry). Oracle:
+    * the one-shot q61c SQL over the FULL corpus ∪ batch — emb,
+    * image, and audio relations are the full fixture tables (the
+    * batch split partitions them; no rekeys), the docs relation is
+    * documents ∪ the rekeyed copies. */
   def q61dUnifiedClusterMerge(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val imgSigs = materializeBounded(Multimodal.imageSignatures(
       Multimodal.syntheticImages(s)))
+    val audSigs = materializeBounded(Multimodal.audioSignatures(
+      Multimodal.syntheticWavs(s)))
     // built once per (JVM, data dir): the merge below is READ-ONLY,
     // so the store after build is byte-identical on every invocation
     // and the rebuild bought nothing but write rounds (verdict r13 #1)
@@ -556,14 +591,16 @@ object UnifiedClusters {
       unifiedClusterStoreWrite(
         docs.filter(col("doc_id") < 250),
         emb.filter(col("vec_id") < 250),
-        imgSigs.filter(col("doc_id") < 50), dir)
+        imgSigs.filter(col("doc_id") < 50),
+        audSigs.filter(col("doc_id") < 32), dir)
     }
     val batchDocs = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
     unifiedClusterMerge(s, store, batchDocs,
       emb.filter(col("vec_id") >= 250),
-      imgSigs.filter(col("doc_id") >= 50))
+      imgSigs.filter(col("doc_id") >= 50),
+      audSigs.filter(col("doc_id") >= 32))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -816,27 +816,40 @@ object Streams {
       "ehash", graft.functions.Multimodal.EhashScheme, "s20_audio")
 
   // O-131 (s22): ingest-time UNIFIED cluster maintenance — s15's
-  // foreachBatch cadence over the round's q61d store (VERDICT r12 #1
+  // foreachBatch cadence over the q61d store (VERDICT r12 #1
   // completed into the stream tier): the standing corpus keeps all
-  // four families' admission indices + provenance edges + labels on
-  // disk; each arriving text micro-batch is joined ROW-BOUNDED to its
-  // attachments (embeddings by the vec_id<->doc_id identification —
-  // the batch id list broadcasts, the embedding table is scanned
-  // once per batch) and folded in through unifiedClusterStoreUpdate
-  // (per-family pruned edge derivation + the shared touched-component
-  // relabel + dirty-bucket label writes). The image family's late
-  // attachments ride the FIRST micro-batch (a real pipeline's
-  // attachment channel is its own stream; one side-channel batch
-  // exercises the image index's incremental growth without a second
-  // source). The declared answer is the store READ BACK after the
-  // drain (unifiedClustersFromStore — labels scan + edge rollup, no
-  // signature reruns); oracle = q61d's one-shot SQL over the same
-  // corpus ∪ batch union.
+  // five families' admission indices + provenance edges + labels on
+  // disk; each arriving micro-batch is joined ROW-BOUNDED to its
+  // embeddings (the vec_id<->doc_id identification — the batch id
+  // list broadcasts, the embedding table is scanned once per batch)
+  // and folded in through unifiedClusterStoreUpdate (per-family
+  // pruned edge derivation + the shared touched-component relabel +
+  // dirty-bucket label writes).
+  //
+  // The attachment channel is a REAL SECOND STREAM (round 14 —
+  // verdict r13 #4 replaced the batch-0 side-channel): a crawler
+  // fetches media asynchronously, so perceptual signatures arrive on
+  // their own file source, unioned with the document source into ONE
+  // query (one sequential foreachBatch — no concurrent store
+  // writers). The attachment source is paced one file per trigger
+  // with the image file mtime-ordered BEFORE the audio file, so the
+  // drain interleaves: batch 0 = documents + image signatures,
+  // batch 1 = audio signatures ALONE — a late attachment batch whose
+  // doc rows are empty, welding clusters of documents ingested a
+  // batch earlier purely through the standing indices (the
+  // incremental perceptual-index growth path, now exercised
+  // mid-stream; batch-split independence covers arrival order, so
+  // the oracle is unchanged). The declared answer is the store READ
+  // BACK after the drain (unifiedClustersFromStore — labels scan +
+  // edge rollup, no signature reruns); oracle = q61d's one-shot SQL
+  // over the same corpus ∪ batch union.
   def s22StreamUnifiedMaintain(s: SparkSession, d: String): DataFrame = {
     val docs = graft.ops.Tables.documents(s, d)
     val emb = graft.ops.Tables.embeddings(s, d)
     val imgSigs = graft.functions.Multimodal.imageSignatures(
       graft.functions.Multimodal.syntheticImages(s)).localCheckpoint()
+    val audSigs = graft.functions.Multimodal.audioSignatures(
+      graft.functions.Multimodal.syntheticWavs(s)).localCheckpoint()
     // built once per (JVM, data dir); later invocations re-drain the
     // SAME batch against the already-updated store — the at-least-once
     // REPLAY path (anti-joined edge appends make it answer-identical:
@@ -848,31 +861,74 @@ object Streams {
       graft.ops.UnifiedClusters.unifiedClusterStoreWrite(
         docs.filter(col("doc_id") < 250),
         emb.filter(col("vec_id") < 250),
-        imgSigs.filter(col("doc_id") < 50), dir)
+        imgSigs.filter(col("doc_id") < 50),
+        audSigs.filter(col("doc_id") < 32), dir)
+    }
+    // the attachment stream's staging dir: one parquet file per
+    // modality, mtime-ordered img -> aud so the 1-file-per-trigger
+    // source delivers the audio attachments a BATCH AFTER the
+    // documents they attach to
+    val attDir = graft.util.Ephemeral.dir("graft_s22_att_")
+    val attSchema = "kind STRING, doc_id BIGINT, ahash BIGINT, " +
+      "ehash BIGINT"
+    def attFiles() = new java.io.File(attDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    imgSigs.filter(col("doc_id") >= 50)
+      .select(lit("img").as("kind"), col("doc_id"), col("ahash"),
+        lit(null).cast("long").as("ehash"))
+      .coalesce(1).write.mode("append").parquet(attDir)
+    val imgNames = attFiles().map(_.getName).toSet
+    audSigs.filter(col("doc_id") >= 32)
+      .select(lit("aud").as("kind"), col("doc_id"),
+        lit(null).cast("long").as("ahash"), col("ehash"))
+      .coalesce(1).write.mode("append").parquet(attDir)
+    // enforce the arrival order however close the two writes landed:
+    // the file source admits oldest-mtime first
+    attFiles().foreach { f =>
+      val late = if (imgNames.contains(f.getName)) 60000 else 30000
+      f.setLastModified(System.currentTimeMillis() - late): Unit
     }
     val docStream = s.readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
-    val batchIn = docStream.filter(col("doc_id") >= 250)
+    val batchDocsIn = docStream.filter(col("doc_id") >= 250)
       .unionByName(docStream.filter(col("doc_id") < 50)
         .withColumn("doc_id",
           col("doc_id") + graft.ops.Dedup.ReKeyOffset))
-    val q = batchIn.writeStream
+    val attStream = s.readStream.schema(attSchema)
+      .option("maxFilesPerTrigger", "1").parquet(attDir)
+    val unioned = batchDocsIn
+      .select(lit("doc").as("kind"), col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"),
+        lit(null).cast("long").as("ahash"),
+        lit(null).cast("long").as("ehash"))
+      .unionByName(attStream
+        .select(col("kind"), col("doc_id"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"),
+          lit(null).cast("string").as("text"),
+          col("ahash"), col("ehash")))
+    val q = unioned.writeStream
       .option("checkpointLocation", ephemeralCheckpointDir())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val ss = batch.sparkSession
-          // the batch's own attachments: vec_id == doc_id (the q61c
+          val docsPart = batch.filter(col("kind") === "doc")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text"))
+          // the batch's own embeddings: vec_id == doc_id (the q61c
           // identification); the id list is batch-bounded and
           // broadcasts into a LEFT SEMI probe of the vector table
           val ids = broadcast(
-            batch.select(col("doc_id").as("vec_id")).distinct())
-          val batchEmb = emb.join(ids, Seq("vec_id"), "left_semi")
-          val batchImg =
-            if (batchId == 0L) imgSigs.filter(col("doc_id") >= 50)
-            else imgSigs.limit(0)
+            docsPart.select(col("doc_id").as("vec_id")).distinct())
           graft.ops.UnifiedClusters.unifiedClusterStoreUpdate(
-            ss, store, batch, batchEmb, batchImg)
+            ss, store, docsPart,
+            emb.join(ids, Seq("vec_id"), "left_semi"),
+            batch.filter(col("kind") === "img")
+              .select(col("doc_id"), col("ahash")),
+            batch.filter(col("kind") === "aud")
+              .select(col("doc_id"), col("ehash")))
         }
       }
       .trigger(Trigger.AvailableNow()).start()

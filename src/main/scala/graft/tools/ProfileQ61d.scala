@@ -30,11 +30,14 @@ object ProfileQ61d {
       val emb = Tables.embeddings(spark, sfDir)
       val imgSigs = graft.functions.Multimodal.imageSignatures(
         graft.functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+      val audSigs = graft.functions.Multimodal.audioSignatures(
+        graft.functions.Multimodal.syntheticWavs(spark)).localCheckpoint()
       val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_prof")
       t("store_write")(UnifiedClusters.unifiedClusterStoreWrite(
         docs.filter(col("doc_id") < 250),
         emb.filter(col("vec_id") < 250),
-        imgSigs.filter(col("doc_id") < 50), store))
+        imgSigs.filter(col("doc_id") < 50),
+        audSigs.filter(col("doc_id") < 32), store))
       val batchDocs = docs.filter(col("doc_id") >= 250)
         .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id",
@@ -42,7 +45,8 @@ object ProfileQ61d {
       val merged = t("merge_plan+exec")(
         UnifiedClusters.unifiedClusterMerge(spark, store, batchDocs,
           emb.filter(col("vec_id") >= 250),
-          imgSigs.filter(col("doc_id") >= 50)))
+          imgSigs.filter(col("doc_id") >= 50),
+          audSigs.filter(col("doc_id") >= 32)))
       t("collect")(merged.count())
     }
     spark.stop()

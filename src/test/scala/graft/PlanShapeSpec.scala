@@ -107,28 +107,32 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q61d: unified merge prunes every family index and plans no " +
     "cartesian") {
-    // the q89 pin lifted to the four-family store: each standing index
-    // read partition-filters on the batch's kb set (four pruned scans
+    // the q89 pin lifted to the five-family store: each standing index
+    // read partition-filters on the batch's kb set (five pruned scans
     // in ONE edge plan), every verify is a hash join, no nested loop
     import org.apache.spark.sql.functions.col
     val docs = ops.Tables.documents(spark, sf)
     val emb = ops.Tables.embeddings(spark, sf)
     val imgSigs = functions.Multimodal.imageSignatures(
       functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+    val audSigs = functions.Multimodal.audioSignatures(
+      functions.Multimodal.syntheticWavs(spark)).localCheckpoint()
     val store = graft.util.Ephemeral.fixedDir("graft_uni_cluster_q61d")
     ops.UnifiedClusters.unifiedClusterStoreWrite(
       docs.filter(col("doc_id") < 250),
       emb.filter(col("vec_id") < 250),
-      imgSigs.filter(col("doc_id") < 50), store)
+      imgSigs.filter(col("doc_id") < 50),
+      audSigs.filter(col("doc_id") < 32), store)
     val edgePlan = ops.UnifiedClusters.unifiedMergeNewEdgesPlan(spark,
         store, docs.filter(col("doc_id") >= 250),
         emb.filter(col("vec_id") >= 250),
-        imgSigs.filter(col("doc_id") >= 50))
+        imgSigs.filter(col("doc_id") >= 50),
+        audSigs.filter(col("doc_id") >= 32))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // one pruned scan per standing family index
     assert(edgePlan.sliding("PartitionFilters: [kb".length)
-      .count(_ == "PartitionFilters: [kb") >= 4, edgePlan)
+      .count(_ == "PartitionFilters: [kb") >= 5, edgePlan)
     assert(edgePlan.contains("ShuffledHashJoin"), edgePlan)
     assert(!edgePlan.contains("CartesianProduct"), edgePlan)
     assert(!edgePlan.contains("BroadcastNestedLoopJoin"), edgePlan)

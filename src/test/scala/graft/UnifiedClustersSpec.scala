@@ -6,40 +6,48 @@ import org.apache.spark.sql.functions._
 /** O-127: the unified multi-signal cluster store — incremental merge
   * equals the one-shot q61c recompute over corpus ∪ batch, the
   * persisting update rewrites only dirty label buckets, and replayed
-  * updates are reclaimed by compaction. */
+  * updates are reclaimed by compaction. Five families since round 14
+  * (audio ehash joined: verdict r13 #2). */
 class UnifiedClustersSpec extends SparkSpec {
 
   private def docsAt(d: String) = ops.Tables.documents(spark, d)
   private def embAt(d: String) = ops.Tables.embeddings(spark, d)
   private lazy val imgSigs = functions.Multimodal.imageSignatures(
     functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+  private lazy val audSigs = functions.Multimodal.audioSignatures(
+    functions.Multimodal.syntheticWavs(spark)).localCheckpoint()
 
-  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+  private def rows(df: DataFrame)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sortBy(_._1)
 
-  /** The q61d fixture split at sf0.001, shared across tests. */
+  /** The q61d fixture split at sf0.001, shared across tests: docs at
+    * 250, embeddings at 250, images at 50 (group 16 straddles), audio
+    * at 32 (group 10 straddles — the q45g geometry). */
   private def fixture(): (DataFrame, DataFrame, DataFrame, DataFrame,
-      DataFrame, DataFrame) = {
+      DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = docsAt(sf)
     val emb = embAt(sf)
-    val corpusDocs = docs.filter(col("doc_id") < 250)
     val batchDocs = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + ops.Dedup.ReKeyOffset))
-    (corpusDocs, batchDocs,
+    (docs.filter(col("doc_id") < 250), batchDocs,
       emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250),
-      imgSigs.filter(col("doc_id") < 50), imgSigs.filter(col("doc_id") >= 50))
+      imgSigs.filter(col("doc_id") < 50), imgSigs.filter(col("doc_id") >= 50),
+      audSigs.filter(col("doc_id") < 32), audSigs.filter(col("doc_id") >= 32))
   }
 
   /** One-shot expected table: unifiedDedupClusters over the FULL
     * corpus ∪ batch (every family's full fixture slice). */
-  private def oneShot(): Seq[(Long, Long, Long, Long, Long, Long)] = {
+  private def oneShot(): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
     val docs = docsAt(sf)
     val allDocs = docs.unionByName(docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + ops.Dedup.ReKeyOffset))
     rows(ops.Dedup.unifiedDedupClusters(allDocs, embAt(sf),
-      Some(functions.Multimodal.imageAhashPairs(spark))))
+      Some(functions.Multimodal.imageAhashPairs(spark)),
+      Some(functions.Multimodal.audioEhashPairs(spark))))
   }
 
   test("q61d: incremental unified merge equals the one-shot " +
@@ -48,27 +56,29 @@ class UnifiedClustersSpec extends SparkSpec {
     assert(got === oneShot())
     // the fixture genuinely exercises every family: at least one
     // cluster per provenance column across the table
-    val byFam = got.map(r => (r._3, r._4, r._5, r._6))
+    val byFam = got.map(r => (r._3, r._4, r._5, r._6, r._7))
     assert(byFam.exists(_._1 > 0), "no shingle edges in fixture")
     assert(byFam.exists(_._2 > 0), "no simhash edges in fixture")
     assert(byFam.exists(_._3 > 0), "no emb_lsh edges in fixture")
     assert(byFam.exists(_._4 > 0), "no img_ahash edges in fixture")
+    assert(byFam.exists(_._5 > 0), "no ehash edges in fixture")
   }
 
   test("unifiedClusterStoreUpdate rewrites only dirty label buckets " +
     "and the read-back equals the read-only merge") {
-    val (cd, bd, ce, be, ci, bi) = fixture()
+    val (cd, bd, ce, be, ci, bi, ca, ba) = fixture()
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_upd_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, ca, store)
     val merged = ops.UnifiedClusters.unifiedClusterMerge(
-      spark, store, bd, be, bi)
+      spark, store, bd, be, bi, ba)
     val mergedRows = rows(merged)
     val before = spark.read.parquet(s"$store/clusters")
       .select(col("doc_id"), col("cluster_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(before.nonEmpty, "standing store must have clusters")
-    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      bd, be, bi, ba)
     // the persisted label table now equals CC over the persisted
     // (provenance-tagged) edge set
     val labels = spark.read.parquet(s"$store/clusters")
@@ -81,9 +91,8 @@ class UnifiedClustersSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
     // a second read-only merge with an EMPTY batch reproduces the
     // same provenance table from the persisted store alone
-    val emptyDocs = cd.limit(0)
     val replayed = rows(ops.UnifiedClusters.unifiedClusterMerge(
-      spark, store, emptyDocs, ce.limit(0), ci.limit(0)))
+      spark, store, cd.limit(0), ce.limit(0), ci.limit(0), ca.limit(0)))
     assert(replayed === mergedRows)
     // staging marker cleared
     assert(!new java.io.File(s"$store/clusters_staging").exists())
@@ -104,9 +113,11 @@ class UnifiedClustersSpec extends SparkSpec {
       70L -> txt("beta"), 71L -> txt("beta"))
     val emb0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_prune_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(corpus, emb0, img0, store)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(corpus, emb0, img0,
+      aud0, store)
     def bucketFiles(kb: Int): Seq[(String, Seq[Byte])] = {
       val dir = new java.io.File(s"$store/clusters/kb=$kb")
       if (!dir.exists()) Seq.empty
@@ -117,7 +128,7 @@ class UnifiedClustersSpec extends SparkSpec {
     val b7Before = bucketFiles(7)
     assert(b7Before.nonEmpty)
     ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
-      docsOf(200L -> txt("alpha")), emb0, img0)
+      docsOf(200L -> txt("alpha")), emb0, img0, aud0)
     assert(bucketFiles(7) === b7Before,
       "untouched bucket kb=7 must be byte-identical across the update")
     val after = spark.read.parquet(s"$store/clusters")
@@ -126,26 +137,35 @@ class UnifiedClustersSpec extends SparkSpec {
     assert(after.contains((200L, 5L)) && after.contains((70L, 70L)))
   }
 
-  test("replayed updates duplicate only appended rows and compaction " +
-    "reclaims them (at-least-once posture)") {
-    val (cd, bd, ce, be, ci, bi) = fixture()
+  test("replayed updates duplicate only appended index rows and " +
+    "compaction reclaims them (at-least-once posture)") {
+    val (cd, bd, ce, be, ci, bi, ca, ba) = fixture()
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_replay_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
-    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, ca, store)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      bd, be, bi, ba)
     val edgesOnce = ops.UnifiedClusters.edgesTable(spark, store)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSeq.sorted
     val labelsOnce = spark.read.parquet(s"$store/clusters")
       .select(col("doc_id"), col("cluster_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    // replay the SAME batch: labels must not change; edges gain
-    // duplicate rows that compaction's DISTINCT reclaims
-    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store, bd, be, bi)
+    // replay the SAME batch: labels must not change, and since round
+    // 14 the anti-joined append adds NO duplicate edge rows either
+    // (round-13 ADVICE #1) — only index rows duplicate, and
+    // compaction's DISTINCT reclaims those
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      bd, be, bi, ba)
     val labelsTwice = spark.read.parquet(s"$store/clusters")
       .select(col("doc_id"), col("cluster_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(labelsTwice === labelsOnce)
+    val edgesTwice = ops.UnifiedClusters.edgesTable(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    assert(edgesTwice === edgesOnce,
+      "a replayed batch must not append duplicate edge rows")
     ops.UnifiedClusters.unifiedClusterStoreCompact(spark, store,
       maxFilesPerBucket = 1)
     val edgesCompacted = ops.UnifiedClusters.edgesTable(spark, store)
@@ -155,7 +175,7 @@ class UnifiedClustersSpec extends SparkSpec {
     // the post-compaction store still answers an empty-batch merge
     // with the same provenance table
     val replayed = ops.UnifiedClusters.unifiedClusterMerge(spark, store,
-      cd.limit(0), ce.limit(0), ci.limit(0))
+      cd.limit(0), ce.limit(0), ci.limit(0), ca.limit(0))
     assert(rows(replayed) === oneShot())
   }
 
@@ -176,43 +196,86 @@ class UnifiedClustersSpec extends SparkSpec {
     val corpus = docsOf(1L -> (1 to 40).map(i => s"z$i").mkString(" "))
     val emb0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_replayjac_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(corpus, emb0, img0, store)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(corpus, emb0, img0,
+      aud0, store)
     val batchA = docsOf(10L -> aToks.mkString(" "))
+    // force duplicated INDEX rows without duplicated edges: replay
+    // A's batch twice (the anti-join drops repeat edges, the index
+    // appends land both times)
     ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
-      batchA, emb0, img0)
-    // the at-least-once REPLAY: A's shingle rows now exist twice
+      batchA, emb0, img0, aud0)
     ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
-      batchA, emb0, img0)
+      batchA, emb0, img0, aud0)
     val merged = ops.UnifiedClusters.unifiedClusterMerge(spark, store,
-      docsOf(20L -> bToks.mkString(" ")), emb0, img0)
+      docsOf(20L -> bToks.mkString(" ")), emb0, img0, aud0)
     // no cluster may contain the sub-threshold A-B pair: the pair
     // graph over {corpus, A, B} is empty, so the rollup has no rows
     assert(merged.count() === 0L,
       "a duplicated index must not weld a J=0.25 pair")
   }
 
+  test("a late attachment batch (no doc rows) welds documents " +
+    "ingested earlier, for both perceptual families") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def txt(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val emb0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_lateatt_").toString
+    // corpus: one unrelated doc; batch 1: four textually-DISTINCT docs
+    ops.UnifiedClusters.unifiedClusterStoreWrite(
+      docsOf(1L -> txt("zeta")), emb0, img0, aud0, store)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      docsOf(10L -> txt("alpha"), 11L -> txt("beta"),
+        20L -> txt("gamma"), 21L -> txt("delta")), emb0, img0, aud0)
+    // schema'd reader: the store legitimately has ZERO cluster rows
+    // here (no family has any edge yet), and an empty partitioned
+    // write leaves no schema-bearing files
+    val loneBefore = ops.UnifiedClusters
+      .unifiedClustersFromStore(spark, store)
+      .filter(col("cluster_size") > 1).count()
+    assert(loneBefore === 0L, "no welds before the attachments arrive")
+    // batch 2: ATTACHMENTS ONLY (the crawler fetched media late) —
+    // an image pair welds 10<->11, an audio pair welds 20<->21; the
+    // admission indices grown in batch 1 are what they match against
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      docsOf(), emb0,
+      Seq((10L, 0x0F0FL), (11L, 0x0F0FL)).toDF("doc_id", "ahash"),
+      Seq((20L, 0x3CC3L), (21L, 0x3CC3L)).toDF("doc_id", "ehash"))
+    val got = ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5),
+        r.getLong(6))).toSeq.sortBy(_._1)
+    assert(got === Seq((10L, 2L, 1L, 0L), (20L, 2L, 0L, 1L)))
+  }
+
   test("torn store heals: a lingering staging marker forces the exact " +
     "full-CC rebuild and the merge still equals the one-shot") {
-    val (cd, bd, ce, be, ci, bi) = fixture()
+    val (cd, bd, ce, be, ci, bi, ca, ba) = fixture()
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_torn_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, ca, store)
     // simulate a crash window: marker present over a consistent store
     java.nio.file.Files.createDirectory(
       java.nio.file.Paths.get(s"$store/clusters_staging"))
     val got = rows(ops.UnifiedClusters.unifiedClusterMerge(
-      spark, store, bd, be, bi))
+      spark, store, bd, be, bi, ba))
     assert(got === oneShot())
   }
 
   test("torn store read-back refuses: unifiedClustersFromStore has no " +
     "relabel to heal with, so it must not serve mixed-generation labels") {
-    val (cd, _, ce, _, ci, _) = fixture()
+    val (cd, _, ce, _, ci, _, ca, _) = fixture()
     val store = java.nio.file.Files
       .createTempDirectory("uni_cluster_tornread_").toString
-    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, store)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, ca, store)
     // clean store reads back fine
     assert(ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
       .count() > 0)
