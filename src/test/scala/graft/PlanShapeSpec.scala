@@ -130,12 +130,36 @@ class PlanShapeSpec extends SparkSpec {
         audSigs.filter(col("doc_id") >= 32))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // one pruned scan per standing family index
+    // one pruned scan per standing band family still in the returned
+    // tree (shingle, simhash, img_ahash, ehash — the emb_lsh band
+    // scan's pruning is pinned on the candidate plan below, because
+    // layout v2 materializes the collision set before the verify) ...
     assert(edgePlan.sliding("PartitionFilters: [kb".length)
-      .count(_ == "PartitionFilters: [kb") >= 5, edgePlan)
+      .count(_ == "PartitionFilters: [kb") >= 4, edgePlan)
+    // ... plus the kv-pruned emb_vec side-table read feeding the
+    // post-collision dot verify
+    assert(edgePlan.contains("PartitionFilters: [kv"), edgePlan)
     assert(edgePlan.contains("ShuffledHashJoin"), edgePlan)
     assert(!edgePlan.contains("CartesianProduct"), edgePlan)
     assert(!edgePlan.contains("BroadcastNestedLoopJoin"), edgePlan)
+    // the slimmed band table carries NO vector column, and the
+    // candidate plan partition-prunes the standing band read
+    val bandSchema = spark.read.parquet(s"$store/emb_lsh").schema
+    assert(!bandSchema.fieldNames.contains("qe"), bandSchema.treeString)
+    val candPlan = ops.UnifiedClusters.lshCrossCandidates(
+        spark.read.schema("vec_id BIGINT, band INT, bkey BIGINT, kb INT")
+          .parquet(s"$store/emb_lsh")
+          .filter(col("kb").isin(0 to 63: _*)),
+        graft.ops.Similarity.lshBandRows(emb.filter(col("vec_id") >= 250))
+          .withColumn("kb", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col("band"),
+              col("bkey")),
+            org.apache.spark.sql.functions.lit(64)).cast("int")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(candPlan.contains("PartitionFilters: [kb"), candPlan)
+    assert(candPlan.contains("ShuffledHashJoin"), candPlan)
+    assert(!candPlan.contains("CartesianProduct"), candPlan)
     val merged = formatted("q61d_unified_cluster_merge")
     assert(!merged.contains("CartesianProduct"), merged)
     assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
