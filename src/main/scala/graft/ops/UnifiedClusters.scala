@@ -405,9 +405,17 @@ object UnifiedClusters {
     // pair could otherwise surface on both sides and double its
     // provenance count (edge-bounded, cheap insurance)
     val keys = touchedKeys(batchSh, batchSim, batchLsh, batchImg, batchAud)
+    // a family whose batch rows are EMPTY (keys(fam) collected no
+    // buckets) contributes nothing — fold it to a LocalRelation
+    // instead of scheduling its cross/self join stages. This is what
+    // keeps an attachment-only micro-batch (s22's late-attachment
+    // stream) from paying the three text families' empty-join rounds.
+    val noEdges = s.emptyDataFrame
+      .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"))
     def cross(index: DataFrame, batch: DataFrame, fam: String,
         rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
-      rule(false)(prunedTo(index, keys(fam)), batch)
+      if (keys(fam).isEmpty) noEdges
+      else rule(false)(prunedTo(index, keys(fam)), batch)
         .unionByName(rule(true)(batch, batch))
         .distinct()
     famLit(cross(shingleIndexTable(s, store), batchSh, "shingle",
@@ -416,7 +424,8 @@ object UnifiedClusters {
           "simhash"), batchSim, "simhash",
         self => sigPairs("simhash", SimScheme, self)), "simhash"))
       .unionByName(famLit(
-        lshCrossPairs(s, store,
+        if (keys("emb_lsh").isEmpty) noEdges
+        else lshCrossPairs(s, store,
             prunedTo(lshIndexTable(s, store), keys("emb_lsh")), batchLsh)
           .unionByName(lshSelfPairs(batchLsh))
           .distinct(), "emb_lsh"))
