@@ -2710,8 +2710,19 @@ object Dedup {
     }
   }
 
-  private[graft] def funnelStagesExtended(
-      docs0: DataFrame): Seq[(Int, String, DataFrame)] = {
+  /** @param attDrop the NON-CANONICAL attachment doc ids under the
+    *   q45e/q45i perceptual dispositions (round 14, verdict r13 #5 —
+    *   the LAION-style move: a document whose attached image or track
+    *   is a perceptual duplicate of a lower-id attachment drops with
+    *   it, the canonical holder survives). When present, the stage
+    *   runs right after the TEXT near-dup drop — the dedup block
+    *   stays contiguous (exact → near-dup → perceptual) — and the
+    *   later stages renumber by one. The id set is doc-identified
+    *   (attachment i belongs to document i, the q61c identification)
+    *   and corpus-fraction sized, so the drop is a plain left-anti
+    *   join (AQE broadcasts it exactly when it is small). */
+  private[graft] def funnelStagesExtended(docs0: DataFrame,
+      attDrop: Option[DataFrame] = None): Seq[(Int, String, DataFrame)] = {
     val d0 = stageTimed("d0")(
       materializeBounded(docs0.filter(col("doc_id").isNotNull)))
     // 1: scrub IN PLACE — no docs drop, the corpus transforms
@@ -2727,8 +2738,14 @@ object Dedup {
       .select(col("doc_b").as("doc_id")).distinct()
     val s3 = stageTimed("s3_neardup")(
       materializeBounded(s2.join(ndDrop, Seq("doc_id"), "left_anti")))
-    val s4 = stageTimed("s4_repetition")(materializeBounded(s3.join(
-      TextAnalysis.repetitionFilter(s3).filter(col("keep"))
+    // 3b (optional): multimodal attachment dedup
+    val sAtt = attDrop.map(drop => stageTimed("s3b_attachment")(
+      materializeBounded(s3.join(
+        drop.select(col("doc_id")), Seq("doc_id"), "left_anti"))))
+    val ndOut = sAtt.getOrElse(s3)
+    val off = if (sAtt.isDefined) 1 else 0
+    val s4 = stageTimed("s4_repetition")(materializeBounded(ndOut.join(
+      TextAnalysis.repetitionFilter(ndOut).filter(col("keep"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")))
     val s5 = stageTimed("s5_quality")(materializeBounded(s4.join(
@@ -2762,13 +2779,46 @@ object Dedup {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     Seq((0, "input", d0), (1, "pii_scrub", s1), (2, "exact_dedup", s2),
-      (3, "near_dup", s3), (4, "repetition", s4), (5, "quality", s5),
-      (6, "segment_dedup", s6), (7, "decontaminate", s7),
-      (8, "train_split", s8))
+      (3, "near_dup", s3)) ++
+      sAtt.map(sb => (4, "attachment_dedup", sb)).toSeq ++
+      Seq((4 + off, "repetition", s4), (5 + off, "quality", s5),
+        (6 + off, "segment_dedup", s6), (7 + off, "decontaminate", s7),
+        (8 + off, "train_split", s8))
   }
 
   def q87cFunnelExtended(s: SparkSession, d: String): DataFrame =
     curationFunnelExtended(TextAnalysis.injectPii(documents(s, d)))
+
+  // O-132 (q87d): the MULTIMODAL funnel — q87c's nine stages plus the
+  // attachment-dedup stage (VERDICT r13 #5): the engine already
+  // proves perceptual edges weld text clusters (q61c), but no shipped
+  // funnel ACTED on the image/audio dispositions; here a document
+  // whose attachment is non-canonical under q45e (image aHash CC) or
+  // q45i (audio ehash CC) drops right after the text near-dup stage —
+  // the LAION-style move, composed from the same sigClusters
+  // definition those queries declare (one rule, three consumers).
+  /** The extended funnel with the attachment-dedup stage over the
+    * synthetic attachment fixtures (image i / track i belong to
+    * document i). Scale: the dispositions are the q45e/q45i bounded
+    * plans over 8-byte signature tables; the drop id set is
+    * corpus-fraction sized and anti-joins without a declared
+    * broadcast (the q61b reasoning). */
+  def q87dFunnelMultimodal(s: SparkSession, d: String): DataFrame = {
+    val imgDisp = graft.functions.Multimodal.imageClusters(
+      materializeBounded(graft.functions.Multimodal.imageSignatures(
+        graft.functions.Multimodal.syntheticImages(s))))
+    val audDisp = graft.functions.Multimodal.sigClusters(
+      materializeBounded(graft.functions.Multimodal.audioSignatures(
+        graft.functions.Multimodal.syntheticWavs(s))),
+      "ehash", graft.functions.Multimodal.EhashScheme)
+    val attDrop = imgDisp.filter(!col("is_canonical"))
+      .select(col("doc_id"))
+      .unionByName(audDisp.filter(!col("is_canonical"))
+        .select(col("doc_id")))
+      .distinct()
+    funnelCounts(funnelStagesExtended(
+      TextAnalysis.injectPii(documents(s, d)), Some(attDrop)))
+  }
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d),
@@ -2865,6 +2915,7 @@ object Dedup {
     "q87_curation_funnel" -> (q87CurationFunnel _),
     "q87b_funnel_selection" -> (q87bFunnelSelection _),
     "q87c_funnel_extended" -> (q87cFunnelExtended _),
+    "q87d_funnel_multimodal" -> (q87dFunnelMultimodal _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -3153,6 +3204,181 @@ object Dedup {
          |  SELECT * FROM s4
          |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
          |    AS BIGINT) % 100 < 80)""".stripMargin
+
+  /** The q87c extended-funnel oracle stack, parameterized with the
+    * OPTIONAL attachment-dedup stage (q87d, round 14): every stage
+    * restates its declared operator's oracle formulation over the
+    * previous stage (the funnelCtesSql composition style), and the
+    * attachment variant inserts — right after the text near-dup drop,
+    * where the Spark side runs it — the two perceptual pair replays
+    * (ahashPairsSql / ehashPairsSql) each resolved through the q61
+    * recursive-CTE CC, with non-canonical members (id <> component
+    * min) forming the drop set; downstream stages renumber by one. */
+  private def extFunnelOracleSql(withAttachment: Boolean): String = {
+    val r = if (withAttachment) "RECURSIVE " else ""
+    val ndOut = if (withAttachment) "s3b" else "s3"
+    val off = if (withAttachment) 1 else 0
+    val attStageRow =
+      if (!withAttachment) ""
+      else "  UNION ALL SELECT 4, 'attachment_dedup', " +
+        "(SELECT count(*) FROM s3b)"
+    val attCtes =
+      if (!withAttachment) ""
+      else s"""         |imgp87 AS (SELECT doc_a, doc_b FROM
+         |  ${graft.functions.Multimodal.ahashPairsSql} t),
+         |audp87 AS (SELECT doc_a, doc_b FROM
+         |  ${graft.functions.Multimodal.ehashPairsSql} t),
+         |edgI(a, b) AS (SELECT doc_a, doc_b FROM imgp87
+         |  UNION SELECT doc_b, doc_a FROM imgp87),
+         |nodI AS (SELECT DISTINCT a AS id FROM edgI),
+         |reachI(id, l) AS (
+         |  SELECT id, id FROM nodI
+         |  UNION
+         |  SELECT e.b, r.l FROM reachI r JOIN edgI e ON e.a = r.id),
+         |compI AS (SELECT id, min(l) AS cid FROM reachI GROUP BY id),
+         |edgA(a, b) AS (SELECT doc_a, doc_b FROM audp87
+         |  UNION SELECT doc_b, doc_a FROM audp87),
+         |nodA AS (SELECT DISTINCT a AS id FROM edgA),
+         |reachA(id, l) AS (
+         |  SELECT id, id FROM nodA
+         |  UNION
+         |  SELECT e.b, r.l FROM reachA r JOIN edgA e ON e.a = r.id),
+         |compA AS (SELECT id, min(l) AS cid FROM reachA GROUP BY id),
+         |attdrop AS (
+         |  SELECT id AS doc_id FROM compI WHERE id <> cid
+         |  UNION SELECT id AS doc_id FROM compA WHERE id <> cid),
+         |s3b AS (
+         |  SELECT * FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM attdrop)),
+"""
+    s"""WITH ${r}d0 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |injX AS (
+         |  SELECT doc_id, lang, source, n_chars, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact doc' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS t
+         |  FROM d0),
+         |s1 AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    regexp_replace(regexp_replace(t,
+         |      '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+         |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
+         |  FROM injX),
+         |s2 AS (
+         |  SELECT doc_id, lang, source, n_chars, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
+         |cntR AS (SELECT doc_id, count(*) AS c FROM shR GROUP BY doc_id),
+         |prsR AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shR a JOIN shR b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nddropX AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM prsR
+         |  JOIN cntR ca ON doc_a = ca.doc_id
+         |  JOIN cntR cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |s3 AS (
+         |  SELECT * FROM s2 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id)),
+$attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
+         |t1R AS (SELECT doc_id, t.tok FROM tkR, UNNEST(w) AS t(tok)),
+         |tmodalR AS (SELECT doc_id, max(c) AS ttop FROM (
+         |  SELECT doc_id, tok, count(*) AS c FROM t1R GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bgR AS (SELECT doc_id, concat_ws(' ', w[i+1], w[i+2]) AS b
+         |  FROM tkR, UNNEST(generate_series(0, len(w)-2)) AS t(i)
+         |  WHERE len(w) >= 2),
+         |bmodalR AS (SELECT doc_id, max(c) AS btop FROM (
+         |  SELECT doc_id, b, count(*) AS c FROM bgR GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |repkeep AS (
+         |  SELECT t.doc_id
+         |  FROM tkR t
+         |  LEFT JOIN tmodalR USING (doc_id)
+         |  LEFT JOIN bmodalR USING (doc_id)
+         |  WHERE coalesce(ttop, 0) * 100 <= len(w) * 12
+         |    AND coalesce(btop, 0) * 100 <= greatest(len(w) - 1, 0) * 5),
+         |s4 AS (
+         |  SELECT * FROM $ndOut
+         |  WHERE doc_id IN (SELECT doc_id FROM repkeep)),
+         |qtX AS (
+         |  SELECT doc_id,
+         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS INT) AS n_word_chars,
+         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
+         |  FROM s4),
+         |s5 AS (
+         |  SELECT s4.* FROM s4 JOIN qtX USING (doc_id)
+         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
+         |    AND (n_word_chars >= n_tokens * 3
+         |      AND n_word_chars <= n_tokens * 6)
+         |    AND (n_distinct * 10 >= n_tokens * 3)),
+         |tkS AS (SELECT doc_id, $qtoksSql AS w FROM s5),
+         |segS AS (
+         |  SELECT doc_id, CAST(s AS INT) AS pos,
+         |    array_to_string(w[s*$SegWidth+1 : s*$SegWidth+$SegWidth], ' ')
+         |      AS seg
+         |  FROM (SELECT doc_id, w FROM tkS WHERE len(w) >= 1) t,
+         |    UNNEST(generate_series(0, (len(w) + ${SegWidth - 1})
+         |      // $SegWidth - 1)) AS g(s)),
+         |dupS AS (
+         |  SELECT seg FROM segS GROUP BY seg
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |keptS AS (
+         |  SELECT s.doc_id,
+         |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
+         |  FROM segS s ANTI JOIN dupS d ON s.seg = d.seg
+         |  GROUP BY s.doc_id),
+         |s6 AS (
+         |  SELECT s5.doc_id, s5.lang, s5.source, s5.n_chars,
+         |    k.clean_text AS text
+         |  FROM s5 JOIN keptS k ON s5.doc_id = k.doc_id),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s1 WHERE source = 'src0')", "G")},
+         |benchG AS (SELECT DISTINCT shingle FROM shG),
+         |${shingleSqlFor(
+            "(SELECT doc_id, text FROM s6 WHERE source != 'src0')", "H")},
+         |flaggedX AS (
+         |  SELECT doc_id FROM shH JOIN benchG USING (shingle)
+         |  GROUP BY doc_id HAVING count(*) >= 10),
+         |s7 AS (
+         |  SELECT * FROM s6 f
+         |  WHERE source != 'src0' AND NOT EXISTS
+         |    (SELECT 1 FROM flaggedX g WHERE g.doc_id = f.doc_id)),
+         |s8 AS (
+         |  SELECT * FROM s7
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) % 100 < 80),
+         |funnel AS (
+         |  SELECT 0 AS stage, 'input' AS stage_name,
+         |    (SELECT count(*) FROM d0) AS n_docs
+         |  UNION ALL SELECT 1, 'pii_scrub', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)
+         |$attStageRow
+         |  UNION ALL SELECT ${4 + off}, 'repetition',
+         |    (SELECT count(*) FROM s4)
+         |  UNION ALL SELECT ${5 + off}, 'quality',
+         |    (SELECT count(*) FROM s5)
+         |  UNION ALL SELECT ${6 + off}, 'segment_dedup',
+         |    (SELECT count(*) FROM s6)
+         |  UNION ALL SELECT ${7 + off}, 'decontaminate',
+         |    (SELECT count(*) FROM s7)
+         |  UNION ALL SELECT ${8 + off}, 'train_split',
+         |    (SELECT count(*) FROM s8))
+         |SELECT CAST(stage AS INT) AS stage, stage_name,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM funnel ORDER BY stage""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // String-shingle twin of the xxhash64 formulation (same reasoning
@@ -3764,128 +3990,9 @@ object Dedup {
     // operator's oracle formulation over the previous stage (the
     // funnelCtesSql composition style), with shingle stacks via the
     // shared shingleSqlFor factoring
-    "q87c_funnel_extended" ->
-      s"""WITH d0 AS (
-         |  SELECT doc_id, lang, source, n_chars, text FROM documents
-         |  WHERE doc_id IS NOT NULL),
-         |injX AS (
-         |  SELECT doc_id, lang, source, n_chars, text ||
-         |    CASE WHEN doc_id % 3 = 0 THEN ' contact doc' ||
-         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
-         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |    ELSE '' END AS t
-         |  FROM d0),
-         |s1 AS (
-         |  SELECT doc_id, lang, source, n_chars,
-         |    regexp_replace(regexp_replace(t,
-         |      '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
-         |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
-         |  FROM injX),
-         |s2 AS (
-         |  SELECT doc_id, lang, source, n_chars, text FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-         |    FROM s1) WHERE rn = 1),
-         |${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
-         |cntR AS (SELECT doc_id, count(*) AS c FROM shR GROUP BY doc_id),
-         |prsR AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM shR a JOIN shR b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |nddropX AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM prsR
-         |  JOIN cntR ca ON doc_a = ca.doc_id
-         |  JOIN cntR cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
-         |s3 AS (
-         |  SELECT * FROM s2 f WHERE NOT EXISTS
-         |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id)),
-         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM s3),
-         |t1R AS (SELECT doc_id, t.tok FROM tkR, UNNEST(w) AS t(tok)),
-         |tmodalR AS (SELECT doc_id, max(c) AS ttop FROM (
-         |  SELECT doc_id, tok, count(*) AS c FROM t1R GROUP BY 1, 2)
-         |  GROUP BY doc_id),
-         |bgR AS (SELECT doc_id, concat_ws(' ', w[i+1], w[i+2]) AS b
-         |  FROM tkR, UNNEST(generate_series(0, len(w)-2)) AS t(i)
-         |  WHERE len(w) >= 2),
-         |bmodalR AS (SELECT doc_id, max(c) AS btop FROM (
-         |  SELECT doc_id, b, count(*) AS c FROM bgR GROUP BY 1, 2)
-         |  GROUP BY doc_id),
-         |repkeep AS (
-         |  SELECT t.doc_id
-         |  FROM tkR t
-         |  LEFT JOIN tmodalR USING (doc_id)
-         |  LEFT JOIN bmodalR USING (doc_id)
-         |  WHERE coalesce(ttop, 0) * 100 <= len(w) * 12
-         |    AND coalesce(btop, 0) * 100 <= greatest(len(w) - 1, 0) * 5),
-         |s4 AS (
-         |  SELECT * FROM s3
-         |  WHERE doc_id IN (SELECT doc_id FROM repkeep)),
-         |qtX AS (
-         |  SELECT doc_id,
-         |    CAST(len($qtoksSql) AS INT) AS n_tokens,
-         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
-         |      AS INT) AS n_word_chars,
-         |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
-         |  FROM s4),
-         |s5 AS (
-         |  SELECT s4.* FROM s4 JOIN qtX USING (doc_id)
-         |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
-         |    AND (n_word_chars >= n_tokens * 3
-         |      AND n_word_chars <= n_tokens * 6)
-         |    AND (n_distinct * 10 >= n_tokens * 3)),
-         |tkS AS (SELECT doc_id, $qtoksSql AS w FROM s5),
-         |segS AS (
-         |  SELECT doc_id, CAST(s AS INT) AS pos,
-         |    array_to_string(w[s*$SegWidth+1 : s*$SegWidth+$SegWidth], ' ')
-         |      AS seg
-         |  FROM (SELECT doc_id, w FROM tkS WHERE len(w) >= 1) t,
-         |    UNNEST(generate_series(0, (len(w) + ${SegWidth - 1})
-         |      // $SegWidth - 1)) AS g(s)),
-         |dupS AS (
-         |  SELECT seg FROM segS GROUP BY seg
-         |  HAVING count(DISTINCT doc_id) >= 2),
-         |keptS AS (
-         |  SELECT s.doc_id,
-         |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
-         |  FROM segS s ANTI JOIN dupS d ON s.seg = d.seg
-         |  GROUP BY s.doc_id),
-         |s6 AS (
-         |  SELECT s5.doc_id, s5.lang, s5.source, s5.n_chars,
-         |    k.clean_text AS text
-         |  FROM s5 JOIN keptS k ON s5.doc_id = k.doc_id),
-         |${shingleSqlFor(
-            "(SELECT doc_id, text FROM s1 WHERE source = 'src0')", "G")},
-         |benchG AS (SELECT DISTINCT shingle FROM shG),
-         |${shingleSqlFor(
-            "(SELECT doc_id, text FROM s6 WHERE source != 'src0')", "H")},
-         |flaggedX AS (
-         |  SELECT doc_id FROM shH JOIN benchG USING (shingle)
-         |  GROUP BY doc_id HAVING count(*) >= 10),
-         |s7 AS (
-         |  SELECT * FROM s6 f
-         |  WHERE source != 'src0' AND NOT EXISTS
-         |    (SELECT 1 FROM flaggedX g WHERE g.doc_id = f.doc_id)),
-         |s8 AS (
-         |  SELECT * FROM s7
-         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |    AS BIGINT) % 100 < 80),
-         |funnel AS (
-         |  SELECT 0 AS stage, 'input' AS stage_name,
-         |    (SELECT count(*) FROM d0) AS n_docs
-         |  UNION ALL SELECT 1, 'pii_scrub', (SELECT count(*) FROM s1)
-         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
-         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)
-         |  UNION ALL SELECT 4, 'repetition', (SELECT count(*) FROM s4)
-         |  UNION ALL SELECT 5, 'quality', (SELECT count(*) FROM s5)
-         |  UNION ALL SELECT 6, 'segment_dedup', (SELECT count(*) FROM s6)
-         |  UNION ALL SELECT 7, 'decontaminate', (SELECT count(*) FROM s7)
-         |  UNION ALL SELECT 8, 'train_split', (SELECT count(*) FROM s8))
-         |SELECT CAST(stage AS INT) AS stage, stage_name,
-         |  CAST(n_docs AS BIGINT) AS n_docs
-         |FROM funnel ORDER BY stage""".stripMargin,
+    "q87c_funnel_extended" -> extFunnelOracleSql(withAttachment = false),
+    // q87d: the same stack with the attachment stage switched on
+    "q87d_funnel_multimodal" -> extFunnelOracleSql(withAttachment = true),
     // q87b: the funnel CTEs + the q101 affinity/quota stack over
     // (src0 target slice UNION stage-5 survivors) + the selection
     // count as stage 6 — one oracle composed from the two shared
