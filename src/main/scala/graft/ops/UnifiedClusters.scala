@@ -587,7 +587,13 @@ object UnifiedClusters {
     // before edges) is preserved by the surrounding barriers. A crash
     // here can leave any subset of family indices un-appended; replay
     // restores them byte-identically (at-least-once), same window as
-    // the sequential form.
+    // the sequential form. Layout-v2 note: emb_lsh and emb_vec append
+    // inside the same barrier with no order between them, so a crash
+    // can leave a band row whose vec_id has no emb_vec row yet — the
+    // candidate verify's inner join simply skips such candidates
+    // (band-discoverable, not yet verifiable), and the SAME batch's
+    // replay restores the vec rows and re-derives the skipped pairs
+    // (the anti-join keeps already-persisted edges from duplicating).
     timed("update.index_appends")(inParallel(Seq(
       () => writeBuckets(batchSh.select(col("doc_id"), col("c"),
         col("h"), col("kb")), s"$store/shingle", "append", "h"),

@@ -256,6 +256,61 @@ class UnifiedClustersSpec extends SparkSpec {
     assert(got === Seq((10L, 2L, 1L, 0L), (20L, 2L, 0L, 1L)))
   }
 
+  test("layout v2 crash window: a band row without its emb_vec row is " +
+    "band-discoverable but not verifiable, and the batch's replay " +
+    "restores the weld") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def embOf(ids: Long*) = ids.toSeq
+      .map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_v2crash_").toString
+    // corpus: v1 (band rows + vec row, the complete build)
+    ops.UnifiedClusters.unifiedClusterStoreWrite(
+      docsOf(1L -> (1 to 40).map(i => s"a$i").mkString(" ")),
+      embOf(1L), img0, aud0, store)
+    // simulate the crash window: v2's BAND rows landed, its emb_vec
+    // row did not (the two appends share a barrier with no order)
+    graft.ops.Similarity.lshBandRows(embOf(2L))
+      .withColumn("kb", pmod(xxhash64(col("band"), col("bkey")),
+        lit(64)).cast("int"))
+      .select(col("vec_id"), col("band"), col("bkey"), col("kb"))
+      .repartition(1)
+      .write.mode("append").partitionBy("kb").parquet(s"$store/emb_lsh")
+    // batch v3 (identical direction): candidate (v1,v3) verifies —
+    // v1 has its vec row — candidate (v2,v3) is SKIPPED silently
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      docsOf(3L -> (1 to 40).map(i => s"c$i").mkString(" ")),
+      embOf(3L), img0, aud0)
+    val edges1 = ops.UnifiedClusters.edgesTable(spark, store)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges1.contains((1L, 3L)), edges1.toString)
+    assert(!edges1.exists(e => e._1 == 2L || e._2 == 2L),
+      "the vec-less band row must not produce an edge (nothing to verify)")
+    // the REPLAY of v2's batch restores its vec row and re-derives
+    // the skipped welds; v2's band rows are now duplicated — merely
+    // unreclaimed bytes under the family posture
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      docsOf(2L -> (1 to 40).map(i => s"b$i").mkString(" ")),
+      embOf(2L), img0, aud0)
+    val edges2 = ops.UnifiedClusters.edgesTable(spark, store)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges2.contains((1L, 2L)) && edges2.contains((2L, 3L)),
+      edges2.toString)
+    // and the cluster read-back welds all three
+    val labels = ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.toSeq === Seq((1L, 3L)))
+  }
+
   test("torn store heals: a lingering staging marker forces the exact " +
     "full-CC rebuild and the merge still equals the one-shot") {
     val (cd, bd, ce, be, ci, bi, ca, ba) = fixture()
