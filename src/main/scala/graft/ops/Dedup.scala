@@ -2803,7 +2803,9 @@ object Dedup {
     * plans over 8-byte signature tables; the drop id set is
     * corpus-fraction sized and anti-joins without a declared
     * broadcast (the q61b reasoning). */
-  def q87dFunnelMultimodal(s: SparkSession, d: String): DataFrame = {
+  /** The non-canonical attachment doc ids over the synthetic fixtures
+    * — ONE definition for the q87d binding and its spec. */
+  private[graft] def attachmentNonCanonical(s: SparkSession): DataFrame = {
     val imgDisp = graft.functions.Multimodal.imageClusters(
       materializeBounded(graft.functions.Multimodal.imageSignatures(
         graft.functions.Multimodal.syntheticImages(s))))
@@ -2811,14 +2813,17 @@ object Dedup {
       materializeBounded(graft.functions.Multimodal.audioSignatures(
         graft.functions.Multimodal.syntheticWavs(s))),
       "ehash", graft.functions.Multimodal.EhashScheme)
-    val attDrop = imgDisp.filter(!col("is_canonical"))
+    imgDisp.filter(!col("is_canonical"))
       .select(col("doc_id"))
       .unionByName(audDisp.filter(!col("is_canonical"))
         .select(col("doc_id")))
       .distinct()
-    funnelCounts(funnelStagesExtended(
-      TextAnalysis.injectPii(documents(s, d)), Some(attDrop)))
   }
+
+  def q87dFunnelMultimodal(s: SparkSession, d: String): DataFrame =
+    funnelCounts(funnelStagesExtended(
+      TextAnalysis.injectPii(documents(s, d)),
+      Some(attachmentNonCanonical(s))))
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d),

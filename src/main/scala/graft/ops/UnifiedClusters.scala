@@ -279,11 +279,13 @@ object UnifiedClusters {
     * candidate set (materialized once — it seeds both the kv-bucket
     * prune collect and the verify join), the standing side's vectors
     * from ONE kv-pruned read of the emb_vec side table, the batch
-    * side's from its in-memory vec map, and the same NdMinDot dot
-    * verify — now over O(candidates) rows instead of riding every
-    * band row. */
+    * side's from its MATERIALIZED vec map (`batchVec` — shared with
+    * the update's emb_vec append, so the groupBy runs once per
+    * merge; review finding), and the same NdMinDot dot verify — now
+    * over O(candidates) rows instead of riding every band row. */
   private def lshCrossPairs(s: SparkSession, store: String,
-      prunedIdx: DataFrame, batch: DataFrame): DataFrame = {
+      prunedIdx: DataFrame, batch: DataFrame,
+      batchVec: DataFrame): DataFrame = {
     val cand = materializeBounded(lshCrossCandidates(prunedIdx, batch))
     val kvs = cand
       .select(pmod(col("a"), lit(64)).cast("int").as("kv"))
@@ -291,7 +293,7 @@ object UnifiedClusters {
     val vecsA = (if (kvs.isEmpty) vecTable(s, store).limit(0)
       else vecTable(s, store).filter(col("kv").isin(kvs: _*)))
       .select(col("vec_id").as("a"), col("qe").as("qe_a"))
-    val vecsB = vecRowsOf(batch)
+    val vecsB = batchVec
       .select(col("vec_id").as("b"), col("qe").as("qe_b"))
     cand.join(vecsA, Seq("a")).join(vecsB, Seq("b"))
       .filter(graft.functions.LongArrayDot(col("qe_a"), col("qe_b"))
@@ -399,7 +401,8 @@ object UnifiedClusters {
     * unmaterialized for the plan-shape pin. */
   private[graft] def unifiedNewEdgesPlan(s: SparkSession, store: String,
       batchSh: DataFrame, batchSim: DataFrame, batchLsh: DataFrame,
-      batchImg: DataFrame, batchAud: DataFrame): DataFrame = {
+      batchImg: DataFrame, batchAud: DataFrame,
+      batchVec: DataFrame): DataFrame = {
     // DISTINCT over cross ∪ intra: the two sides are disjoint except
     // when a batch re-ingests an id the store already indexes, where a
     // pair could otherwise surface on both sides and double its
@@ -426,7 +429,8 @@ object UnifiedClusters {
       .unionByName(famLit(
         if (keys("emb_lsh").isEmpty) noEdges
         else lshCrossPairs(s, store,
-            prunedTo(lshIndexTable(s, store), keys("emb_lsh")), batchLsh)
+            prunedTo(lshIndexTable(s, store), keys("emb_lsh")), batchLsh,
+            batchVec)
           .unionByName(lshSelfPairs(batchLsh))
           .distinct(), "emb_lsh"))
       .unionByName(famLit(cross(sigIndexTable(s, store, "img_ahash",
@@ -443,8 +447,8 @@ object UnifiedClusters {
     * bucket-prune collect, the verify joins, and the persisting
     * append — one signature/decode pass per family per merge). */
   private def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame, batchAudSigs: DataFrame): Seq[DataFrame] =
-    inParallel(Seq(
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): Seq[DataFrame] = {
+    val five = inParallel(Seq(
       () => materializeBounded(shingleRowsOf(batchDocs)),
       () => materializeBounded(
         sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
@@ -453,6 +457,11 @@ object UnifiedClusters {
         sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme)),
       () => materializeBounded(
         sigRowsOf(batchAudSigs, "ehash", Multimodal.EhashScheme))))
+    // the batch vec map rides as the sixth frame: BOTH consumers (the
+    // cross verify's vecsB and the update's emb_vec append) read the
+    // same materialization — one groupBy per merge (review finding)
+    five :+ materializeBounded(vecRowsOf(five(2)))
+  }
 
   /** The batch's new-edges plan from raw batch inputs, UNmaterialized
     * — the plan-shape pin's probe (the clusterMergeNewEdgesPlan
@@ -461,10 +470,10 @@ object UnifiedClusters {
   private[graft] def unifiedMergeNewEdgesPlan(s: SparkSession,
       store: String, batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
-    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) =
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
       batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs)
     unifiedNewEdgesPlan(s, store, batchSh, batchSim, batchLsh, batchImg,
-      batchAud)
+      batchAud, batchVec)
   }
 
   /** The merge computation's parts: (batch index rows x4, new edges
@@ -476,7 +485,7 @@ object UnifiedClusters {
       batchAudSigs: DataFrame)
       : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
     requireUnifiedStore(s, store)
-    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) =
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
       timed("merge.batch_rows")(
         batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs))
     // LEFT ANTI vs the standing edge table (round-13 ADVICE): a batch
@@ -488,7 +497,7 @@ object UnifiedClusters {
     // is scanned by the relabel anyway.
     val newEdges = timed("merge.new_edges")(
       materializeBounded(unifiedNewEdgesPlan(s, store,
-          batchSh, batchSim, batchLsh, batchImg, batchAud)
+          batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec)
         .join(edgesTable(s, store),
           Seq("doc_a", "doc_b", "family"), "left_anti")))
     val (untouched, relabeled) = timed("merge.relabel")(Dedup.relabelAgainst(
@@ -496,8 +505,8 @@ object UnifiedClusters {
       edgesTable(s, store).select(col("doc_a"), col("doc_b")).distinct(),
       Dedup.clusterLabelsTable(s, store),
       Dedup.tornMarker(s, store)))
-    (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud), newEdges,
-      untouched, relabeled)
+    (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec),
+      newEdges, untouched, relabeled)
   }
 
   /** The q61c output shape (cluster_id, cluster_size, n_shingle,
@@ -581,7 +590,8 @@ object UnifiedClusters {
     // ordering: a crash between the two loses only not-yet-appended
     // EDGES, restored by replay, with the batch's docs still
     // discoverable through the indices — never the reverse)
-    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud) = batchRows
+    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
+      batchRows
     // the five family appends are mutually independent — concurrent
     // submission; the PROTOCOL order (staging first, all indices
     // before edges) is preserved by the surrounding barriers. A crash
@@ -603,7 +613,7 @@ object UnifiedClusters {
       () => writeBuckets(batchLsh.select(col("vec_id"),
         col("band"), col("bkey"), col("kb")), s"$store/emb_lsh",
         "append", "band", "bkey"),
-      () => writeBucketsBy(vecRowsOf(batchLsh), s"$store/emb_vec",
+      () => writeBucketsBy(batchVec, s"$store/emb_vec",
         "append", "kv", "vec_id"),
       () => writeBuckets(batchImg.select(col("doc_id"), col("ahash"),
         col("band"), col("ckey"), col("kb")), s"$store/img_ahash",

@@ -38,11 +38,21 @@ object Ephemeral {
     * any bench/verify log, so a cost asymmetry between boxes can be
     * attributed (or ruled out) without a re-run. */
   private lazy val root: Option[Path] = {
-    val chosen = sys.env.get("GRAFT_SCRATCH_DIR")
-      .map(d => (new java.io.File(d), s"GRAFT_SCRATCH_DIR=$d"))
-      .orElse(Some((new java.io.File("/dev/shm"), "/dev/shm (tmpfs)")))
-      .filter { case (f, _) => f.isDirectory && f.canWrite }
-    chosen match {
+    def usable(f: java.io.File) = f.isDirectory && f.canWrite
+    val candidates =
+      sys.env.get("GRAFT_SCRATCH_DIR")
+        .map(d => (new java.io.File(d), s"GRAFT_SCRATCH_DIR=$d")).toSeq :+
+        ((new java.io.File("/dev/shm"), "/dev/shm (tmpfs)"))
+    // a configured-but-unusable override must not ALSO forfeit the
+    // /dev/shm tier (review finding: a typo'd env var silently landed
+    // scratch on real disk while tmpfs sat writable), and the log has
+    // to name the rejection so diagnosis points at the right knob
+    candidates.find { case (f, label) =>
+      val ok = usable(f)
+      if (!ok) System.err.println(
+        s"[graft.scratch] rejected $label (not a writable directory)")
+      ok
+    } match {
       case Some((f, label)) =>
         System.err.println(s"[graft.scratch] backing=$label")
         Some(f.toPath)

@@ -520,25 +520,32 @@ class TierCSpec extends SparkSpec {
 
   test("q87d: the attachment stage drops exactly the non-canonical " +
     "attachment holders that survived the text near-dup stage") {
-    val got = ops.Dedup.q87dFunnelMultimodal(spark, sf)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      .toSeq.sortBy(_._1)
-    assert(got.map(_._2) === Seq("input", "pii_scrub", "exact_dedup",
-      "near_dup", "attachment_dedup", "repetition", "quality",
-      "segment_dedup", "decontaminate", "train_split"))
     // fixture contract (closed form, independent of sigClusters): the
     // perceptual groups are triples {3g, 3g+1, 3g+2} with min-id
     // canonical — images cover ids 0..95, audio 0..59 (a subset), so
     // the union drop set is {i < 96 : i % 3 != 0}
     val expectedDrop = (0L until 96L).filter(_ % 3 != 0).toSet
-    val s3Ids = ops.Dedup.funnelStagesExtended(
-        ops.TextAnalysis.injectPii(ops.Tables.documents(spark, sf)))
-      .find(_._2 == "near_dup").get._3
+    assert(ops.Dedup.attachmentNonCanonical(spark)
+      .collect().map(_.getLong(0)).toSet === expectedDrop)
+    // ONE funnel run (the stages materialize eagerly — a second run
+    // through the binding would double the suite's heaviest test;
+    // review finding): stage identities checked on the stage list the
+    // binding itself composes
+    val stages = ops.Dedup.funnelStagesExtended(
+      ops.TextAnalysis.injectPii(ops.Tables.documents(spark, sf)),
+      Some(ops.Dedup.attachmentNonCanonical(spark)))
+    assert(stages.map(_._2) === Seq("input", "pii_scrub", "exact_dedup",
+      "near_dup", "attachment_dedup", "repetition", "quality",
+      "segment_dedup", "decontaminate", "train_split"))
+    assert(stages.map(_._1) === (0 to 9))
+    val s3Ids = stages.find(_._2 == "near_dup").get._3
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val nd = got.find(_._2 == "near_dup").get._3
-    val att = got.find(_._2 == "attachment_dedup").get._3
-    assert(att === nd - (s3Ids intersect expectedDrop).size)
-    assert(att < nd, "the stage must drop something at this fixture")
+    val attIds = stages.find(_._2 == "attachment_dedup").get._3
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // SET identity, not just counts: survivors = s3 minus the drop set
+    assert(attIds === (s3Ids diff expectedDrop))
+    assert(attIds.size < s3Ids.size,
+      "the stage must drop something at this fixture")
   }
 
   test("q101b: the budget ratio survives Long-overflow-scale " +
