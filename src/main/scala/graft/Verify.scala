@@ -22,15 +22,6 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // SQL functions + optimizer rewrites
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,9 +34,36 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json FIRST (round-14 verdict #1: the round's official
+    // CORRECTNESS artifact landed empty with no diagnosable trail — if
+    // anything below dies or times out, the driver-side compare should
+    // still find the oracle file rather than nothing at all)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // verify_summary.json: query -> dumped row count (-1 = failed),
+    // REWRITTEN after every query so even a killed run leaves
+    // per-query evidence of how far the dump got and what each result
+    // held (round-14 verdict #1's fallback artifact).
+    val summary = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def writeSummary(): Unit = Files.writeString(
+      Paths.get(s"$outDir/verify_summary.json"),
+      summary.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // count from the WRITTEN parquet (footer metadata — no
+        // recompute), so the summary reflects what the driver will read
+        summary(name) = spark.read.parquet(s"$outDir/$name").count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        summary(name) = -1L
+      }
+      writeSummary()
+    }
     spark.stop()
   }
 }

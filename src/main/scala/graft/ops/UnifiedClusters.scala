@@ -116,7 +116,14 @@ object UnifiedClusters {
     val done = Await.result(
       Future.sequence(tasks.map(t => Future(scala.util.Try(t())))),
       Duration.Inf)
-    done.collectFirst { case scala.util.Failure(e) => throw e }
+    // rethrow the first failure with any sibling failures attached as
+    // suppressed (round-14 ADVICE: collectFirst-throw discarded them
+    // and threw from inside a partial function)
+    val failures = done.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
     done.map(_.get)
   }
   private lazy val ParallelEc =
@@ -463,10 +470,16 @@ object UnifiedClusters {
     five :+ materializeBounded(vecRowsOf(five(2)))
   }
 
-  /** The batch's new-edges plan from raw batch inputs, UNmaterialized
-    * — the plan-shape pin's probe (the clusterMergeNewEdgesPlan
-    * convention: the merge itself materializes this before CC, which
-    * hides the pruned-scan shape from the final declared tree). */
+  /** The batch's new-edges plan from raw batch inputs — the
+    * plan-shape pin's probe (the clusterMergeNewEdgesPlan convention:
+    * the merge itself materializes this before CC, which hides the
+    * pruned-scan shape from the final declared tree). NOTE (round-14
+    * ADVICE): under layout v2 the emb_lsh branch is NOT fully lazy —
+    * lshCrossPairs eagerly materializes the band-collision candidate
+    * set and runs a bounded collect for kv pruning DURING plan
+    * construction (the lshCrossCandidates comment explains why), so
+    * building this probe plan already executes Spark jobs; the other
+    * four family branches stay unmaterialized. */
   private[graft] def unifiedMergeNewEdgesPlan(s: SparkSession,
       store: String, batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {

@@ -886,7 +886,12 @@ object Streams {
     // the file source admits oldest-mtime first
     attFiles().foreach { f =>
       val late = if (imgNames.contains(f.getName)) 60000 else 30000
-      f.setLastModified(System.currentTimeMillis() - late): Unit
+      // the img-before-aud arrival ORDER is the point of this fixture
+      // (batch 1 must be audio sigs alone); a filesystem that rejects
+      // the mtime change would silently degrade it (round-14 ADVICE)
+      require(f.setLastModified(System.currentTimeMillis() - late),
+        s"failed to set mtime on $f — attachment arrival order " +
+          "would be undefined")
     }
     val docStream = s.readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")

@@ -179,6 +179,36 @@ class UnifiedClustersSpec extends SparkSpec {
     assert(rows(replayed) === oneShot())
   }
 
+  test("provenance rollup is replay-exact: raw duplicated edge rows " +
+    "(the crash-window replay) cannot inflate n_* counts, even " +
+    "before compaction") {
+    val (cd, bd, ce, be, ci, bi, ca, ba) = fixture()
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_cluster_rollupexact_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(cd, ce, ci, ca, store)
+    ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+      bd, be, bi, ba)
+    val before = rows(
+      ops.UnifiedClusters.unifiedClustersFromStore(spark, store))
+    // plant the torn replay the normal update path can no longer
+    // produce (its append is anti-joined): re-append existing edge
+    // rows verbatim — the bytes a crash between the edge append and
+    // the marker delete leaves behind when the batch is replayed
+    val dupes = ops.UnifiedClusters.edgesTable(spark, store)
+      .limit(7).localCheckpoint()
+    dupes.write.mode("append").parquet(s"$store/edges")
+    val after = rows(
+      ops.UnifiedClusters.unifiedClustersFromStore(spark, store))
+    assert(after === before,
+      "duplicated edge rows inflated the provenance n_* counts " +
+        "(round-14 verdict #5: the rollup must DISTINCT the edge set)")
+    // compaction still reclaims the bytes, and the rollup is unchanged
+    ops.UnifiedClusters.unifiedClusterStoreCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(rows(ops.UnifiedClusters.unifiedClustersFromStore(
+      spark, store)) === before)
+  }
+
   test("shingle verify is replay-sound: duplicated index rows from a " +
     "replayed append cannot inflate Jaccard past the threshold") {
     import spark.implicits._
