@@ -941,6 +941,91 @@ object Streams {
     graft.ops.UnifiedClusters.unifiedClustersFromStore(s, store)
   }
 
+  // O-134 (s23): the incremental curation funnel as a CONTINUOUS
+  // ingest pipeline (VERDICT r14 #2's stream half): every micro-batch
+  // flows the full q87e admission chain — scrub -> exact screen ->
+  // near-dup screen -> repetition -> quality -> decontaminate ->
+  // manifest append — and then runs the steady-state append protocol
+  // so LATER batches screen against EARLIER ones, not just the
+  // corpus: the exact index gains the micro-batch's post-exact
+  // survivor hashes (the s16 rule) and the band index gains those
+  // same survivors' band rows — the EXACT-stage survivors, not the
+  // nd-admitted subset, because q85's intra rule drops a doc when ANY
+  // lower-id doc near-dups it whether or not that lower doc itself
+  // survived, and the cross-batch replay of that rule needs every
+  // screened survivor discoverable. With the staged arrival order
+  // (ids ascending across micro-batches, enforced by mtime like s22),
+  // the summed per-stage counts equal the one-shot q87e run however
+  // the batch splits — so the oracle is q87e's full-recompute SQL
+  // verbatim, and the equality IS the composition's
+  // incremental-equals-full-recompute proof at the driver gate.
+  //
+  // Delivery caveat (the family's standing posture): foreachBatch is
+  // at-least-once — a replayed micro-batch re-appends value-identical
+  // index/manifest rows (reclaimed by the stores' compaction
+  // DISTINCTs; the manifest read-back already counts DISTINCT ids)
+  // but would double its rows in the counts sink; a production sink
+  // writes counts through an idempotent committer keyed on batchId.
+  def s23StreamIncrementalFunnel(s: SparkSession, d: String): DataFrame = {
+    // fresh per invocation: the stream appends to every store, so a
+    // reused store would re-screen an already-admitted batch to zero
+    val stores = graft.util.Ephemeral.dir("graft_incfunnel_s23")
+    graft.ops.Dedup.incrementalFunnelStoresBuild(s, d, stores)
+    val countsDir = graft.util.Ephemeral.dir("graft_s23_counts_")
+    val stageDir = graft.util.Ephemeral.dir("graft_s23_stage_")
+    val docs = graft.ops.TextAnalysis.injectPii(
+      graft.ops.Tables.documents(s, d))
+    def stageFiles() = new java.io.File(stageDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    // two mtime-ordered staging files split at id 275 so every scale
+    // factor yields two NON-EMPTY micro-batches of real documents:
+    // A = ids [250, 275), B = ids >= 275 plus the re-keyed corpus
+    // copies (ReKeyOffset ids — the largest, so arrival order stays
+    // id order, the split-invariance precondition)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 275)
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    val aNames = stageFiles().map(_.getName).toSet
+    docs.filter(col("doc_id") >= 275)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id",
+          col("doc_id") + graft.ops.Dedup.ReKeyOffset))
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    stageFiles().foreach { f =>
+      val late = if (aNames.contains(f.getName)) 60000 else 30000
+      require(f.setLastModified(System.currentTimeMillis() - late),
+        s"failed to set mtime on $f — micro-batch arrival order " +
+          "would be undefined")
+    }
+    val batchIn = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = batchIn.writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          val frames = graft.ops.Dedup
+            .incrementalFunnelFrames(ss, stores, batch)
+          val exactSurv = frames(2)._3
+          graft.ops.Dedup.dedupIndexWriteHashes(
+            exactSurv.select(sha2(col("text").cast("binary"), 256)
+              .as("content_hash")), s"$stores/exact", "append")
+          graft.ops.Dedup.neardupIndexWrite(
+            exactSurv, s"$stores/neardup", "append")
+          val admitted = graft.ops.Dedup.manifestAppendReadBack(
+            ss, stores, frames.last._3, frames.head._3)
+          graft.ops.Dedup
+            .funnelCounts(frames :+ ((7, "manifest_append", admitted)))
+            .write.mode("append").parquet(countsDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(countsDir)
+      .groupBy(col("stage"), col("stage_name"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
   // O-130 (s21): ingest-time MANIFEST maintenance — the promotion
   // gate made continuous (VERDICT r12 #7, the last store family
   // without a stream binding): a corpus-build pipeline writes each
@@ -1112,6 +1197,7 @@ object Streams {
     "s20_stream_audio_screen" -> (s20StreamAudioScreen _),
     "s21_stream_manifest_gate" -> (s21StreamManifestGate _),
     "s22_stream_unified_maintain" -> (s22StreamUnifiedMaintain _),
+    "s23_stream_incremental_funnel" -> (s23StreamIncrementalFunnel _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -1188,6 +1274,12 @@ object Streams {
     // same oracle
     "s22_stream_unified_maintain" ->
       graft.ops.UnifiedClusters.oracles("q61d_unified_cluster_merge"),
+    // s23 = q87e's batch split into two id-ordered micro-batches with
+    // the steady-state index appends between — the summed stage
+    // counts equal the one-shot incremental funnel, so the oracle is
+    // the same full-recompute composition
+    "s23_stream_incremental_funnel" ->
+      graft.ops.Dedup.incFunnelOracleSql,
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->
