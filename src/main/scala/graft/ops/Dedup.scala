@@ -2729,8 +2729,18 @@ object Dedup {
     *   (attachment i belongs to document i, the q61c identification)
     *   and corpus-fraction sized, so the drop is a plain left-anti
     *   join (AQE broadcasts it exactly when it is small). */
+  /** @param ndOverride replaces the default text near-dup drop rule
+    *   (exact-Jaccard pairs, keep-lowest) with a caller-supplied
+    *   (stage_name, survivors => drop ids) pair — q87f passes the
+    *   five-family unified weld set here (round 15, VERDICT r14 #3:
+    *   the engine's flagship multi-signal artifact was produced but
+    *   never CONSUMED by a funnel — a paraphrase-level emb_lsh weld
+    *   or a SimHash-only weld never dropped a document). None keeps
+    *   q87c/q87d byte-identical. */
   private[graft] def funnelStagesExtended(docs0: DataFrame,
-      attDrop: Option[DataFrame] = None): Seq[(Int, String, DataFrame)] = {
+      attDrop: Option[DataFrame] = None,
+      ndOverride: Option[(String, DataFrame => DataFrame)] = None)
+      : Seq[(Int, String, DataFrame)] = {
     val d0 = stageTimed("d0")(
       materializeBounded(docs0.filter(col("doc_id").isNotNull)))
     // 1: scrub IN PLACE — no docs drop, the corpus transforms
@@ -2742,10 +2752,12 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "content_hash")))
-    val ndDrop = nearDupPairs(s2)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val (ndName, ndDropOf) = ndOverride.getOrElse(
+      ("near_dup", (surv: DataFrame) => nearDupPairs(surv)
+        .select(col("doc_b").as("doc_id")).distinct()))
     val s3 = stageTimed("s3_neardup")(
-      materializeBounded(s2.join(ndDrop, Seq("doc_id"), "left_anti")))
+      materializeBounded(s2.join(ndDropOf(s2), Seq("doc_id"),
+        "left_anti")))
     // 3b (optional): multimodal attachment dedup
     val sAtt = attDrop.map(drop => stageTimed("s3b_attachment")(
       materializeBounded(s3.join(
@@ -2787,7 +2799,7 @@ object Dedup {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     Seq((0, "input", d0), (1, "pii_scrub", s1), (2, "exact_dedup", s2),
-      (3, "near_dup", s3)) ++
+      (3, ndName, s3)) ++
       sAtt.map(sb => (4, "attachment_dedup", sb)).toSeq ++
       Seq((4 + off, "repetition", s4), (5 + off, "quality", s5),
         (6 + off, "segment_dedup", s6), (7 + off, "decontaminate", s7),
@@ -2977,6 +2989,59 @@ object Dedup {
     funnelCounts(frames :+ ((7, "manifest_append", admitted)))
   }
 
+  // O-135 (q87f): the UNIFIED-dedup funnel — q87c's chain with the
+  // text near-dup stage replaced by the five-family unified weld set
+  // (round 15, VERDICT r14 #3): the q61c artifact finally CONSUMED —
+  // a document welded to a lower-id survivor through ANY signal
+  // (shingle Jaccard, SimHash, embedding sign-LSH paraphrase, image
+  // aHash, audio ehash) drops as non-canonical, so a paraphrase pair
+  // the literal-copy rule can't see, or two pages sharing only a hero
+  // image, now dedup in a shipped funnel. One stage subsumes q87d's
+  // separate attachment stage: the perceptual families are edges in
+  // the same component resolution.
+  //
+  // Scale shape: the five pair families are the q61c bounded plans
+  // over the stage-2 survivors (each banded/pruned, none
+  // corpus-quadratic); the weld graph is pair-bounded; CC is the q61
+  // star contraction; the non-canonical id set is pair-graph-bounded
+  // and anti-joins broadcast (the q61b reasoning).
+  /** Non-canonical members (doc_id != component min) of the
+    * five-family weld graph RESTRICTED to `docs`' id set — pairs with
+    * an endpoint outside the surviving corpus cannot drop a survivor
+    * (their doc is already gone; banding is pair-local, so filtering
+    * vectors/pairs to the id set commutes with pair generation). */
+  private[graft] def unifiedNonCanonical(docs: DataFrame, emb: DataFrame,
+      imgPairs: DataFrame, audPairs: DataFrame): DataFrame = {
+    val ids = materializeBounded(docs.select(col("doc_id")))
+    val embR = emb.join(ids.withColumnRenamed("doc_id", "vec_id"),
+      Seq("vec_id"), "left_semi")
+    def restrict(p: DataFrame) = p
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_semi")
+    val fams = nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+      .unionByName(simhashPairsUnordered(docs)
+        .select(col("doc_a"), col("doc_b")))
+      .unionByName(Similarity.embeddingNearDupLsh(embR)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .unionByName(restrict(imgPairs.select(col("doc_a"), col("doc_b"))))
+      .unionByName(restrict(audPairs.select(col("doc_a"), col("doc_b"))))
+    connectedComponents(materializeBounded(fams.distinct()))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+  }
+
+  def q87fFunnelUnified(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val img = graft.functions.Multimodal.imageAhashPairs(s)
+    val aud = graft.functions.Multimodal.audioEhashPairs(s)
+    funnelCounts(funnelStagesExtended(
+      TextAnalysis.injectPii(documents(s, d)),
+      ndOverride = Some(("unified_dedup",
+        (surv: DataFrame) => unifiedNonCanonical(surv, emb, img, aud)))))
+  }
+
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
     unifiedDedupClusters(documents(s, d), embeddings(s, d),
       Some(graft.functions.Multimodal.imageAhashPairs(s)),
@@ -3074,6 +3139,7 @@ object Dedup {
     "q87c_funnel_extended" -> (q87cFunnelExtended _),
     "q87d_funnel_multimodal" -> (q87dFunnelMultimodal _),
     "q87e_incremental_funnel" -> (q87eIncrementalFunnel _),
+    "q87f_funnel_unified" -> (q87fFunnelUnified _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -3236,7 +3302,17 @@ object Dedup {
     * cluster_id)` with `fams` still in scope. Shared by the q61c/q61d
     * cluster-table oracles above and q61e's canonical-corpus oracle
     * (which needs the component labels, not the rollup). */
-  private def unifiedFamiliesCcSql(docsRel: String): String =
+  /** @param restrictRel when set, the doc-independent pair families
+    *   (emb_lsh / img_ahash / ehash — generated from the full fixture
+    *   tables) are filtered to pairs with BOTH endpoints in that
+    *   relation's doc_id set; the text families are already scoped by
+    *   `docsRel`. Banding is pair-local, so this equals generating
+    *   the pairs from the restricted inputs (q87f's Spark side). */
+  private def unifiedFamiliesCcSql(docsRel: String,
+      restrictRel: Option[String] = None): String = {
+    def rw(a: String, b: String) = restrictRel.fold("")(rel =>
+      s"\n       |  WHERE $a IN (SELECT doc_id FROM $rel)" +
+        s"\n       |    AND $b IN (SELECT doc_id FROM $rel)")
     s"""shp AS (SELECT doc_a, doc_b FROM (
        |  WITH ${shingleSqlFor(
              s"(SELECT doc_id, text FROM $docsRel" +
@@ -3258,11 +3334,14 @@ object Dedup {
        |  WHERE x.doc_id < y.doc_id
        |    AND bit_count(xor(x.simhash, y.simhash)) <= 8)),
        |lshp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM
-       |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})),
+       |  (${Similarity.oracles("q36f_embedding_neardup_lsh")})${
+         rw("vec_a", "vec_b")}),
        |imgp AS (SELECT doc_a, doc_b FROM
-       |  ${graft.functions.Multimodal.ahashPairsSql} t),
+       |  ${graft.functions.Multimodal.ahashPairsSql} t${
+         rw("t.doc_a", "t.doc_b")}),
        |audp AS (SELECT doc_a, doc_b FROM
-       |  ${graft.functions.Multimodal.ehashPairsSql} t),
+       |  ${graft.functions.Multimodal.ehashPairsSql} t${
+         rw("t.doc_a", "t.doc_b")}),
        |fams AS (
        |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
        |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
@@ -3280,6 +3359,7 @@ object Dedup {
        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
        |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)"""
       .stripMargin
+  }
 
   /** The q36c SimHash CTE stack over an arbitrary (doc_id, text)
     * relation (round 13: the q61d oracle replays SimHash over the
@@ -3372,10 +3452,47 @@ object Dedup {
     * (ahashPairsSql / ehashPairsSql) each resolved through the q61
     * recursive-CTE CC, with non-canonical members (id <> component
     * min) forming the drop set; downstream stages renumber by one. */
-  private def extFunnelOracleSql(withAttachment: Boolean): String = {
-    val r = if (withAttachment) "RECURSIVE " else ""
+  private def extFunnelOracleSql(withAttachment: Boolean): String =
+    extFunnelOracleSql(if (withAttachment) "attachment" else "base")
+
+  /** @param variant "base" (q87c), "attachment" (q87d — perceptual
+    *   drop stage after the text near-dup), or "unified" (q87f —
+    *   round 15: the text near-dup stage REPLACED by the five-family
+    *   weld set, unifiedFamiliesCcSql restricted to the stage-2
+    *   survivors, non-canonical members dropping). base/attachment
+    *   output is byte-identical to the pre-variant generator. */
+  private def extFunnelOracleSql(variant: String): String = {
+    val withAttachment = variant == "attachment"
+    val unified = variant == "unified"
+    val r = if (withAttachment || unified) "RECURSIVE " else ""
     val ndOut = if (withAttachment) "s3b" else "s3"
     val off = if (withAttachment) 1 else 0
+    val ndStage = if (unified) "unified_dedup" else "near_dup"
+    val ndCtes =
+      if (!unified)
+        s"""${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
+         |cntR AS (SELECT doc_id, count(*) AS c FROM shR GROUP BY doc_id),
+         |prsR AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shR a JOIN shR b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nddropX AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM prsR
+         |  JOIN cntR ca ON doc_a = ca.doc_id
+         |  JOIN cntR cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |s3 AS (
+         |  SELECT * FROM s2 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id))"""
+      else
+        s"""${unifiedFamiliesCcSql(
+               "(SELECT doc_id, lang, source, n_chars, text FROM s2)",
+               restrictRel = Some("s2"))},
+         |unddrop AS MATERIALIZED (
+         |  SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
+         |s3 AS (
+         |  SELECT * FROM s2 f WHERE NOT EXISTS
+         |    (SELECT 1 FROM unddrop n WHERE n.doc_id = f.doc_id))"""
     val attStageRow =
       if (!withAttachment) ""
       else "  UNION ALL SELECT 4, 'attachment_dedup', " +
@@ -3432,20 +3549,7 @@ object Dedup {
          |    SELECT *, row_number() OVER (
          |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
          |    FROM s1) WHERE rn = 1),
-         |${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
-         |cntR AS (SELECT doc_id, count(*) AS c FROM shR GROUP BY doc_id),
-         |prsR AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM shR a JOIN shR b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |nddropX AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM prsR
-         |  JOIN cntR ca ON doc_a = ca.doc_id
-         |  JOIN cntR cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
-         |s3 AS (
-         |  SELECT * FROM s2 f WHERE NOT EXISTS
-         |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id)),
+         |$ndCtes,
 $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |t1R AS (SELECT doc_id, t.tok FROM tkR, UNNEST(w) AS t(tok)),
          |tmodalR AS (SELECT doc_id, max(c) AS ttop FROM (
@@ -3521,7 +3625,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |    (SELECT count(*) FROM d0) AS n_docs
          |  UNION ALL SELECT 1, 'pii_scrub', (SELECT count(*) FROM s1)
          |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
-         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 3, '$ndStage', (SELECT count(*) FROM s3)
          |$attStageRow
          |  UNION ALL SELECT ${4 + off}, 'repetition',
          |    (SELECT count(*) FROM s4)
@@ -4315,6 +4419,10 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
     // q87e: the incremental funnel's full-recompute form over
     // corpus ∪ batch, restricted to the batch (shared with s23)
     "q87e_incremental_funnel" -> incFunnelOracleSql,
+    // q87f: the same stack with the near-dup stage replaced by the
+    // five-family unified weld set (unifiedFamiliesCcSql over the
+    // stage-2 survivors, non-canonical members dropping)
+    "q87f_funnel_unified" -> extFunnelOracleSql("unified"),
     // q87b: the funnel CTEs + the q101 affinity/quota stack over
     // (src0 target slice UNION stage-5 survivors) + the selection
     // count as stage 6 — one oracle composed from the two shared
