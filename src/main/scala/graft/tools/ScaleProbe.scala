@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only (VERDICT r14 #4): ONE measured scale point above sf0.1.
+  *
+  * Synthesizes a `mult`x corpus from a base scale factor's documents +
+  * embeddings (replicas get disjoint id ranges; text goes through a
+  * replica-specific letter rotation and a replica salt token, embedding
+  * arrays through a replica-specific element rotation — so WITHIN a
+  * replica the near-dup/cluster structure of the base corpus is
+  * preserved exactly, while ACROSS replicas exact/near-dup similarity
+  * is destroyed: corpus grows ~linearly in documents AND in pair-graph
+  * size, the way a real corpus scales, instead of multiplying the dup
+  * fraction), then drives the three paths the 100 TB arguments lean on
+  * hardest and prints wall times + store file counts:
+  *
+  *   1. unified five-family store BUILD over the 95% corpus slice
+  *   2. one unified MERGE of the remaining 5% batch + re-keyed exact
+  *      duplicates (the daily-ingest shape), then the store read-back
+  *   3. the q87c extended funnel over the full synthetic corpus
+  *   4. one IVF-PQ layout rebuild over all synthetic vectors
+  *
+  * Usage: runMain graft.tools.ScaleProbe <baseSfDir> <mult> <workDir>
+  * Results recorded in SCALE.md ("Measured scale point").
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(base, multS, work) = args.take(3)
+    val mult = multS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $what ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    def pqFiles(dir: String): Int = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) 0
+      else if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+      else f.listFiles().map(c => pqFiles(c.getPath)).sum
+    }
+
+    // -- 1. synthesize ----------------------------------------------
+    val docs0 = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id").isNotNull)
+    val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+    val dStride = docs0.agg(max("doc_id")).head.getLong(0) + 1
+    val vStride = emb0.agg(max("vec_id")).head.getLong(0) + 1
+    val alpha = "etaonrishdl" // 11 letters: shift k is identity only at k=0
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val dim = emb0.select(size(col("embedding"))).head.getInt(0)
+    val docs = (0 until mult).map { k =>
+      val base = docs0.withColumn("doc_id", col("doc_id") + lit(k * dStride))
+      if (k == 0) base
+      else base.withColumn("text",
+        concat(lit(s"rk$k "), translate(col("text"), alpha, rot(alpha, k))))
+    }.reduce(_ unionByName _)
+    val emb = (0 until mult).map { k =>
+      val off = (k * 7) % dim // identity only at k=0 for mult <= 10
+      val b = emb0.withColumn("vec_id", col("vec_id") + lit(k * vStride))
+      if (off == 0) b
+      else b.withColumn("embedding",
+        concat(slice(col("embedding"), off + 1, dim - off),
+          slice(col("embedding"), 1, off)))
+    }.reduce(_ unionByName _)
+    timed(s"gen.documents x$mult") {
+      docs.coalesce(4).write.mode("overwrite")
+        .parquet(s"$work/documents.parquet")
+    }
+    timed(s"gen.embeddings x$mult") {
+      emb.coalesce(4).write.mode("overwrite")
+        .parquet(s"$work/embeddings.parquet")
+    }
+    val allDocs = spark.read.parquet(s"$work/documents.parquet")
+    val allEmb = spark.read.parquet(s"$work/embeddings.parquet")
+    val nDocs = allDocs.count(); val nVecs = allEmb.count()
+    println(s"[scale] corpus: $nDocs docs, $nVecs vectors (dim $dim)")
+
+    // -- 2. unified store build (95%) + one 5% merge ------------------
+    val dCut = (dStride * mult * 95L) / 100L
+    val vCut = (vStride * mult * 95L) / 100L
+    val nRekey = (dStride * mult / 100L).toInt // 1% planted exact dups
+    val imgSigs = graft.functions.Multimodal.imageSignatures(
+      graft.functions.Multimodal.syntheticImages(spark)).localCheckpoint()
+    val audSigs = graft.functions.Multimodal.audioSignatures(
+      graft.functions.Multimodal.syntheticWavs(spark)).localCheckpoint()
+    val store = s"$work/unified_store"
+    timed("uni.build (95% corpus, 5 families)") {
+      graft.ops.UnifiedClusters.unifiedClusterStoreWrite(
+        allDocs.filter(col("doc_id") < dCut),
+        allEmb.filter(col("vec_id") < vCut), imgSigs, audSigs, store)
+    }
+    val batchDocs = allDocs.filter(col("doc_id") >= dCut)
+      .unionByName(allDocs.filter(col("doc_id") < nRekey)
+        .withColumn("doc_id", col("doc_id") + graft.ops.Dedup.ReKeyOffset))
+    val batchEmb = allEmb.filter(col("vec_id") >= vCut)
+    val empSig = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ahash",
+          org.apache.spark.sql.types.LongType))))
+    timed("uni.merge (5% batch + 1% re-keys)") {
+      graft.ops.UnifiedClusters.unifiedClusterStoreUpdate(spark, store,
+        batchDocs, batchEmb, empSig,
+        empSig.withColumnRenamed("ahash", "ehash"))
+    }
+    val nClusters = timed("uni.readback") {
+      graft.ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+        .count()
+    }
+    println(s"[scale] unified store: $nClusters clusters; file counts: " +
+      Seq("shingle", "simhash", "emb_lsh", "emb_vec", "img_ahash",
+        "ehash", "edges", "clusters")
+        .map(t => s"$t=${pqFiles(s"$store/$t")}").mkString(" "))
+
+    // -- 3. q87c extended funnel over the full corpus -----------------
+    val funnel = timed("funnel.q87c (full corpus)") {
+      graft.ops.Dedup.curationFunnelExtended(
+        graft.ops.TextAnalysis.injectPii(allDocs)).collect()
+    }
+    funnel.foreach(r => println(s"[scale]   funnel ${r.mkString(" ")}"))
+
+    // -- 4. IVF-PQ rebuild over all vectors ---------------------------
+    val ivf = s"$work/ivf_store"
+    timed("ivf.rebuild (all vectors)") {
+      graft.ops.Similarity.ivfPqWriteDf(allEmb, ivf, dim = dim)
+    }
+    println(s"[scale] ivf store: vectors files=${pqFiles(s"$ivf/vectors")}" +
+      s" total files=${pqFiles(ivf)}")
+    spark.stop()
+  }
+}

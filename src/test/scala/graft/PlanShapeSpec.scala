@@ -63,6 +63,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [bucket"), plan)
   }
 
+  test("q87e: manifest read-back scan is partition-pruned to the " +
+    "batch's kb buckets") {
+    // the incremental funnel's final stage counts from the STORE; its
+    // scan must carry the collected kb set as a PartitionFilter (the
+    // q83 static-IN shape — earlier stages hide behind checkpoints,
+    // so the read-back is the one scan in the declared tree)
+    val plan = formatted("q87e_incremental_funnel")
+    assert(plan.contains("PartitionFilters: [kb"), plan)
+  }
+
   test("q85: band-index scan is partition-pruned to the batch's keys") {
     val plan = formatted("q85_neardup_merge")
     // the collected kb bucket set must land as a PartitionFilter on
