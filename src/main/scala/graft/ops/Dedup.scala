@@ -3393,7 +3393,7 @@ object Dedup {
     s"""d0 AS (
          |  SELECT doc_id, lang, source, n_chars, text FROM documents
          |  WHERE doc_id IS NOT NULL),
-         |s1 AS (
+         |s1 AS MATERIALIZED (
          |  SELECT doc_id, lang, source, n_chars, text FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
@@ -3409,7 +3409,7 @@ object Dedup {
          |  JOIN cntP ca ON doc_a = ca.doc_id
          |  JOIN cntP cb ON doc_b = cb.doc_id
          |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
-         |s2 AS (
+         |s2 AS MATERIALIZED (
          |  SELECT * FROM s1 f WHERE NOT EXISTS
          |    (SELECT 1 FROM nddrop n WHERE n.doc_id = f.doc_id)),
          |qt AS (
@@ -3419,7 +3419,7 @@ object Dedup {
          |      AS INT) AS n_word_chars,
          |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
          |  FROM s2),
-         |s3 AS (
+         |s3 AS MATERIALIZED (
          |  SELECT s2.* FROM s2 JOIN qt USING (doc_id)
          |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
          |    AND (n_word_chars >= n_tokens * 3
@@ -3434,11 +3434,11 @@ object Dedup {
          |flagged AS (
          |  SELECT doc_id FROM shF JOIN benchE USING (shingle)
          |  GROUP BY doc_id HAVING count(*) >= 10),
-         |s4 AS (
+         |s4 AS MATERIALIZED (
          |  SELECT * FROM s3 f
          |  WHERE source != 'src0' AND NOT EXISTS
          |    (SELECT 1 FROM flagged g WHERE g.doc_id = f.doc_id)),
-         |s5 AS (
+         |s5 AS MATERIALIZED (
          |  SELECT * FROM s4
          |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
          |    AS BIGINT) % 100 < 80)""".stripMargin
@@ -3481,7 +3481,7 @@ object Dedup {
          |  JOIN cntR ca ON doc_a = ca.doc_id
          |  JOIN cntR cb ON doc_b = cb.doc_id
          |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
-         |s3 AS (
+         |s3 AS MATERIALIZED (
          |  SELECT * FROM s2 f WHERE NOT EXISTS
          |    (SELECT 1 FROM nddropX n WHERE n.doc_id = f.doc_id))"""
       else
@@ -3490,7 +3490,7 @@ object Dedup {
                restrictRel = Some("s2"))},
          |unddrop AS MATERIALIZED (
          |  SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
-         |s3 AS (
+         |s3 AS MATERIALIZED (
          |  SELECT * FROM s2 f WHERE NOT EXISTS
          |    (SELECT 1 FROM unddrop n WHERE n.doc_id = f.doc_id))"""
     val attStageRow =
@@ -3519,10 +3519,10 @@ object Dedup {
          |  UNION
          |  SELECT e.b, r.l FROM reachA r JOIN edgA e ON e.a = r.id),
          |compA AS (SELECT id, min(l) AS cid FROM reachA GROUP BY id),
-         |attdrop AS (
+         |attdrop AS MATERIALIZED (
          |  SELECT id AS doc_id FROM compI WHERE id <> cid
          |  UNION SELECT id AS doc_id FROM compA WHERE id <> cid),
-         |s3b AS (
+         |s3b AS MATERIALIZED (
          |  SELECT * FROM s3
          |  WHERE doc_id NOT IN (SELECT doc_id FROM attdrop)),
 """
@@ -3538,13 +3538,13 @@ object Dedup {
          |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          |    ELSE '' END AS t
          |  FROM d0),
-         |s1 AS (
+         |s1 AS MATERIALIZED (
          |  SELECT doc_id, lang, source, n_chars,
          |    regexp_replace(regexp_replace(t,
          |      '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
          |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
          |  FROM injX),
-         |s2 AS (
+         |s2 AS MATERIALIZED (
          |  SELECT doc_id, lang, source, n_chars, text FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
@@ -3568,7 +3568,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |  LEFT JOIN bmodalR USING (doc_id)
          |  WHERE coalesce(ttop, 0) * 100 <= len(w) * 12
          |    AND coalesce(btop, 0) * 100 <= greatest(len(w) - 1, 0) * 5),
-         |s4 AS (
+         |s4 AS MATERIALIZED (
          |  SELECT * FROM $ndOut
          |  WHERE doc_id IN (SELECT doc_id FROM repkeep)),
          |qtX AS (
@@ -3578,7 +3578,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |      AS INT) AS n_word_chars,
          |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
          |  FROM s4),
-         |s5 AS (
+         |s5 AS MATERIALIZED (
          |  SELECT s4.* FROM s4 JOIN qtX USING (doc_id)
          |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
          |    AND (n_word_chars >= n_tokens * 3
@@ -3600,7 +3600,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
          |  FROM segS s ANTI JOIN dupS d ON s.seg = d.seg
          |  GROUP BY s.doc_id),
-         |s6 AS (
+         |s6 AS MATERIALIZED (
          |  SELECT s5.doc_id, s5.lang, s5.source, s5.n_chars,
          |    k.clean_text AS text
          |  FROM s5 JOIN keptS k ON s5.doc_id = k.doc_id),
@@ -3612,7 +3612,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |flaggedX AS (
          |  SELECT doc_id FROM shH JOIN benchG USING (shingle)
          |  GROUP BY doc_id HAVING count(*) >= 10),
-         |s7 AS (
+         |s7 AS MATERIALIZED (
          |  SELECT * FROM s6 f
          |  WHERE source != 'src0' AND NOT EXISTS
          |    (SELECT 1 FROM flaggedX g WHERE g.doc_id = f.doc_id)),
@@ -3679,14 +3679,15 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |    ELSE '' END AS t
        |  FROM d0),
-       |scrub AS (
+       |scrub AS MATERIALIZED (
        |  SELECT doc_id, lang, source, n_chars,
        |    regexp_replace(regexp_replace(t,
        |      '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
        |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
        |  FROM injX),
-       |corp AS (SELECT * FROM scrub WHERE doc_id < 250),
-       |bat AS (
+       |corp AS MATERIALIZED (
+       |  SELECT * FROM scrub WHERE doc_id < 250),
+       |bat AS MATERIALIZED (
        |  SELECT * FROM scrub WHERE doc_id >= 250
        |  UNION ALL
        |  SELECT doc_id + $ReKeyOffset AS doc_id, lang, source, n_chars,
@@ -3697,7 +3698,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |    SELECT *, row_number() OVER (
        |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
        |    FROM bat) WHERE rn = 1),
-       |s2 AS (
+       |s2 AS MATERIALIZED (
        |  SELECT * FROM bF f WHERE NOT EXISTS (
        |    SELECT 1 FROM corp c WHERE sha256(c.text) = sha256(f.text))),
        |cS AS (
@@ -3706,11 +3707,11 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
        |    FROM corp) WHERE rn = 1),
        |${shingleSqlFor("cS", "C")},
-       |sigC AS (
+       |sigC AS MATERIALIZED (
        |  SELECT doc_id, ${minExprs("m")}
        |  FROM shC GROUP BY doc_id),
        |${shingleSqlFor("(SELECT doc_id, text FROM s2)", "B")},
-       |sigB AS (
+       |sigB AS MATERIALIZED (
        |  SELECT doc_id, ${minExprs("m")}
        |  FROM shB GROUP BY doc_id),
        |${bandSql("C")},
@@ -3738,7 +3739,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |    JOIN sigB sa ON c.bdoc = sa.doc_id
        |    JOIN sigB sl ON c.lo = sl.doc_id)
        |  WHERE n_match * 2 >= $NHashes),
-       |s3 AS (
+       |s3 AS MATERIALIZED (
        |  SELECT * FROM s2 f WHERE NOT EXISTS
        |    (SELECT 1 FROM nddropE n WHERE n.doc_id = f.doc_id)),
        |tkR AS (SELECT doc_id, $qtoksSql AS w FROM s3),
@@ -3759,7 +3760,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |  LEFT JOIN bmodalR USING (doc_id)
        |  WHERE coalesce(ttop, 0) * 100 <= len(w) * 12
        |    AND coalesce(btop, 0) * 100 <= greatest(len(w) - 1, 0) * 5),
-       |s4 AS (
+       |s4 AS MATERIALIZED (
        |  SELECT * FROM s3
        |  WHERE doc_id IN (SELECT doc_id FROM repkeep)),
        |qtX AS (
@@ -3769,7 +3770,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |      AS INT) AS n_word_chars,
        |    CAST(len(list_distinct($qtoksSql)) AS INT) AS n_distinct
        |  FROM s4),
-       |s5 AS (
+       |s5 AS MATERIALIZED (
        |  SELECT s4.* FROM s4 JOIN qtX USING (doc_id)
        |  WHERE (n_tokens >= 20 AND n_tokens <= 1000)
        |    AND (n_word_chars >= n_tokens * 3
@@ -3783,7 +3784,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |flaggedX AS (
        |  SELECT doc_id FROM shH JOIN benchG USING (shingle)
        |  GROUP BY doc_id HAVING count(*) >= 10),
-       |s6 AS (
+       |s6 AS MATERIALIZED (
        |  SELECT * FROM s5 f
        |  WHERE source != 'src0' AND NOT EXISTS
        |    (SELECT 1 FROM flaggedX g WHERE g.doc_id = f.doc_id)),
