@@ -111,6 +111,27 @@ object Ephemeral {
   def sfKey(key: String, sfDir: String): String =
     key + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
+  /** Fresh tracked scratch dir seeded with a recursive COPY of `src`
+    * (round 15, s23): a binding whose store is MUTATED by the query
+    * itself (stream appends) needs pristine bytes every invocation —
+    * but rebuilding them re-runs the signature pipelines and the
+    * write rounds, the exact cost fixedDirBuiltOnce exists to avoid.
+    * Building the pristine store once and file-copying it per
+    * invocation is byte-identical and, on tmpfs, near-free relative
+    * to the rebuild. */
+  def cloneDir(src: String, prefix: String): String = {
+    val dst = dir(prefix)
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(dst)
+    Files.walk(from).forEach { p =>
+      val t = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    dst
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       val f = p.toFile
