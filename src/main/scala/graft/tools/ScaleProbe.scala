@@ -27,8 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3 && args(1).forall(_.isDigit),
+      "usage: runMain graft.tools.ScaleProbe <baseSfDir> <mult> <workDir>")
     val Array(base, multS, work) = args.take(3)
     val mult = multS.toInt
+    // the letter rotation is identity at k = multiples of the
+    // 11-letter alphabet (and the dim-64 embedding rotation at
+    // multiples of 64/gcd(7,64)); past that, cross-replica similarity
+    // would silently survive and the linear-pair-graph claim breaks
+    require(mult >= 1 && mult <= 11,
+      s"mult $mult out of range: replica perturbations are only " +
+        "non-identity for k in 1..10 (11-letter rotation alphabet)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,7 +65,7 @@ object ScaleProbe {
     val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
     val dStride = docs0.agg(max("doc_id")).head.getLong(0) + 1
     val vStride = emb0.agg(max("vec_id")).head.getLong(0) + 1
-    val alpha = "etaonrishdl" // 11 letters: shift k is identity only at k=0
+    val alpha = "etaonrishdl" // 11 letters: shift k identity iff k % 11 == 0
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     val dim = emb0.select(size(col("embedding"))).head.getInt(0)
     val docs = (0 until mult).map { k =>
@@ -66,7 +75,7 @@ object ScaleProbe {
         concat(lit(s"rk$k "), translate(col("text"), alpha, rot(alpha, k))))
     }.reduce(_ unionByName _)
     val emb = (0 until mult).map { k =>
-      val off = (k * 7) % dim // identity only at k=0 for mult <= 10
+      val off = (k * 7) % dim // identity iff 7k % dim == 0 (k=0 for k<=10)
       val b = emb0.withColumn("vec_id", col("vec_id") + lit(k * vStride))
       if (off == 0) b
       else b.withColumn("embedding",

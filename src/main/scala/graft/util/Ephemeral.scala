@@ -123,12 +123,13 @@ object Ephemeral {
     val dst = dir(prefix)
     val from = java.nio.file.Paths.get(src)
     val to = java.nio.file.Paths.get(dst)
-    Files.walk(from).forEach { p =>
+    val walk = Files.walk(from)
+    try walk.forEach { p =>
       val t = to.resolve(from.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    }
+    } finally walk.close() // Files.walk holds directory FDs until closed
     dst
   }
 
