@@ -478,9 +478,14 @@ object Streams {
   // corpus x stream band-collision verify in closed form (a one-batch
   // AvailableNow replay equals the batch computation row-for-row).
   def s14StreamNeardupScreen(s: SparkSession, d: String): DataFrame = {
-    val store = graft.util.Ephemeral.fixedDir("graft_nd_index_s14")
-    graft.ops.Dedup.neardupIndexWrite(
-      graft.ops.Tables.documents(s, d).filter(col("doc_id") < 250), store)
+    // the screen never mutates the index, so it builds ONCE per
+    // (JVM, data dir) — the per-invocation rebuild predated the
+    // build-once idiom (round 15; the s22/s21 lever applied here)
+    val store = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_nd_index_s14", d)) { dir =>
+      graft.ops.Dedup.neardupIndexWrite(
+        graft.ops.Tables.documents(s, d).filter(col("doc_id") < 250), dir)
+    }
     val index = s.read.parquet(store)
     val docStream = s.readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -526,9 +531,15 @@ object Streams {
   // families (q83/q85/q88 appends share it).
   def s15StreamClusterMaintain(s: SparkSession, d: String): DataFrame = {
     val docs = graft.ops.Tables.documents(s, d)
-    val store = graft.util.Ephemeral.fixedDir("graft_nd_cluster_s15")
-    graft.ops.Dedup.neardupClusterStoreWrite(
-      docs.filter(col("doc_id") < 250), store)
+    // the stream UPDATES the store, so each invocation needs pristine
+    // bytes — build once, clone per invocation (the s23 lever)
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_nd_cluster_s15_pristine", d)) {
+      dir => graft.ops.Dedup.neardupClusterStoreWrite(
+        docs.filter(col("doc_id") < 250), dir)
+    }
+    val store = graft.util.Ephemeral.cloneDir(
+      pristine, "graft_nd_cluster_s15")
     val docStream = s.readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(d)
@@ -574,9 +585,15 @@ object Streams {
   // sink dedups on doc_id or writes through an idempotent committer.
   def s16StreamDedupScreen(s: SparkSession, d: String): DataFrame = {
     val docs = graft.ops.Tables.documents(s, d)
-    val store = graft.util.Ephemeral.fixedDir("graft_dedup_index_s16")
-    graft.ops.Dedup.dedupIndexWrite(
-      docs.filter(col("doc_id") < 250), store)
+    // per-batch hash appends mutate the index — build the pristine
+    // index once, clone per invocation (the s23 lever)
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_dedup_index_s16_pristine", d)) {
+      dir => graft.ops.Dedup.dedupIndexWrite(
+        docs.filter(col("doc_id") < 250), dir)
+    }
+    val store = graft.util.Ephemeral.cloneDir(
+      pristine, "graft_dedup_index_s16")
     // fresh per invocation: the sink accumulates via append
     val admittedDir = graft.util.Ephemeral.dir("graft_dedup_admit_s16")
     val docStream = s.readStream.schema(documentsSchema)
