@@ -3342,7 +3342,7 @@ object Dedup {
        |audp AS (SELECT doc_a, doc_b FROM
        |  ${graft.functions.Multimodal.ehashPairsSql} t${
          rw("t.doc_a", "t.doc_b")}),
-       |fams AS (
+       |fams AS MATERIALIZED (
        |  SELECT doc_a, doc_b, 'shingle' AS family FROM shp
        |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simp
        |  UNION ALL SELECT doc_a, doc_b, 'emb_lsh' FROM lshp
@@ -3357,7 +3357,8 @@ object Dedup {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
-       |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)"""
+       |comp AS MATERIALIZED (
+       |  SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)"""
       .stripMargin
   }
 
