@@ -185,8 +185,23 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map(f => "\"" + f._1 + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size}$failedJson,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size},"sf":"$sfDir"}""")
+    // In-band environment attribution (round-15 verdict #1: BENCH_r15
+    // nearly doubled vs r14 with the inflation spread uniformly across
+    // scratch-I/O-heavy queries untouched for rounds — the box-contention
+    // / real-disk-scratch signature — and NOTHING in the artifact could
+    // attribute it). Both lines now carry: "scratch" (the Ephemeral
+    // backing actually used — a real-disk fallback on the driver box is
+    // the prime suspect and is now visible in the artifact itself) and
+    // "pass1"/"pass2" (per-pass totals — min-of-2 hides burst variance;
+    // pass totals far apart say "contended window", close-but-high say
+    // "sustained load or real regression").
+    val scratch = graft.util.Ephemeral.backingLabel
+      .replace("\\", "/").replace("\"", "'")
+    val p1 = pass1.values.sum
+    val p2 = pass2.values.sum
+    val env = s""""scratch":"$scratch","pass1":${fmt(p1)},"pass2":${fmt(p2)}"""
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size},$env$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":2,"errors":${failed.size},$env,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -64,8 +64,16 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // count from the WRITTEN parquet (footer metadata — no
-        // recompute), so the summary reflects what the driver will read
-        summary(name) = spark.read.parquet(s"$outDir/$name").count()
+        // recompute), so the summary reflects what the driver will read.
+        // Separate try (round-15 ADVICE): the dump above is the primary
+        // evidence; a transient failure READING IT BACK must not record
+        // the query as failed (-1) — -2 = dumped ok, count read failed.
+        summary(name) = try spark.read.parquet(s"$outDir/$name").count()
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[verify] $name dumped but count read failed: ${e.getMessage}")
+            -2L
+          }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         summary(name) = -1L

@@ -54,9 +54,12 @@ object Ephemeral {
       ok
     } match {
       case Some((f, label)) =>
+        resolvedBacking = label
         System.err.println(s"[graft.scratch] backing=$label")
         Some(f.toPath)
       case None =>
+        resolvedBacking =
+          System.getProperty("java.io.tmpdir") + " (REAL DISK fallback)"
         System.err.println("[graft.scratch] backing=" +
           s"${System.getProperty("java.io.tmpdir")} (REAL DISK fallback " +
           "— store-heavy queries pay fsync churn; set GRAFT_SCRATCH_DIR " +
@@ -64,6 +67,16 @@ object Ephemeral {
         None
     }
   }
+
+  @volatile private var resolvedBacking: String = "unresolved"
+
+  /** The scratch backing label, for IN-BAND bench attribution
+    * (round-15 verdict #1: the stderr log above never reaches the
+    * driver's 2,000-byte stdout tail, so a real-disk scratch fallback
+    * on the driver box — the prime suspect for the r15 bench
+    * doubling — was unattributable from any artifact). Forces root
+    * resolution so the label is definite at emit time. */
+  def backingLabel: String = { root; resolvedBacking }
 
   /** New empty scratch dir (tmpfs-backed when /dev/shm is writable),
     * deleted recursively on JVM exit. */
@@ -111,14 +124,31 @@ object Ephemeral {
   def sfKey(key: String, sfDir: String): String =
     key + "_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
-  /** Fresh tracked scratch dir seeded with a recursive COPY of `src`
+  /** Fresh tracked scratch dir seeded with a recursive clone of `src`
     * (round 15, s23): a binding whose store is MUTATED by the query
     * itself (stream appends) needs pristine bytes every invocation —
     * but rebuilding them re-runs the signature pipelines and the
     * write rounds, the exact cost fixedDirBuiltOnce exists to avoid.
-    * Building the pristine store once and file-copying it per
-    * invocation is byte-identical and, on tmpfs, near-free relative
-    * to the rebuild. */
+    * Building the pristine store once and cloning it per invocation
+    * is byte-identical and near-free relative to the rebuild.
+    *
+    * Files are HARD-LINKED when src and dst share a filesystem
+    * (round-16, verdict r15 #1c: per-invocation clones of the
+    * standing stores were the round's largest new scratch-byte cost;
+    * a link writes zero data bytes). Safe for parquet stores because
+    * every mutation the clones see is file-granular — appends create
+    * NEW part files, compaction/dynamic-partition-overwrite DELETE
+    * old files and write new ones, and nothing rewrites parquet bytes
+    * in place — so a shared inode is never modified under the
+    * pristine source. (The one in-place mutator in the repo,
+    * setLastModified, runs only on stream STAGING files, never on
+    * store files.) Falls back to a byte copy per file when linking
+    * fails (cross-device, unsupported FS).
+    *
+    * Assumes a plain directory tree: symlinks inside `src` are not
+    * followed (Files.walk default) — a symlinked subdir would clone
+    * as an empty dir. Current stores are plain parquet trees; callers
+    * introducing links must revisit (round-15 ADVICE). */
   def cloneDir(src: String, prefix: String): String = {
     val dst = dir(prefix)
     val from = java.nio.file.Paths.get(src)
@@ -127,8 +157,13 @@ object Ephemeral {
     try walk.forEach { p =>
       val t = to.resolve(from.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      else {
+        try Files.createLink(t, p): Unit
+        catch { case _: Exception =>
+          Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
     } finally walk.close() // Files.walk holds directory FDs until closed
     dst
   }
