@@ -489,6 +489,44 @@ object UnifiedClusters {
       batchAud, batchVec)
   }
 
+  /** O-136/O-137 (q87g/s24): the batch ids that WELD to a lower-id
+    * document through ANY of the five families — standing (each
+    * family's kb-pruned index cross join) or batch-internal (each
+    * family's self pair set). This is the q85 admission rule lifted
+    * to the full multi-signal store (VERDICT r15 #2: the incremental
+    * funnel's near-dup screen saw only the MinHash band index, so a
+    * paraphrase-level emb_lsh duplicate or a perceptual image/audio
+    * duplicate was ADMITTED that the one-shot unified funnel drops).
+    *
+    * Semantics are EDGE-LOCAL, deliberately: a doc drops iff a
+    * DIRECT verified pair connects it to a lower id (standing docs
+    * are all-admitted history; intra-batch keep-lowest). Component
+    * transitivity through higher-id intermediaries is NOT applied at
+    * admission — that is the store-maintenance side's job (q61d/s22
+    * weld components downstream) — which is exactly what makes the
+    * rule split-invariant for the stream twin: summed per-stage
+    * counts are identical however the batch splits, because each
+    * doc's verdict depends only on pairs against lower ids, all of
+    * which are discoverable (standing index ∪ earlier-arrived
+    * survivors ∪ same-batch self pairs) at its arrival.
+    *
+    * Every family rule canonicalizes doc_a < doc_b, so the drop set
+    * is exactly the doc_b projection ∩ batch ids. READ-ONLY against
+    * the store. Scale shape: identical to the merge's new-edges plan
+    * (pruned index reads, verify inside the band/hash joins, edge-
+    * bounded output); the final semi join is edge-set × batch-id
+    * sized (AQE broadcasts the smaller side at fixture scale). */
+  def unifiedWeldDropIds(s: SparkSession, store: String,
+      batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
+    requireUnifiedStore(s, store)
+    unifiedMergeNewEdgesPlan(s, store, batchDocs, batchEmb,
+        batchImgSigs, batchAudSigs)
+      .select(col("doc_b").as("doc_id"))
+      .join(batchDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .distinct()
+  }
+
   /** The merge computation's parts: (batch index rows x4, new edges
     * WITH family, untouched label rows WITH kb, relabeled rows). The
     * relabel is [[Dedup.relabelAgainst]] — the same algorithm (and
@@ -586,9 +624,38 @@ object UnifiedClusters {
   def unifiedClusterStoreUpdate(s: SparkSession, store: String,
       batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): Unit = {
-    val (batchRows, newEdges, untouched, relabeled) =
-      unifiedMergeParts(s, store, batchDocs, batchEmb, batchImgSigs,
-        batchAudSigs)
+    persistMerge(s, store, unifiedMergeParts(s, store, batchDocs,
+      batchEmb, batchImgSigs, batchAudSigs))
+  }
+
+  /** [[unifiedClusterStoreUpdate]] that ALSO returns the batch's weld
+    * drop ids (the [[unifiedWeldDropIds]] rule) — the admission
+    * screen and the steady-state update share ONE materialized
+    * new-edges set and one per-family signature/cross-join pass
+    * (round 16: s24 otherwise ran the identical five pruned index
+    * joins twice per micro-batch, once to screen and once to
+    * persist, and the fused form cut its bench cost ~2x). Drop
+    * semantics match [[unifiedWeldDropIds]] for a batch whose edges
+    * are not yet persisted — the declared stream flow; an
+    * at-least-once REPLAYED batch's edges are anti-joined away
+    * (already persisted), so its drop set under-reports, consistent
+    * with the family's documented replay caveat (the counts sink
+    * double-counts a replayed batch regardless; a production sink
+    * commits idempotently by batchId). */
+  def unifiedClusterStoreUpdateWithDrops(s: SparkSession, store: String,
+      batchDocs: DataFrame, batchEmb: DataFrame,
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
+    val parts = unifiedMergeParts(s, store, batchDocs, batchEmb,
+      batchImgSigs, batchAudSigs)
+    persistMerge(s, store, parts)
+    parts._2.select(col("doc_b").as("doc_id"))
+      .join(batchDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .distinct()
+  }
+
+  private def persistMerge(s: SparkSession, store: String,
+      parts: (Seq[DataFrame], DataFrame, DataFrame, DataFrame)): Unit = {
+    val (batchRows, newEdges, untouched, relabeled) = parts
     val dirty = materializeBounded(
       relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))))
     val buckets = dirty.select(col("kb")).distinct()

@@ -1052,6 +1052,116 @@ object Streams {
       .orderBy(col("stage"))
   }
 
+  // O-137 (s24): the UNIFIED incremental funnel as a continuous
+  // ingest pipeline — s23's chain with the near-dup screen upgraded
+  // to the five-family weld against the STANDING unified store
+  // (VERDICT r15 #2's stream half), and the steady-state append
+  // upgraded to the FULL q61d store update: each micro-batch's
+  // exact-stage survivors append all five family index rows, their
+  // provenance-tagged edges, and the touched-component relabel — so
+  // LATER batches weld against EARLIER survivors through ANY signal
+  // (a paraphrase-level emb_lsh duplicate of a batch-A doc is
+  // rejected in batch B, which the s23 MinHash screen could not do).
+  // The exact-stage survivors append (not the screen's admitted
+  // subset) for the same reason as s23: the weld rule drops a doc
+  // when ANY lower-id doc pairs with it, whether or not that lower
+  // doc itself survived its own screen — the edge-local rule's
+  // cross-batch replay needs every screened survivor discoverable.
+  // Split-invariance: the admission verdict of each doc depends only
+  // on pairs against LOWER ids (standing store ∪ earlier arrivals ∪
+  // same-batch self pairs — see unifiedWeldDropIds's scaladoc), so
+  // with id-ascending arrival order the summed per-stage counts
+  // equal the one-shot q87g however the batch splits, and the oracle
+  // is q87g's full-recompute SQL verbatim.
+  def s24StreamUnifiedFunnel(s: SparkSession, d: String): DataFrame = {
+    // pristine built once per (JVM, data dir); every invocation
+    // starts from a hard-linked tmpfs clone (the stream appends to
+    // every store — exact index, all five family indices, edges,
+    // labels, manifest)
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_unifunnel_s24_pristine", d)) {
+      dir => graft.ops.Dedup.incrementalUnifiedStoresBuild(s, d, dir)
+    }
+    val stores = graft.util.Ephemeral.cloneDir(
+      pristine, "graft_unifunnel_s24")
+    val countsDir = graft.util.Ephemeral.dir("graft_s24_counts_")
+    val stageDir = graft.util.Ephemeral.dir("graft_s24_stage_")
+    val docs = graft.ops.TextAnalysis.injectPii(
+      graft.ops.Tables.documents(s, d))
+    def stageFiles() = new java.io.File(stageDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    // two mtime-ordered staging files split at id 275 (the s23
+    // geometry): A = ids [250, 275); B = ids >= 275, the re-keyed
+    // corpus copies, and the media-only rows (MediaReKeyOffset ids —
+    // the largest, so arrival order stays id order, the
+    // split-invariance precondition)
+    docs.filter(col("doc_id") >= 250 && col("doc_id") < 275)
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    val aNames = stageFiles().map(_.getName).toSet
+    docs.filter(col("doc_id") >= 275)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id",
+          col("doc_id") + graft.ops.Dedup.ReKeyOffset))
+      .unionByName(graft.ops.Dedup.mediaBatchDocs(s))
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    stageFiles().foreach { f =>
+      val late = if (aNames.contains(f.getName)) 60000 else 30000
+      require(f.setLastModified(System.currentTimeMillis() - late),
+        s"failed to set mtime on $f — micro-batch arrival order " +
+          "would be undefined")
+    }
+    val batchIn = s.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = batchIn.writeStream
+      .option("checkpointLocation", ephemeralCheckpointDir())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          // the screen and the q61d steady-state update run FUSED
+          // inside the stage-3 body: the exact-stage survivors (the
+          // screen's input) ARE the update's batch, so one
+          // materialized new-edges set serves both — drop ids out,
+          // five family index appends + provenance edges +
+          // dirty-bucket relabel persisted (round 16: the separate
+          // screen-then-update form ran the identical pruned cross
+          // joins twice per micro-batch). Side inputs restricted to
+          // the batch's ids (vec_id == doc_id identification; media
+          // re-keyed signatures).
+          val frames = graft.ops.Dedup.incrementalFunnelFrames(
+            ss, stores, batch,
+            ndScreen = Some(("unified_screen", (s2: DataFrame) => {
+              val ids = s2.select(col("doc_id"))
+              val drops = graft.ops.UnifiedClusters
+                .unifiedClusterStoreUpdateWithDrops(ss,
+                  s"$stores/unified", s2,
+                  graft.ops.Tables.embeddings(ss, d)
+                    .join(ids.withColumnRenamed("doc_id", "vec_id"),
+                      Seq("vec_id"), "left_semi"),
+                  graft.ops.Dedup.mediaBatchImgSigs(ss)
+                    .join(ids, Seq("doc_id"), "left_semi"),
+                  graft.ops.Dedup.mediaBatchAudSigs(ss)
+                    .join(ids, Seq("doc_id"), "left_semi"))
+              s2.join(drops, Seq("doc_id"), "left_anti")
+            })))
+          val exactSurv = frames(2)._3
+          graft.ops.Dedup.dedupIndexWriteHashes(
+            exactSurv.select(sha2(col("text").cast("binary"), 256)
+              .as("content_hash")), s"$stores/exact", "append")
+          val admitted = graft.ops.Dedup.manifestAppendReadBack(
+            ss, stores, frames.last._3, frames.head._3)
+          graft.ops.Dedup
+            .funnelCounts(frames :+ ((7, "manifest_append", admitted)))
+            .write.mode("append").parquet(countsDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(countsDir)
+      .groupBy(col("stage"), col("stage_name"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
   // O-130 (s21): ingest-time MANIFEST maintenance — the promotion
   // gate made continuous (VERDICT r12 #7, the last store family
   // without a stream binding): a corpus-build pipeline writes each
@@ -1224,6 +1334,7 @@ object Streams {
     "s21_stream_manifest_gate" -> (s21StreamManifestGate _),
     "s22_stream_unified_maintain" -> (s22StreamUnifiedMaintain _),
     "s23_stream_incremental_funnel" -> (s23StreamIncrementalFunnel _),
+    "s24_stream_unified_funnel" -> (s24StreamUnifiedFunnel _),
   )
 
   /** DuckDB oracles for the streaming queries. A one-shot AvailableNow
@@ -1306,6 +1417,13 @@ object Streams {
     // the same full-recompute composition
     "s23_stream_incremental_funnel" ->
       graft.ops.Dedup.incFunnelOracleSql,
+    // s24 = q87g's batch split into two id-ordered micro-batches with
+    // the full q61d store update between — the weld rule is
+    // edge-local (drop iff a pair to a LOWER id exists), so summed
+    // stage counts are split-invariant and the oracle is q87g's
+    // full-recompute composition verbatim
+    "s24_stream_unified_funnel" ->
+      graft.ops.Dedup.uniIncFunnelOracleSql,
     // q79's distance CTEs + the screen threshold (the stateless append
     // replay of a finite file equals its batch twin row-for-row)
     "s13_stream_outlier_screen" ->

@@ -56,7 +56,10 @@ object ScaleProbe {
       val f = new java.io.File(dir)
       if (!f.exists()) 0
       else if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
-      else f.listFiles().map(c => pqFiles(c.getPath)).sum
+      // null guard (round-15 ADVICE): listFiles() returns null on an
+      // unreadable/concurrently-removed dir — report 0, don't NPE
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(c => pqFiles(c.getPath)).sum
     }
 
     // -- 1. synthesize ----------------------------------------------
@@ -148,6 +151,56 @@ object ScaleProbe {
     }
     println(s"[scale] ivf store: vectors files=${pqFiles(s"$ivf/vectors")}" +
       s" total files=${pqFiles(ivf)}")
+
+    // -- 5. daily-cadence paths (round 16, verdict r15 #3): the
+    //       queries a deployment runs every day, vs the rare
+    //       build/rebuild above ------------------------------------
+    // (a) one IVF-PQ ADC probe against the synthetic-scale store —
+    //     the per-query latency of the canonical layout
+    val queryVec = allEmb.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions
+        .quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    val nProbeHits = timed("ivf.probe (ADC, nprobe=4, k=10)") {
+      graft.ops.Similarity.ivfPqProbe(spark, ivf, queryVec,
+        nprobe = 4, k = 10, excludeVecId = Some(0L)).count()
+    }
+    println(s"[scale] ivf probe hits: $nProbeHits")
+    // (b) the q84-style recall audit at scale: exact panel top-10 vs
+    //     the stored layout's ADC top-10 (one pruned scan per method)
+    val recall = timed("ivf.recall_panel (exact vs ADC, 8 probes)") {
+      import spark.implicits._
+      val exact = graft.ops.Similarity.panelExact(
+        allEmb, graft.ops.Similarity.ProbePanel, 10).localCheckpoint()
+      val adc = graft.ops.Similarity.panelAdc(spark, ivf, allEmb,
+        graft.ops.Similarity.ProbePanel, nprobe = 4, k = 10, m = 8)
+      graft.ops.Similarity.panelHits("ivfpq_adc", adc, exact,
+          graft.ops.Similarity.ProbePanel.toDF("probe_id"))
+        .agg(min(col("hits")), sum(col("hits"))).head()
+    }
+    println(s"[scale] ivf recall panel: min_hits=${recall.get(0)} " +
+      s"sum_hits=${recall.get(1)} (of 8 probes x 10)")
+    // (c) the incremental-funnel admission: ONE batch (the 5% slice +
+    //     re-keys) against a standing store built over the 95% slice —
+    //     the q87e/s23 steady state at synthetic scale
+    val incStore = s"$work/inc_store"
+    timed("incfunnel.store_build (95% corpus)") {
+      graft.ops.Dedup.incrementalStoresBuildFrom(spark,
+        allDocs.filter(col("doc_id") < dCut), incStore)(surv =>
+        graft.ops.Dedup.neardupIndexWrite(surv, s"$incStore/neardup"))
+    }
+    val stages = timed("incfunnel.admission (5% batch + 1% re-keys)") {
+      val frames = graft.ops.Dedup.incrementalFunnelFrames(spark,
+        incStore, batchDocs)
+      val admitted = graft.ops.Dedup.manifestAppendReadBack(spark,
+        incStore, frames.last._3, frames.head._3)
+      graft.ops.Dedup.funnelCounts(
+        frames :+ ((7, "manifest_append", admitted))).collect()
+    }
+    stages.foreach(r => println(s"[scale]   admission ${r.mkString(" ")}"))
+    println(s"[scale] inc store files: exact=${pqFiles(s"$incStore/exact")}" +
+      s" neardup=${pqFiles(s"$incStore/neardup")}" +
+      s" manifest=${pqFiles(s"$incStore/manifest")}")
     spark.stop()
   }
 }

@@ -88,4 +88,126 @@ class IncrementalFunnelSpec extends SparkSpec {
     // both halves did real work (guards against a degenerate split)
     assert(first.head._3 > 0 && second.head._3 > 0)
   }
+
+  // ---- O-136/O-137: the unified five-family admission screen -------
+
+  private def batchUnified: DataFrame =
+    batchAll.unionByName(ops.Dedup.mediaBatchDocs(spark))
+
+  /** One q87g admission pass (frames only — no manifest mutation);
+    * when `append` is set, runs s24's steady-state protocol (exact
+    * hashes + the FULL q61d unified store update over the
+    * exact-stage survivors). */
+  private def runUnifiedOnce(dir: String, batch: DataFrame,
+      append: Boolean): Seq[(Int, String, Long)] = {
+    val frames = ops.Dedup.incrementalFunnelFrames(spark, dir, batch,
+      ndScreen = Some(("unified_screen", (s2: DataFrame) =>
+        ops.Dedup.unifiedScreen(spark, dir, sf, s2))))
+    if (append) {
+      val exactSurv = frames(2)._3
+      ops.Dedup.dedupIndexWriteHashes(
+        exactSurv.select(sha2(col("text").cast("binary"), 256)
+          .as("content_hash")), s"$dir/exact", "append")
+      val ids = exactSurv.select(col("doc_id"))
+      ops.UnifiedClusters.unifiedClusterStoreUpdate(spark,
+        s"$dir/unified", exactSurv,
+        ops.Tables.embeddings(spark, sf)
+          .join(ids.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left_semi"),
+        ops.Dedup.mediaBatchImgSigs(spark)
+          .join(ids, Seq("doc_id"), "left_semi"),
+        ops.Dedup.mediaBatchAudSigs(spark)
+          .join(ids, Seq("doc_id"), "left_semi"))
+    }
+    val admitted = ops.Dedup.manifestAppendReadBack(spark, dir,
+      frames.last._3, frames.head._3)
+    counts(ops.Dedup.funnelCounts(
+      frames :+ ((7, "manifest_append", admitted))))
+  }
+
+  test("q87g: every media-only duplicate passes the exact screen " +
+    "and is rejected by the unified screen's perceptual families") {
+    // the query's own memoized pristine store (read-only here)
+    val dir = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("q87g_pristine", sf))(
+      d => ops.Dedup.incrementalUnifiedStoresBuild(spark, sf, d))
+    val frames = ops.Dedup.incrementalFunnelFrames(spark, dir,
+      batchUnified,
+      ndScreen = Some(("unified_screen", (s2: DataFrame) =>
+        ops.Dedup.unifiedScreen(spark, dir, sf, s2))))
+    def ids(i: Int) = frames(i)._3.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val media = (32L to 95L)
+      .map(_ + ops.Dedup.MediaReKeyOffset).toSet
+    val s2Ids = ids(2); val s3Ids = ids(3)
+    // unique single-token texts: no exact/text-family signal at all
+    assert(media.subsetOf(s2Ids),
+      "media rows must pass the exact screen (unique texts)")
+    // every media row's payload hashes identically to a standing
+    // attachment (and group-mates band-match) — the perceptual
+    // families must reject ALL of them; the s23-era MinHash screen
+    // admitted every one (no shingles to band)
+    assert(media.intersect(s3Ids).isEmpty,
+      s"media duplicates admitted: ${media.intersect(s3Ids).toSeq.sorted
+        .take(5)}")
+    // the screen is not degenerate: real text-batch docs survive
+    assert(s3Ids.nonEmpty)
+  }
+
+  test("q87g: an emb_lsh-only duplicate (same embedding, disjoint " +
+    "text) is rejected at admission — the r15 gap") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    def embOf(ids: Long*) = ids.toSeq
+      .map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val img0 = Seq.empty[(Long, Long)].toDF("doc_id", "ahash")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
+    val store = java.nio.file.Files
+      .createTempDirectory("unifunnel_lsh_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(
+      docsOf(1L -> (1 to 40).map(i => s"a$i").mkString(" ")),
+      embOf(1L), img0, aud0, store)
+    // batch doc 5: token set DISJOINT from doc 1 (zero shared
+    // shingles, SimHash far), embedding identical — only the
+    // paraphrase family can see the duplicate
+    val batch = docsOf(5L -> (1 to 40).map(i => s"c$i").mkString(" "))
+    val dropped = ops.UnifiedClusters.unifiedWeldDropIds(spark, store,
+        batch, embOf(5L), img0, aud0)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(5L))
+    // and the weld really is emb_lsh-only: no text-family edge
+    val fams = ops.UnifiedClusters.unifiedMergeNewEdgesPlan(spark,
+        store, batch, embOf(5L), img0, aud0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(fams.toSet === Set((1L, 5L, "emb_lsh")), fams.mkString(","))
+  }
+
+  test("q87g/s24: the unified admission chain composes — two " +
+    "sequential halves with the s24 update protocol sum to the " +
+    "one-shot counts") {
+    val oneDir = java.nio.file.Files
+      .createTempDirectory("unifunnel_one_").toString
+    ops.Dedup.incrementalUnifiedStoresBuild(spark, sf, oneDir)
+    val oneShot = runUnifiedOnce(oneDir, batchUnified, append = false)
+
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("unifunnel_split_").toString
+    ops.Dedup.incrementalUnifiedStoresBuild(spark, sf, splitDir)
+    // ids ascending across halves (media + re-key ids are largest)
+    val loHalf = batchUnified.filter(col("doc_id") < 275)
+    val hiHalf = batchUnified.filter(col("doc_id") >= 275)
+    val first = runUnifiedOnce(splitDir, loHalf, append = true)
+    val second = runUnifiedOnce(splitDir, hiHalf, append = true)
+    val summed = first.zip(second).map { case ((i, n, a), (j, m, b)) =>
+      assert(i === j && n === m); (i, n, a + b)
+    }
+    assert(summed === oneShot,
+      "splitting the batch changed the summed funnel counts — the " +
+        "edge-local weld rule should be split-invariant")
+    assert(first.head._3 > 0 && second.head._3 > 0)
+  }
 }

@@ -175,6 +175,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!merged.contains("BroadcastNestedLoopJoin"), merged)
   }
 
+  test("q87g: the unified admission screen's drop plan prunes every " +
+    "family index and plans no cartesian") {
+    // the q61d pin applied to the ADMISSION path (round 16): the
+    // weld drop-id plan against the q87g store, driven with the
+    // declared batch (text docs + re-keys + media rows), must carry
+    // the four band-family kb partition filters, the kv-pruned
+    // emb_vec side read, hash-join verifies, and no nested loop
+    import org.apache.spark.sql.functions.col
+    val dir = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("q87g_pristine", sf))(
+      d => ops.Dedup.incrementalUnifiedStoresBuild(spark, sf, d))
+    val docs = ops.TextAnalysis.injectPii(ops.Tables.documents(spark, sf))
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + ops.Dedup.ReKeyOffset))
+      .unionByName(ops.Dedup.mediaBatchDocs(spark))
+    val ids = batch.select(col("doc_id"))
+    val dropPlan = ops.UnifiedClusters.unifiedWeldDropIds(spark,
+        s"$dir/unified", batch,
+        ops.Tables.embeddings(spark, sf)
+          .join(ids.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left_semi"),
+        ops.Dedup.mediaBatchImgSigs(spark)
+          .join(ids, Seq("doc_id"), "left_semi"),
+        ops.Dedup.mediaBatchAudSigs(spark)
+          .join(ids, Seq("doc_id"), "left_semi"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(dropPlan.sliding("PartitionFilters: [kb".length)
+      .count(_ == "PartitionFilters: [kb") >= 4, dropPlan)
+    assert(dropPlan.contains("PartitionFilters: [kv"), dropPlan)
+    assert(dropPlan.contains("ShuffledHashJoin"), dropPlan)
+    assert(!dropPlan.contains("CartesianProduct"), dropPlan)
+    assert(!dropPlan.contains("BroadcastNestedLoopJoin"), dropPlan)
+  }
+
   test("q84: the panel ADC side prunes cells and broadcast-joins the LUT") {
     // the whole 8-probe panel shares ONE partition-pruned read of the
     // union of probed cells (cell_id is the store's partition column),
