@@ -2402,6 +2402,46 @@ object Dedup {
       connectedComponents(simhashPairsUnordered(docs)))
   }
 
+  // O-139 (q61e): QUALITY-ELECTED canonical — every canonical rule so
+  // far keeps the MIN-ID cluster member (q61/q61b/q61c/q87f), which
+  // is the right DETERMINISTIC proxy but not what a curation team
+  // actually ships: among near-duplicates you keep the BEST copy
+  // (the fullest page, not the truncated scrape of it). This elects
+  // per cluster the member with the most tokens, tie-broken by min
+  // doc_id — an all-integer election the oracle replays exactly
+  // (token rule = q62's, one definition).
+  //
+  // Scale shape: the cluster table is near-dup-graph-bounded (far
+  // smaller than the corpus); the token counts come from one corpus
+  // scan of (doc_id, text) semi-joined down to cluster members
+  // BEFORE tokenizing (the corpus never tokenizes for this query);
+  // the election window partitions by cluster_id — pair-graph-
+  // bounded, never a corpus-wide exchange.
+  /** One row per SimHash near-dup cluster: the elected canonical
+    * member, its token count, and the cluster size. */
+  def qualityCanonical(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters.select(col("doc_id"), col("cluster_id"),
+      col("cluster_size"))
+    val toks = TextAnalysis.qualityFilter(
+        docs.join(members.select(col("doc_id")), Seq("doc_id"),
+          "left_semi"))
+      .select(col("doc_id"), col("n_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    members.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("cluster_size"), col("n_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def q61eQualityCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    qualityCanonical(docs,
+      connectedComponents(simhashPairsUnordered(docs)))
+  }
+
   // O-93 (q61c): UNIFIED canonical clusters — a real curation pipeline
   // does not cluster one near-dup signal at a time: it unions every
   // pair family (textual shingle Jaccard, SimHash, embedding sign-LSH
@@ -3399,6 +3439,7 @@ object Dedup {
     "q61_dedup_clusters" -> (q61DedupClusters _),
     "q61b_canonical_corpus" -> (q61bCanonicalCorpus _),
     "q61c_unified_canonical" -> (q61cUnifiedCanonical _),
+    "q61e_quality_canonical" -> (q61eQualityCanonical _),
     "q70_source_overlap" -> (q70SourceOverlap _),
     "q71_boilerplate_fraction" -> (q71BoilerplateFraction _),
     "q76_source_uniqueness" -> (q76SourceUniqueness _),
@@ -4393,6 +4434,41 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
          |WHERE doc_id IS NOT NULL
          |  AND doc_id NOT IN (SELECT id FROM noncanon)
          |ORDER BY doc_id""".stripMargin,
+    // q61e: the q61 component stack + q62's token rule + the election
+    // window (longest member, tie -> min id) — all integer, replayed
+    // exactly
+    "q61e_quality_canonical" ->
+      s"""WITH RECURSIVE $simhashCtesSql,
+         |prs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ckey = y.ckey
+         |  WHERE x.doc_id < y.doc_id
+         |    AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+         |siz AS (
+         |  SELECT id AS doc_id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS cluster_size
+         |  FROM comp),
+         |tk AS (
+         |  SELECT doc_id, CAST(len($qtoksSql) AS INT) AS n_tokens
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |ranked AS (
+         |  SELECT s.cluster_id, s.doc_id, s.cluster_size, t.n_tokens,
+         |    row_number() OVER (PARTITION BY s.cluster_id
+         |      ORDER BY t.n_tokens DESC, s.doc_id) AS rn
+         |  FROM siz s JOIN tk t USING (doc_id))
+         |SELECT cluster_id, doc_id AS canonical_id, cluster_size,
+         |  n_tokens
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // q61c: each family's pair query as a derived table with its own
     // scoped WITH (the q84 composition pattern — nested WITH keeps the
     // three families' CTE names from colliding), unioned into one edge

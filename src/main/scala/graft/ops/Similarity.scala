@@ -1335,6 +1335,40 @@ object Similarity {
       .orderBy(col("nprobe"), col("probe_id"))
   }
 
+  // O-138 (q84c): RECALL-FLOOR nprobe selection — the operational
+  // closure of the q84b sweep (round 16; SCALE.md's 10x measurement
+  // showed fixed-nprobe recall degrading 27/80 -> 14/80 -> 5/80 as
+  // the corpus grows, and the stated operational rule was "re-run
+  // the sweep and pick the cheapest nprobe meeting the recall
+  // floor" — this query IS that pick, so the tuning decision is an
+  // oracle-checked artifact instead of a human reading a curve).
+  // Rule: the SMALLEST nprobe whose panel sum_hits meets the floor
+  // (24 of 80 = 30% recall); if no tier meets it, the largest swept
+  // tier is chosen — the honest fallback, surfacing as a `chosen`
+  // row whose sum_hits is visibly below the floor (the signal to
+  // retrain cells, q91, rather than probe wider).
+  /** One row per swept nprobe tier with the panel's sum/min hits and
+    * the chosen flag. All-integer (hit counts), so the oracle
+    * replays bit-for-bit. Scale shape: q84b's one pruned candidate
+    * scan + a 4-row aggregate — the decision adds nothing
+    * corpus-sized. */
+  def q84cNprobeFloor(s: SparkSession, d: String): DataFrame = {
+    val agg = Dedup.materializeBounded(q84bNprobeSweep(s, d)
+      .select(col("nprobe"), col("sum_hits"), col("min_hits"))
+      .distinct()) // 4 rows: the sweep's per-tier window values
+    val chosen = agg.agg(
+      coalesce(min(when(col("sum_hits") >= RecallFloorHits,
+          col("nprobe"))),
+        max(col("nprobe"))).as("chosen_np"))
+    agg.crossJoin(broadcast(chosen))
+      .select(col("nprobe"), col("sum_hits"), col("min_hits"),
+        (col("nprobe") === col("chosen_np")).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** 30% of the 8-probe x k=10 panel. */
+  private val RecallFloorHits = 24L
+
   /** Per-probe hit counts of one approximate method against the exact
     * panel — left-joined FROM the panel so a zero-hit probe still
     * reports 0 (shared by q84's audit and q91's before/after drift
@@ -1422,6 +1456,7 @@ object Similarity {
     "q81_semantic_dedup" -> (q81SemanticDedup _),
     "q84_ann_recall" -> (q84AnnRecall _),
     "q84b_nprobe_sweep" -> (q84bNprobeSweep _),
+    "q84c_nprobe_floor" -> (q84cNprobeFloor _),
     "q91_ann_retrain" -> (q91AnnRetrain _),
     "q98_knn_label_prop" -> (q98KnnLabelProp _),
     "q99_adc_rerank" -> (q99AdcRerank _),
@@ -1552,6 +1587,23 @@ object Similarity {
   // q37c's assignment/probe CTEs + q73's code CTEs + the ADC lookup
   // table: est_dot_e12 sums lut(m, code) over the probed cells' codes
   // — the oracle replays the approximation itself, not the exact dot
+  /** The q84b sweep's per-(nprobe, probe_id) hit terms — ONE
+    * generator shared by the q84b and q84c oracles (q84c is the
+    * sweep's aggregate + the floor pick, so its evidence base must
+    * be literally the same SQL). */
+  private lazy val q84bPerSql: String =
+    (1 to 4).flatMap { np =>
+      ProbePanel.map { pid =>
+        s"""SELECT CAST($np AS INT) AS nprobe,
+           |    CAST($pid AS BIGINT) AS probe_id,
+           |    CAST(count(*) AS BIGINT) AS hits
+           |  FROM (SELECT vec_id
+           |        FROM (${q74OracleSqlTrained(pid, "q", 10, np)})) a
+           |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
+           |    USING (vec_id)""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL\n", "")
+
   private def q74OracleSqlFor(pid: Long): String =
     q74OracleSqlTrained(pid, "q")
 
@@ -1892,26 +1944,30 @@ object Similarity {
     // the same per-probe replay terms as q84's adc tier, re-bound per
     // nprobe (the probe CTE's LIMIT parameterized) — each tier's
     // top-10 against the same exact panel
-    "q84b_nprobe_sweep" -> {
-      val terms = (1 to 4).flatMap { np =>
-        ProbePanel.map { pid =>
-          s"""SELECT CAST($np AS INT) AS nprobe,
-             |    CAST($pid AS BIGINT) AS probe_id,
-             |    CAST(count(*) AS BIGINT) AS hits
-             |  FROM (SELECT vec_id
-             |        FROM (${q74OracleSqlTrained(pid, "q", 10, np)})) a
-             |  JOIN (SELECT vec_id FROM (${q37OracleSqlFor(pid)})) e
-             |    USING (vec_id)""".stripMargin
-        }
-      }
+    "q84b_nprobe_sweep" ->
       s"""WITH per AS (
-         |${terms.mkString("", "\nUNION ALL\n", "")})
+         |$q84bPerSql)
          |SELECT nprobe, probe_id, hits, CAST(10 AS BIGINT) AS k,
          |  min(hits) OVER (PARTITION BY nprobe) AS min_hits,
          |  CAST(sum(hits) OVER (PARTITION BY nprobe) AS BIGINT)
          |    AS sum_hits
-         |FROM per ORDER BY nprobe, probe_id""".stripMargin
-    },
+         |FROM per ORDER BY nprobe, probe_id""".stripMargin,
+    // q84c: the sweep's per-tier aggregate + the floor rule (smallest
+    // tier with sum_hits >= 24, else the largest tier)
+    "q84c_nprobe_floor" ->
+      s"""WITH per AS (
+         |$q84bPerSql),
+         |agg AS (
+         |  SELECT nprobe, CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |    CAST(min(hits) AS BIGINT) AS min_hits
+         |  FROM per GROUP BY nprobe),
+         |pick AS (
+         |  SELECT coalesce(
+         |    (SELECT min(nprobe) FROM agg WHERE sum_hits >= 24),
+         |    (SELECT max(nprobe) FROM agg)) AS chosen_np)
+         |SELECT nprobe, sum_hits, min_hits,
+         |  nprobe = chosen_np AS chosen
+         |FROM agg, pick ORDER BY nprobe""".stripMargin,
     // before = the frozen-model appended store (its closed form: a
     // from-scratch layout whose model trained on the base corpus
     // only); after = the retrained full-corpus layout (= q74's).

@@ -548,6 +548,51 @@ class TierCSpec extends SparkSpec {
       "the stage must drop something at this fixture")
   }
 
+  test("q61e: the elected canonical is a cluster member holding the " +
+    "cluster's token maximum, tie-broken by min id") {
+    val docs = ops.Tables.documents(spark, sf)
+    val clusters = ops.Dedup.q61DedupClusters(spark, sf)
+    val elected = ops.Dedup.q61eQualityCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(elected.nonEmpty)
+    val byCluster = clusters.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .map { case (cid, rs) => cid -> rs.map(_._1).toSet }
+    val toks = ops.TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // one elected row per cluster, no cluster missing
+    assert(elected.map(_._1).toSet === byCluster.keySet)
+    elected.foreach { case (cid, canon, size, nt) =>
+      val members = byCluster(cid)
+      assert(members.contains(canon), s"$canon not in cluster $cid")
+      assert(size === members.size)
+      assert(nt === toks(canon))
+      // no member strictly longer; equal-length members have larger ids
+      members.foreach { m =>
+        assert(toks(m) < nt || (toks(m) == nt && m >= canon),
+          s"member $m (${toks(m)} toks) beats elected $canon ($nt)")
+      }
+    }
+    // the election differs from the min-id proxy somewhere at this
+    // fixture — otherwise the operator adds nothing over q61b
+    assert(elected.exists { case (cid, canon, _, _) => canon != cid },
+      "every elected canonical was the min-id member")
+  }
+
+  test("q84c: exactly one tier is chosen — the smallest meeting the " +
+    "floor, or the largest as fallback") {
+    val rows = ops.Similarity.q84cNprobeFloor(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    val chosen = rows.filter(_._4)
+    assert(chosen.length === 1)
+    val eligible = rows.filter(_._2 >= 24L)
+    val expected =
+      if (eligible.nonEmpty) eligible.map(_._1).min else 4
+    assert(chosen.head._1 === expected)
+  }
+
   test("q101b: the budget ratio survives Long-overflow-scale " +
     "numerators (BigInt intermediate, round-13 ADVICE)") {
     // total(~1e5 toks) * 1e14 overflows a Long multiply; the ratio
