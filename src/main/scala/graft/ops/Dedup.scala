@@ -3560,9 +3560,10 @@ object Dedup {
     * full fixture tables in both bindings (q61d's batch split
     * partitions them without rekeys, so corpus ∪ batch = the full
     * table). */
-  private[graft] def unifiedClustersSql(docsRel: String): String =
+  private[graft] def unifiedClustersSql(docsRel: String,
+      excludeRel: Option[String] = None): String =
     s"""WITH RECURSIVE
-       |${unifiedFamiliesCcSql(docsRel)},
+       |${unifiedFamiliesCcSql(docsRel, excludeRel = excludeRel)},
        |fc AS (
        |  SELECT c.cluster_id,
        |    CAST(sum(CASE WHEN family = 'shingle' THEN 1 ELSE 0 END)
@@ -3599,14 +3600,28 @@ object Dedup {
     * projection) without a recursive CC, and so the perceptual pair
     * relations can be overridden with the media-re-keyed variants.
     * Defaults keep the q61c/q61d/q61e/q87f oracles unchanged. */
+  /** @param excludeRel the q61f retraction twin of `restrictRel`:
+    *   pairs with EITHER endpoint in that relation's doc_id set are
+    *   dropped from the doc-independent families (a NOT IN over a
+    *   bounded non-null id set — orphan attachment/vector ids
+    *   outside the deleted set keep participating, matching the
+    *   store's semantics). */
   private def unifiedFamiliesPairsSql(docsRel: String,
       restrictRel: Option[String] = None,
       imgPairsRel: String = graft.functions.Multimodal.ahashPairsSql,
-      audPairsRel: String = graft.functions.Multimodal.ehashPairsSql)
-      : String = {
-    def rw(a: String, b: String) = restrictRel.fold("")(rel =>
-      s"\n       |  WHERE $a IN (SELECT doc_id FROM $rel)" +
-        s"\n       |    AND $b IN (SELECT doc_id FROM $rel)")
+      audPairsRel: String = graft.functions.Multimodal.ehashPairsSql,
+      excludeRel: Option[String] = None): String = {
+    def rw(a: String, b: String) = {
+      val conds =
+        restrictRel.map(rel =>
+          s"$a IN (SELECT doc_id FROM $rel)" +
+            s"\n       |    AND $b IN (SELECT doc_id FROM $rel)").toSeq ++
+        excludeRel.map(rel =>
+          s"$a NOT IN (SELECT doc_id FROM $rel)" +
+            s"\n       |    AND $b NOT IN (SELECT doc_id FROM $rel)")
+      if (conds.isEmpty) ""
+      else "\n       |  WHERE " + conds.mkString("\n       |    AND ")
+    }
     s"""shp AS (SELECT doc_a, doc_b FROM (
        |  WITH ${shingleSqlFor(
              s"(SELECT doc_id, text FROM $docsRel" +
@@ -3650,8 +3665,10 @@ object Dedup {
     * q61c/q61d cluster-table oracles and q61e's canonical-corpus
     * oracle (which needs the component labels, not the rollup). */
   private def unifiedFamiliesCcSql(docsRel: String,
-      restrictRel: Option[String] = None): String = {
-    s"""${unifiedFamiliesPairsSql(docsRel, restrictRel)},
+      restrictRel: Option[String] = None,
+      excludeRel: Option[String] = None): String = {
+    s"""${unifiedFamiliesPairsSql(docsRel, restrictRel,
+         excludeRel = excludeRel)},
        |uprs AS (SELECT DISTINCT doc_a, doc_b FROM fams),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM uprs

@@ -746,6 +746,238 @@ object UnifiedClusters {
     Dedup.compactUnpartitioned(s, s"$store/edges", maxFilesPerBucket)
   }
 
+  // O-140 (q61f): RETRACTION — the store-lifecycle gap every
+  // right-to-be-forgotten / takedown request hits at 100 TB. The
+  // family so far covers build → merge → update → compact; nothing
+  // could DELETE. This removes a document set from all five family
+  // indices, the edge table, and the label table, re-resolving the
+  // components it touched, without rebuilding anything corpus-sized.
+  /** Retract `delDocs` (with their embeddings and perceptual
+    * signatures — a deletion request knows what it deletes, and the
+    * signatures are deterministic, so the recomputed index rows ARE
+    * the stored rows and name exactly the buckets holding them).
+    *
+    * Cost shape: per family, touched buckets = the deleted rows' own
+    * bucket set (<= 64), each rewritten once (survivor rows kept via
+    * anti-join; a bucket left EMPTY is deleted explicitly — dynamic
+    * partition overwrite alone cannot remove a partition it writes
+    * no rows for); the edge-table rewrite is pair-graph-bounded (the
+    * wholesale rewrite compaction already performs); the relabel
+    * reads the deleted ids' label rows kb-pruned, pulls their
+    * components' members with one label-table scan over a bounded
+    * cluster-id set, re-runs CC over those components' REMAINING
+    * edges only, and rewrites only the dirty label buckets. Corpus
+    * text, pixels, and float vectors are never touched.
+    *
+    * Retract-equals-rebuild: indices because signature rows are
+    * per-doc; edges because the pair rules are pairwise (a
+    * survivor-survivor edge never depended on a deleted doc); labels
+    * because CC is recomputed exactly over every touched component's
+    * surviving edges — including the SPLIT case where a bridge doc
+    * leaves and its component falls apart (UnifiedClustersSpec pins
+    * it). Replay-idempotent: every removal is an anti-join, so
+    * re-retracting is a no-op.
+    *
+    * Crash posture: the label staging dir is the in-progress marker
+    * (written FIRST when any label bucket is dirty — read-back
+    * refuses while it exists); index rewrites land before the edge
+    * rewrite and the label swap, so a torn retraction can leave a
+    * doc edge-visible but not band-discoverable — replaying the same
+    * retraction heals every case. */
+  def unifiedClusterStoreRetract(s: SparkSession, store: String,
+      delDocs: DataFrame, delEmb: DataFrame,
+      delImgSigs: DataFrame, delAudSigs: DataFrame): Unit = {
+    requireUnifiedStore(s, store)
+    val Seq(delSh, delSim, delLsh, delImg, delAud, delVec) =
+      timed("retract.batch_rows")(
+        batchRowsOf(delDocs, delEmb, delImgSigs, delAudSigs))
+    val delIds = materializeBounded(
+      delDocs.select(col("doc_id"))
+        .unionByName(delEmb.select(col("vec_id").as("doc_id")))
+        .unionByName(delImgSigs.select(col("doc_id")))
+        .unionByName(delAudSigs.select(col("doc_id")))
+        .distinct())
+    val keys = touchedKeys(delSh, delSim, delLsh, delImg, delAud)
+    val kvKeys = delVec.select(col("kv")).distinct()
+      .collect().map(_.getInt(0)).toSeq // <= 64
+
+    // relabel parts read the PRE-retraction store, computed up front
+    val labels = Dedup.clusterLabelsTable(s, store)
+    val delKb = delIds
+      .select(Dedup.clusterBucket(col("doc_id")).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val touchedClusters = materializeBounded(
+      (if (delKb.isEmpty) labels.limit(0)
+       else labels.filter(col("kb").isin(delKb: _*)))
+        .join(delIds, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val touchedMembers = materializeBounded(
+      labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"), col("kb")))
+    // an edge's endpoints share a component, so doc_a alone
+    // attributes the edge to a touched component
+    val survEdges = materializeBounded(edgesTable(s, store)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(touchedMembers.select(col("doc_id").as("doc_a")),
+        Seq("doc_a"), "left_semi")
+      .join(delIds.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_anti")
+      .join(delIds.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_anti"))
+    val newLabels = timed("retract.relabel")(materializeBounded(
+      Dedup.connectedComponents(survEdges)
+        .withColumn("kb", Dedup.clusterBucket(col("doc_id")))))
+    val dirty = touchedMembers.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+
+    // marker first: stage the dirty buckets' full post-retraction
+    // content (untouched rows in those buckets + the re-resolved
+    // touched survivors)
+    val tmp = s"$store/clusters_staging"
+    if (dirty.nonEmpty) timed("retract.label_stage")(
+      labels.filter(col("kb").isin(dirty: _*))
+        .join(touchedMembers.select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .unionByName(newLabels.select(col("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("is_canonical"), col("kb")))
+        .repartition(dirty.length, col("kb"))
+        .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp))
+
+    // per-family touched-bucket rewrites (concurrent — mutually
+    // independent, the update's index_appends posture)
+    def rewriteFam(path: String, table: DataFrame, bucketCol: String,
+        famKeys: Seq[Int], idCol: String, projCols: Seq[String],
+        ordCols: Seq[String]): Unit =
+      if (famKeys.nonEmpty) {
+        val rewritten = materializeBounded(
+          table.filter(col(bucketCol).isin(famKeys: _*))
+            .join(delIds.withColumnRenamed("doc_id", idCol),
+              Seq(idCol), "left_anti")
+            .select((projCols :+ bucketCol).map(col): _*))
+        val survived = rewritten.select(col(bucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (survived.nonEmpty) {
+          rewritten
+            .repartition(survived.size, col(bucketCol))
+            .sortWithinPartitions((bucketCol +: ordCols).map(col): _*)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucketCol).parquet(path)
+        }
+        // an EMPTIED bucket gets no partition in the rewrite — remove
+        // its directory explicitly or its ghost rows survive
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        famKeys.filterNot(survived).foreach { k =>
+          try fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k"),
+            true)
+          catch { case _: java.io.IOException => () }
+        }
+        s.catalog.refreshByPath(path)
+      }
+    timed("retract.index_rewrites")(inParallel(Seq(
+      () => rewriteFam(s"$store/shingle", shingleIndexTable(s, store),
+        "kb", keys("shingle"), "doc_id", Seq("doc_id", "c", "h"),
+        Seq("h")),
+      () => rewriteFam(s"$store/simhash",
+        sigIndexTable(s, store, "simhash", "simhash"), "kb",
+        keys("simhash"), "doc_id",
+        Seq("doc_id", "simhash", "band", "ckey"), Seq("band", "ckey")),
+      () => rewriteFam(s"$store/emb_lsh", lshIndexTable(s, store), "kb",
+        keys("emb_lsh"), "vec_id", Seq("vec_id", "band", "bkey"),
+        Seq("band", "bkey")),
+      () => rewriteFam(s"$store/emb_vec", vecTable(s, store), "kv",
+        kvKeys, "vec_id", Seq("vec_id", "qe"), Seq("vec_id")),
+      () => rewriteFam(s"$store/img_ahash",
+        sigIndexTable(s, store, "img_ahash", "ahash"), "kb",
+        keys("img_ahash"), "doc_id",
+        Seq("doc_id", "ahash", "band", "ckey"), Seq("band", "ckey")),
+      () => rewriteFam(s"$store/ehash",
+        sigIndexTable(s, store, "ehash", "ehash"), "kb",
+        keys("ehash"), "doc_id",
+        Seq("doc_id", "ehash", "band", "ckey"), Seq("band", "ckey")))))
+
+    // edge table: unpartitioned rename-swap rewrite (edge-bounded —
+    // the same wholesale pass compaction performs)
+    timed("retract.edges_rewrite") {
+      val edgesPath = s"$store/edges"
+      val cleaned = edgesTable(s, store)
+        .join(delIds.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_anti")
+        .join(delIds.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_anti")
+      val fs = new org.apache.hadoop.fs.Path(edgesPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmpE = new org.apache.hadoop.fs.Path(s"${edgesPath}_retracting")
+      cleaned.coalesce(4).write.mode("overwrite").parquet(tmpE.toString)
+      val live = new org.apache.hadoop.fs.Path(edgesPath)
+      val old = new org.apache.hadoop.fs.Path(s"${edgesPath}_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(live, old),
+        s"retraction: could not move $live aside")
+      require(fs.rename(tmpE, live),
+        s"retraction: could not move $tmpE into place — previous " +
+          s"edge table preserved at $old")
+      try fs.delete(old, true)
+      catch { case _: java.io.IOException => () }
+    }
+
+    // label swap + marker delete (the update protocol's tail)
+    if (dirty.nonEmpty) timed("retract.label_swap") {
+      val staged = s.read.parquet(tmp)
+      val survived = staged.select(col("kb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (survived.nonEmpty)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("kb").parquet(s"$store/clusters")
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      dirty.filterNot(survived).foreach { k =>
+        try fs.delete(
+          new org.apache.hadoop.fs.Path(s"$store/clusters/kb=$k"), true)
+        catch { case _: java.io.IOException => () }
+      }
+      s.catalog.refreshByPath(store)
+    }
+    val fsM = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fsM.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Declared O-140 binding: the full q61c store (every document,
+    * embedding, and attachment signature), then RETRACT ids 0-39
+    * across every surface — a slice that crosses all five families
+    * and straddles image group 13 (ids 39,40,41) and audio group 13
+    * (39,40,41), so at least one component loses members without
+    * dissolving (the split/shrink relabel runs in the declared
+    * binding, not only in the spec). Pristine store built once per
+    * (JVM, data dir); every invocation retracts on a hard-linked
+    * clone. Oracle: the one-shot q61c SQL over the surviving
+    * fixture slice. */
+  def q61fUnifiedRetraction(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val imgSigs = materializeBounded(Multimodal.imageSignatures(
+      Multimodal.syntheticImages(s)))
+    val audSigs = materializeBounded(Multimodal.audioSignatures(
+      Multimodal.syntheticWavs(s)))
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_uni_retract_q61f", d)) { dir =>
+      unifiedClusterStoreWrite(docs, emb, imgSigs, audSigs, dir)
+    }
+    val store = graft.util.Ephemeral.cloneDir(pristine, "q61f_store")
+    unifiedClusterStoreRetract(s, store,
+      docs.filter(col("doc_id") < 40),
+      emb.filter(col("vec_id") < 40),
+      imgSigs.filter(col("doc_id") < 40),
+      audSigs.filter(col("doc_id") < 40))
+    unifiedClustersFromStore(s, store)
+  }
+
   /** Declared O-127 binding (the q89 pattern lifted to the unified
     * store): corpus = docs 0-249 with their embeddings (vec < 250),
     * the attachment images below the q45d mid-group split
@@ -788,7 +1020,8 @@ object UnifiedClusters {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q61d_unified_cluster_merge" -> (q61dUnifiedClusterMerge _))
+    "q61d_unified_cluster_merge" -> (q61dUnifiedClusterMerge _),
+    "q61f_unified_retraction" -> (q61fUnifiedRetraction _))
 
   val oracles: Map[String, String] = Map(
     "q61d_unified_cluster_merge" -> Dedup.unifiedClustersSql(
@@ -796,5 +1029,15 @@ object UnifiedClusters {
          |   UNION ALL
          |   SELECT doc_id + ${Dedup.ReKeyOffset} AS doc_id, lang,
          |     source, n_chars, text
-         |   FROM documents WHERE doc_id < 50)""".stripMargin))
+         |   FROM documents WHERE doc_id < 50)""".stripMargin),
+    // q61f: the one-shot q61c recompute over the SURVIVING fixture
+    // slice — text families scoped by the docs relation, the three
+    // doc-independent families excluded over the deleted id range
+    // (retract-equals-rebuild is the declared contract)
+    "q61f_unified_retraction" -> Dedup.unifiedClustersSql(
+      "(SELECT doc_id, lang, source, n_chars, text FROM documents" +
+        " WHERE doc_id >= 40)",
+      excludeRel = Some(
+        "(SELECT CAST(i AS BIGINT) AS doc_id" +
+          " FROM generate_series(0, 39) t(i))")))
 }

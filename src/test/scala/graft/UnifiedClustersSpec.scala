@@ -355,6 +355,86 @@ class UnifiedClustersSpec extends SparkSpec {
     assert(got === oneShot())
   }
 
+  // ---- O-140 (q61f): retraction --------------------------------------
+
+  test("q61f: retracting a bridge doc SPLITS its component — the " +
+    "stranded survivors leave the label table entirely") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // three text-disjoint docs; doc 2 bridges via TWO image sig rows:
+    // hash A shared with doc 1, hash B (64 bits from A — no band can
+    // collide) shared with doc 3
+    val docs = docsOf(
+      1L -> (1 to 40).map(i => s"a$i").mkString(" "),
+      2L -> (1 to 40).map(i => s"b$i").mkString(" "),
+      3L -> (1 to 40).map(i => s"c$i").mkString(" "))
+    val emb0 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val aud0 = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
+    val img = Seq((1L, 0L), (2L, 0L), (2L, -1L), (3L, -1L))
+      .toDF("doc_id", "ahash")
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_retract_bridge_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(docs, emb0, img, aud0,
+      store)
+    val before = ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before === Seq((1L, 3L)), s"expected one welded triple: $before")
+    ops.UnifiedClusters.unifiedClusterStoreRetract(spark, store,
+      docs.filter(col("doc_id") === 2L), emb0,
+      img.filter(col("doc_id") === 2L), aud0)
+    // docs 1 and 3 have no remaining edges: the component dissolves,
+    // exactly as a rebuild over {1, 3} would produce
+    assert(ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+      .count() === 0L)
+    // ghost-row check: the emptied/rewritten index buckets hold no
+    // rows for doc 2, and the edge table no longer mentions it
+    assert(spark.read.schema("doc_id BIGINT, ahash BIGINT, band INT, " +
+        "ckey BIGINT, kb INT").parquet(s"$store/img_ahash")
+      .filter(col("doc_id") === 2L).count() === 0L)
+    assert(ops.UnifiedClusters.edgesTable(spark, store)
+      .filter(col("doc_a") === 2L || col("doc_b") === 2L)
+      .count() === 0L)
+  }
+
+  test("q61f: retract-equals-rebuild over the fixture slice, and the " +
+    "retraction replays idempotently") {
+    val docs = docsAt(sf)
+    val emb = embAt(sf)
+    val store = java.nio.file.Files
+      .createTempDirectory("uni_retract_fix_").toString
+    ops.UnifiedClusters.unifiedClusterStoreWrite(docs, emb, imgSigs,
+      audSigs, store)
+    def retractOnce(): Unit =
+      ops.UnifiedClusters.unifiedClusterStoreRetract(spark, store,
+        docs.filter(col("doc_id") < 40),
+        emb.filter(col("vec_id") < 40),
+        imgSigs.filter(col("doc_id") < 40),
+        audSigs.filter(col("doc_id") < 40))
+    retractOnce()
+    val got = rows(
+      ops.UnifiedClusters.unifiedClustersFromStore(spark, store))
+    // rebuild over the SURVIVING inputs: pair restriction = both
+    // endpoints outside the deleted range (banding is pair-local)
+    def keep(p: org.apache.spark.sql.DataFrame) =
+      p.filter(col("doc_a") >= 40 && col("doc_b") >= 40)
+    val want = rows(ops.Dedup.unifiedDedupClusters(
+      docs.filter(col("doc_id") >= 40),
+      emb.filter(col("vec_id") >= 40),
+      Some(keep(functions.Multimodal.imageAhashPairs(spark))),
+      Some(keep(functions.Multimodal.audioEhashPairs(spark)))))
+    assert(got === want)
+    // the slice genuinely touched standing components (otherwise this
+    // proves nothing): some cluster table rows changed vs pre-retract
+    assert(got.nonEmpty)
+    // replay: a second identical retraction is a no-op
+    retractOnce()
+    assert(rows(ops.UnifiedClusters
+      .unifiedClustersFromStore(spark, store)) === got)
+  }
+
   test("torn store read-back refuses: unifiedClustersFromStore has no " +
     "relabel to heal with, so it must not serve mixed-generation labels") {
     val (cd, _, ce, _, ci, _, ca, _) = fixture()
