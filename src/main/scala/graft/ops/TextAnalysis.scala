@@ -714,7 +714,8 @@ object TextAnalysis {
     * train pass — bucketed by token hash, one task and file per
     * bucket (the dedupIndexWrite small-files reasoning). */
   def tfStoreWrite(docs: DataFrame, store: String,
-      mode: String = "overwrite", epoch: Long = 0L): Unit = {
+      mode: String = "overwrite", epoch: Long = 0L,
+      sign: Long = 1L): Unit = {
     // a fresh store build resets the replay ledger: the hwm sidecar
     // must not outlive the epoch rows it summarizes (Bench/q92 rebuild
     // the same fixedDir every invocation)
@@ -725,7 +726,7 @@ object TextAnalysis {
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
     tokenPositions(docs)
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tok")).agg((count(lit(1)) * lit(sign)).as("c"))
       .withColumn("epoch", lit(epoch))
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(64)).cast("int"))
       .repartition(64, col("bucket"))
@@ -776,12 +777,41 @@ object TextAnalysis {
     if (epoch <= tfStoreHwm(s, store)) ()
     else tfStoreWrite(newDocs, store, mode = "append", epoch = epoch)
 
+  // O-141 (q92b): MODEL RETRACTION — the additive store's payoff:
+  // deleting documents from the standing model IS a merge of NEGATED
+  // deltas. No store data is read, nothing corpus-sized moves — the
+  // deleted docs' own groupBy(token) counts append with c -> -c, and
+  // sum-of-deltas associativity does the subtraction at read time
+  // exactly where it does the addition.
+  /** Retract previously-merged documents from the standing tf model:
+    * O(deleted docs' tokens). Same replay ledger as [[tfStoreMerge]]
+    * (a re-delivered retraction re-appends IDENTICAL (epoch, tok,
+    * -c) rows — the model fold's DISTINCT reclaims them; an epoch at
+    * or below the compaction high-water mark refuses, its first
+    * delivery already folded). Caller contract: retract only
+    * documents whose counts were previously merged — retracting
+    * never-merged docs drives counts negative, the same corruption
+    * class as double-merging a batch outside the ledger. Compaction's
+    * SUM fold absorbs the negatives; a token whose total reaches
+    * zero leaves [[tfModel]] entirely (the dictionary a from-scratch
+    * retrain without those docs produces). */
+  def tfStoreRetract(s: SparkSession, store: String, delDocs: DataFrame,
+      epoch: Long): Unit =
+    if (epoch <= tfStoreHwm(s, store)) ()
+    else tfStoreWrite(delDocs, store, mode = "append", epoch = epoch,
+      sign = -1L)
+
   /** The standing model, dictionary-sized: DISTINCT delta rows (the
-    * replay reclaim), then sum per token. */
+    * replay reclaim), then sum per token. Tokens whose deltas sum to
+    * ZERO drop out (round 16: a retraction can null a token; the
+    * retrained-from-scratch dictionary has no such row — inert for
+    * the scorer either way, since scoreAgainstModel coalesces absent
+    * tokens to 0, but the MODEL itself should equal the retrain). */
   def tfModel(s: SparkSession, store: String): DataFrame =
     s.read.parquet(store)
       .select(col("epoch"), col("tok"), col("c")).distinct()
       .groupBy(col("tok")).agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0L)
 
   /** Compact oversized buckets: the shared partition-pruned
     * enumerate-stage-swap pass (Dedup.compactBuckets), with a SUM
@@ -844,6 +874,24 @@ object TextAnalysis {
     corpusFreqScoreFromStore(docs, store)
   }
 
+  /** Declared O-141 binding (q92's geometry, inverted): build the
+    * standing model over the FULL corpus, RETRACT every fifth doc
+    * (epoch 1), compact — the SUM fold absorbs the negative deltas
+    * in the declared path — then score the SURVIVING corpus against
+    * the standing model. Oracle: q72's SQL restated over the
+    * surviving slice — a model that absorbed a retraction must score
+    * exactly like a model retrained without the retracted docs
+    * (retract-equals-retrain, proven through the model's consumer). */
+  def q92bTfRetractScore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.util.Ephemeral.fixedDir("graft_tf_store_q92b")
+    val docs = documents(s, d)
+    val delPred = pmod(col("doc_id"), lit(5)) === 2
+    tfStoreWrite(docs, store)
+    tfStoreRetract(s, store, docs.filter(delPred), epoch = 1L)
+    tfStoreCompact(s, store, maxFilesPerBucket = 1)
+    corpusFreqScoreFromStore(docs.filter(!delPred), store)
+  }
+
   /** q69: piiScrub over a deterministically PII-injected view of the
     * documents table — the fixture corpus carries no PII (synthetic
     * word salad), so the declared query plants emails on doc_id % 3
@@ -885,6 +933,7 @@ object TextAnalysis {
     "q101_affinity_select" -> (q101AffinitySelect _),
     "q101b_affinity_select_global" -> (q101bAffinitySelectGlobal _),
     "q92_tf_store_score" -> (q92TfStoreScore _),
+    "q92b_tf_retract_score" -> (q92bTfRetractScore _),
     "q93_quality_calibration" -> (q93QualityCalibration _),
   )
 
@@ -914,9 +963,14 @@ object TextAnalysis {
   // merge-equals-full-recompute proven THROUGH the model's consumer —
   // scoring against the incrementally built (and folded) store must
   // equal scoring against the from-scratch retrain.
-  private val corpusFreqSql =
+  private val corpusFreqSql = corpusFreqSqlOver("documents")
+
+  /** q72's oracle over an arbitrary docs relation (round 16: the
+    * q92b retraction oracle is the SAME scoring SQL over the
+    * surviving slice — model side and scored side both). */
+  private def corpusFreqSqlOver(docsRel: String): String =
     s"""WITH tk AS (
-         |  SELECT doc_id, $toksSql AS w FROM documents
+         |  SELECT doc_id, $toksSql AS w FROM $docsRel
          |  WHERE doc_id IS NOT NULL),
          |pos AS (SELECT doc_id, t.tok FROM tk, UNNEST(w) AS t(tok)),
          |tf AS (
@@ -989,6 +1043,10 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q72_corpus_freq_score" -> corpusFreqSql,
     "q92_tf_store_score" -> corpusFreqSql,
+    // q92b: the same scoring SQL over the surviving slice — both the
+    // model side and the scored side (retract-equals-retrain)
+    "q92b_tf_retract_score" -> corpusFreqSqlOver(
+      "(SELECT * FROM documents WHERE doc_id % 5 != 2)"),
     // one token pass builds both models (conditional counts); masses
     // are exact integers, affinity mirrors the Spark op order exactly:
     // (double(t_mass+1) * b_total) / (double(b_mass+1) * t_total)

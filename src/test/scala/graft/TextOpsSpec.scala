@@ -188,6 +188,47 @@ class TextOpsSpec extends SparkSpec {
     assert(TextAnalysis.tfStoreHwm(spark, store) === Long.MinValue)
   }
 
+  test("tf store retraction: negated deltas equal a retrain without " +
+      "the docs; nulled tokens leave the dictionary; replay refused " +
+      "behind the hwm") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("tf_r_").toString
+    val keep = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val del = Seq((3L, "a c c d")).toDF("doc_id", "text")
+    def model(): Map[String, Long] =
+      TextAnalysis.tfModel(spark, store).as[(String, Long)]
+        .collect().toMap
+    TextAnalysis.tfStoreWrite(keep.unionByName(del), store)
+    // retract doc 3: counts return to the keep-only retrain, and 'd'
+    // (only ever carried by doc 3) leaves the dictionary entirely —
+    // no zero-count residue
+    TextAnalysis.tfStoreRetract(spark, store, del, epoch = 1L)
+    val retrained = Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+    assert(model() === retrained)
+    // at-least-once replay of the SAME retraction epoch: identical
+    // negative rows, reclaimed by the model fold's DISTINCT
+    TextAnalysis.tfStoreRetract(spark, store, del, epoch = 1L)
+    assert(model() === retrained)
+    // the sum fold absorbs the negatives; model unchanged after
+    val folded = TextAnalysis.tfStoreCompact(spark, store,
+      maxFilesPerBucket = 1)
+    assert(folded.nonEmpty)
+    assert(model() === retrained)
+    // a retraction epoch at or below the fold's hwm refuses — its
+    // first delivery is already folded in (the tfStoreMerge rule)
+    TextAnalysis.tfStoreRetract(spark, store, del, epoch = 1L)
+    assert(model() === retrained)
+    // scoring through the consumer equals scoring against a model
+    // built from scratch on the survivors
+    val fresh = java.nio.file.Files.createTempDirectory("tf_f_").toString
+    TextAnalysis.tfStoreWrite(keep, fresh)
+    val a = TextAnalysis.corpusFreqScoreFromStore(keep, store)
+      .collect().map(_.toString).sorted
+    val b = TextAnalysis.corpusFreqScoreFromStore(keep, fresh)
+      .collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
   test("pii scrub redacts emails and phones, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
