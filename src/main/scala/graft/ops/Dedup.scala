@@ -3081,6 +3081,174 @@ object Dedup {
     manifestWrite(exactSurv, s"$dir/manifest")
   }
 
+  // O-142 (q87h): retraction for the INCREMENTAL-FUNNEL store family
+  // (the O-140/O-141 lifecycle move applied to the admission stores) —
+  // and the one retraction with a genuinely non-subtractive case:
+  // PROMOTION. The exact index holds content hashes, not doc ids, so
+  // a deleted doc's hash leaves only when NO surviving doc carries
+  // it; and when the deleted doc was the exact group's MANIFESTED
+  // SURVIVOR, survivorship passes to the group's min-id surviving
+  // member — which must then ENTER the band index and the manifest
+  // (a rebuild over the survivors would have indexed it; a purely
+  // subtractive delete would silently un-near-dup every future
+  // arrival that matches the promoted doc).
+  /** Retract `delIds0` from the standing funnel stores at `stores`
+    * (exact hash index, near-dup band index, eval-suite shingle set,
+    * generation manifest). `corpusScrubbed` is the SAME scrubbed
+    * corpus view the build used (the build's caller contract) — the
+    * retraction pays ONE 40 B/doc hash-projection pass over it (the
+    * q95 envelope; a production deployment amortizes this with a
+    * full-corpus manifest), plus text reads for exactly the deleted
+    * + promoted docs (band-row recomputation names the touched
+    * buckets, because signatures are deterministic). The eval suite
+    * recomputes wholesale from the surviving src0 slice — suite-
+    * sized by definition. Replay-idempotent: removals are
+    * anti-joins; a replayed promotion append lands value-identical
+    * rows (manifest compaction's DISTINCT and the band family's
+    * candidate DISTINCT reclaim them — the s14/s21 posture).
+    * Retract-equals-rebuild over the surviving corpus is the
+    * contract (IncrementalFunnelSpec pins it, promotion included;
+    * the q87h oracle replays it at the driver gate). */
+  private[graft] def incrementalStoresRetract(s: SparkSession,
+      stores: String, corpusScrubbed: DataFrame,
+      delIds0: DataFrame): Unit = {
+    val delIds = materializeBounded(
+      delIds0.select(col("doc_id")).distinct())
+    val hp = materializeBounded(corpusScrubbed
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("content_hash")))
+    val survHp = hp.join(delIds, Seq("doc_id"), "left_anti")
+    // exact index: a deleted hash leaves ONLY when no survivor
+    // carries it
+    val dropHashes = materializeBounded(
+      hp.join(delIds, Seq("doc_id"), "left_semi")
+        .select(col("content_hash")).distinct()
+        .join(survHp.select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+        .withColumn("bucket",
+          pmod(xxhash64(col("content_hash")), lit(64)).cast("int")))
+    val hashKeys = dropHashes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (hashKeys.nonEmpty)
+      retractBucketRewrite(s, s"$stores/exact",
+        s.read.schema("content_hash STRING, bucket INT")
+          .parquet(s"$stores/exact")
+          .filter(col("bucket").isin(hashKeys: _*))
+          .join(dropHashes.select(col("content_hash")),
+            Seq("content_hash"), "left_anti")
+          .select(col("content_hash"), col("bucket")),
+        "bucket", hashKeys, Seq("content_hash"))
+    // promotion: deleted MANIFESTED survivors hand survivorship to
+    // their exact group's min-id surviving member
+    val manifest = s.read.parquet(s"$stores/manifest")
+    val delKb = delIds
+      .select(pmod(xxhash64(col("doc_id")), lit(64)).cast("int").as("kb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val deletedSurvHashes = materializeBounded(
+      (if (delKb.isEmpty) manifest.limit(0)
+       else manifest.filter(col("kb").isin(delKb: _*)))
+        .join(delIds, Seq("doc_id"), "left_semi")
+        .select(col("h")).distinct())
+    val promotedIds = materializeBounded(
+      survHp.join(deletedSurvHashes
+          .withColumnRenamed("h", "content_hash"),
+        Seq("content_hash"), "left_semi")
+        .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
+    val hasPromoted = promotedIds.head(1).nonEmpty
+    val promotedDocs =
+      corpusScrubbed.join(promotedIds, Seq("doc_id"), "left_semi")
+    // band index: the deleted docs' recomputed band rows name the
+    // touched buckets; survivors rewritten in place, promoted docs
+    // appended through the same writer the build used
+    val delBands = batchBandsOf(
+      corpusScrubbed.join(delIds, Seq("doc_id"), "left_semi"))
+    val bandKeys = delBands.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (bandKeys.nonEmpty)
+      retractBucketRewrite(s, s"$stores/neardup",
+        bandIndexTable(s, s"$stores/neardup")
+          .filter(col("kb").isin(bandKeys: _*))
+          .join(delIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("mins"), col("band"), col("k1"),
+            col("k2"), col("kb")),
+        "kb", bandKeys, Seq("band", "k1", "k2"))
+    if (hasPromoted)
+      neardupIndexWrite(promotedDocs, s"$stores/neardup", mode = "append")
+    // manifest: drop the deleted rows, admit the promoted ones
+    if (delKb.nonEmpty)
+      retractBucketRewrite(s, s"$stores/manifest",
+        manifest.filter(col("kb").isin(delKb: _*))
+          .join(delIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("h"), col("kb")),
+        "kb", delKb, Seq("doc_id"))
+    if (hasPromoted)
+      manifestWrite(promotedDocs, s"$stores/manifest", mode = "append")
+    // eval suite: recompute wholesale from the surviving src0 slice
+    sourcedShingleRows(corpusScrubbed
+        .join(delIds, Seq("doc_id"), "left_anti"))
+      .filter(col("source") === "src0")
+      .select(col("h")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$stores/bench")
+  }
+
+  /** Touched-bucket rewrite for a retraction: dynamic partition
+    * overwrite of the surviving rows, PLUS explicit deletion of any
+    * touched bucket the rewrite emptied — dynamic overwrite cannot
+    * remove a partition it writes no rows for, and a ghost bucket
+    * would keep serving deleted rows (the O-140 lesson, shared
+    * here). `pruned` must already be bucket-filtered and
+    * anti-joined, with the bucket column LAST. */
+  private def retractBucketRewrite(s: SparkSession, path: String,
+      pruned: DataFrame, bucketCol: String, keys: Seq[Int],
+      ordCols: Seq[String]): Unit = {
+    val rewritten = materializeBounded(pruned)
+    val survived = rewritten.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (survived.nonEmpty)
+      rewritten.repartition(survived.size, col(bucketCol))
+        .sortWithinPartitions((bucketCol +: ordCols).map(col): _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucketCol).parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    keys.filterNot(survived).foreach { k =>
+      try fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k"), true)
+      catch { case _: java.io.IOException => () }
+    }
+    s.catalog.refreshByPath(path)
+  }
+
+  /** Declared O-142 binding: clone the q87e-geometry pristine stores,
+    * retract corpus ids 100-149 across them, then run the standard
+    * q87e admission batch — arrivals that near-dup'd ONLY the
+    * retracted slice are now admitted, re-keys of the surviving
+    * corpus still screen out. Oracle: the q87e full-recompute
+    * composition with the corpus predicate narrowed to the
+    * survivors. */
+  def q87hRetractedFunnel(s: SparkSession, d: String): DataFrame = {
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("q87h_pristine", d))(
+      dir => incrementalFunnelStoresBuild(s, d, dir))
+    val stores = graft.util.Ephemeral.cloneDir(pristine, "q87h_stores")
+    val corpusScrubbed = TextAnalysis.piiScrubText(
+      TextAnalysis.injectPii(documents(s, d))
+        .filter(col("doc_id").isNotNull && col("doc_id") < 250))
+    incrementalStoresRetract(s, stores, corpusScrubbed,
+      s.range(100, 150).select(col("id").as("doc_id")))
+    val docs = TextAnalysis.injectPii(documents(s, d))
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + ReKeyOffset))
+    val frames = incrementalFunnelFrames(s, stores, batch)
+    val admitted = manifestAppendReadBack(s, stores,
+      frames.last._3, frames.head._3)
+    funnelCounts(frames :+ ((7, "manifest_append", admitted)))
+  }
+
   /** The incremental funnel's stage frames 0..6 over one arriving
     * batch — shared verbatim by the one-shot binding (q87e) and the
     * stream twin's per-micro-batch body (s23). READ-ONLY against the
@@ -3427,6 +3595,7 @@ object Dedup {
     "q87e_incremental_funnel" -> (q87eIncrementalFunnel _),
     "q87f_funnel_unified" -> (q87fFunnelUnified _),
     "q87g_unified_inc_funnel" -> (q87gUnifiedIncFunnel _),
+    "q87h_retracted_funnel" -> (q87hRetractedFunnel _),
     "q36_near_dup" -> (q36NearDup _),
     "q36b_minhash_lsh" -> (q36bMinhashLsh _),
     "q36c_simhash" -> (q36cSimhash _),
@@ -3976,7 +4145,15 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
     * stream twin — the staged arrival order (ids ascending across
     * micro-batches) plus the exact-survivor index appends make the
     * summed per-stage counts split-invariant. */
-  private[graft] lazy val incFunnelOracleSql: String = {
+  private[graft] lazy val incFunnelOracleSql: String =
+    incFunnelOracleSqlFor("doc_id < 250")
+
+  /** [[incFunnelOracleSql]] with the CORPUS predicate parameterized
+    * (round 16: the q87h retraction oracle is the identical
+    * composition with the corpus narrowed to the surviving slice —
+    * exact screen, near-dup index contents, and the decon suite all
+    * follow `corp`, exactly as the retracted stores must). */
+  private[graft] def incFunnelOracleSqlFor(corpPred: String): String = {
     val eq = (a: String, b: String) => (0 until NHashes).map(j =>
       s"(CASE WHEN $a.m$j = $b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
     def bandSql(tag: String) =
@@ -4008,7 +4185,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
        |      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS text
        |  FROM injX),
        |corp AS MATERIALIZED (
-       |  SELECT * FROM scrub WHERE doc_id < 250),
+       |  SELECT * FROM scrub WHERE $corpPred),
        |bat AS MATERIALIZED (
        |  SELECT * FROM scrub WHERE doc_id >= 250
        |  UNION ALL
@@ -4953,6 +5130,10 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
     // to the edge-local five-family unified weld (media re-keys ride
     // the closed-form signature stacks)
     "q87g_unified_inc_funnel" -> uniIncFunnelOracleSql,
+    // q87h: q87e's composition with the corpus narrowed to the
+    // post-retraction survivors (retract-equals-rebuild at the gate)
+    "q87h_retracted_funnel" -> incFunnelOracleSqlFor(
+      "doc_id < 250 AND NOT (doc_id >= 100 AND doc_id < 150)"),
     // q87f: the same stack with the near-dup stage replaced by the
     // five-family unified weld set (unifiedFamiliesCcSql over the
     // stage-2 survivors, non-canonical members dropping)

@@ -210,4 +210,65 @@ class IncrementalFunnelSpec extends SparkSpec {
         "edge-local weld rule should be split-invariant")
     assert(first.head._3 > 0 && second.head._3 > 0)
   }
+
+  // ---- O-142: funnel-store retraction with promotion ----------------
+
+  test("q87h: deleting an exact group's manifested survivor PROMOTES " +
+    "the min-id surviving member — hash kept, band rows and manifest " +
+    "row added, admission equals a rebuild over the survivors") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val textX = (1 to 40).map(i => s"x$i").mkString(" ")
+    val textY = (1 to 40).map(i => s"y$i").mkString(" ")
+    // doc 1 is the exact group {1, 2}'s manifested survivor; doc 3
+    // is unrelated
+    val corpus = docsOf(1L -> textX, 2L -> textX, 3L -> textY)
+    def build(dir: String, docs: org.apache.spark.sql.DataFrame): Unit =
+      ops.Dedup.incrementalStoresBuildFrom(spark, docs, dir)(surv =>
+        ops.Dedup.neardupIndexWrite(surv, s"$dir/neardup"))
+    val retracted = java.nio.file.Files
+      .createTempDirectory("incfunnel_retract_").toString
+    build(retracted, corpus)
+    ops.Dedup.incrementalStoresRetract(spark, retracted,
+      ops.TextAnalysis.piiScrubText(corpus), Seq(1L).toDF("doc_id"))
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("incfunnel_rebuilt_").toString
+    build(rebuilt, corpus.filter(col("doc_id") =!= 1L))
+    // state probes: survivorship passed to doc 2 — its band rows and
+    // manifest row exist, doc 1's are gone, and X's hash SURVIVED
+    assert(spark.read.parquet(s"$retracted/manifest")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+    assert(ops.Dedup.bandIndexTable(spark, s"$retracted/neardup")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
+    // admission equality through the consumer: 9 is an exact copy of
+    // X (must screen out — the hash stayed), 10 a one-token near-dup
+    // of X (must screen against the PROMOTED doc's band rows), 11
+    // fresh (admitted)
+    val batch = docsOf(9L -> textX,
+      10L -> (1 to 40).map(i => if (i == 20) "qq" else s"x$i")
+        .mkString(" "),
+      11L -> (1 to 40).map(i => s"z$i").mkString(" "))
+    def run(dir: String): Seq[(Int, String, Long)] = {
+      val frames = ops.Dedup.incrementalFunnelFrames(spark, dir, batch)
+      val admitted = ops.Dedup.manifestAppendReadBack(spark, dir,
+        frames.last._3, frames.head._3)
+      counts(ops.Dedup.funnelCounts(
+        frames :+ ((7, "manifest_append", admitted))))
+    }
+    val a = run(retracted)
+    val b = run(rebuilt)
+    assert(a === b,
+      "admission against the retracted stores diverged from a " +
+        "rebuild over the survivors")
+    val byName = a.map(t => t._2 -> t._3).toMap
+    // the decisive stages: 9 out at exact (hash kept through the
+    // survivor), 10 out at near-dup (the promoted doc's band rows)
+    assert(byName("exact_screen") === 2L)
+    assert(byName("neardup_screen") === 1L)
+  }
 }
