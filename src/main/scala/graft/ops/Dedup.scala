@@ -3140,8 +3140,11 @@ object Dedup {
           .select(col("content_hash"), col("bucket")),
         "bucket", hashKeys, Seq("content_hash"))
     // promotion: deleted MANIFESTED survivors hand survivorship to
-    // their exact group's min-id surviving member
-    val manifest = s.read.parquet(s"$stores/manifest")
+    // their exact group's min-id surviving member (schema'd read: a
+    // previous retraction can have emptied every manifest bucket)
+    val manifest = s.read
+      .schema("doc_id BIGINT, source STRING, h STRING, kb INT")
+      .parquet(s"$stores/manifest")
     val delKb = delIds
       .select(pmod(xxhash64(col("doc_id")), lit(64)).cast("int").as("kb"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq

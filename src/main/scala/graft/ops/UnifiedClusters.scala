@@ -924,9 +924,16 @@ object UnifiedClusters {
       catch { case _: java.io.IOException => () }
     }
 
-    // label swap + marker delete (the update protocol's tail)
+    // label swap + marker delete (the update protocol's tail).
+    // SCHEMA'D staging read (round-16 spec catch): a retraction that
+    // dissolves every touched component stages ZERO rows, and a
+    // partitionBy write of zero rows emits no schema-bearing files —
+    // exactly the empty-table case the clusterLabelsTable reasoning
+    // covers for the live table.
     if (dirty.nonEmpty) timed("retract.label_swap") {
-      val staged = s.read.parquet(tmp)
+      val staged = s.read.schema("doc_id BIGINT, cluster_id BIGINT, " +
+          "cluster_size BIGINT, is_canonical BOOLEAN, kb INT")
+        .parquet(tmp)
       val survived = staged.select(col("kb")).distinct()
         .collect().map(_.getInt(0)).toSet
       if (survived.nonEmpty)
