@@ -179,7 +179,12 @@ object Dedup {
       .filter(col("rn") === 1)
     val buckets = batchFirst.select(col("bucket"))
       .distinct().collect().map(_.getInt(0)) // bounded by the 64 buckets
-    val index = s.read.parquet(store)
+    // SCHEMA'D read (ADVICE r16): a retraction (incrementalStoresRetract)
+    // can legitimately empty EVERY exact bucket, and a partitioned table
+    // with zero rows keeps no schema-bearing files — post-retraction
+    // admission must still see the index as readable-and-empty, not throw
+    val index = s.read.schema("content_hash STRING, bucket INT")
+      .parquet(store)
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
     batchFirst
       .join(index, Seq("bucket", "content_hash"), "left_anti")
@@ -3217,13 +3222,28 @@ object Dedup {
         .partitionBy(bucketCol).parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    keys.filterNot(survived).foreach { k =>
-      try fs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k"), true)
-      catch { case _: java.io.IOException => () }
-    }
+    keys.filterNot(survived).foreach(k => deleteEmptiedBucket(fs,
+      new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k")))
     s.catalog.refreshByPath(path)
   }
+
+  /** Delete an EMPTIED live bucket's directory, failing LOUDLY when
+    * the delete itself fails (ADVICE r16: `fs.delete` returning false
+    * — or throwing — used to be swallowed here, and a silently-failed
+    * delete leaves a ghost bucket serving retracted rows; on a
+    * right-to-be-forgotten path that failure must surface, not
+    * vanish). An already-absent directory IS success: a replayed
+    * retraction re-names buckets its first delivery removed, and
+    * replay-idempotence requires treating them as done. Best-effort
+    * try/ignore remains appropriate only for `_old`/staging cleanup,
+    * where a leftover dir is garbage, not a correctness hazard. */
+  private[graft] def deleteEmptiedBucket(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(path))
+      require(fs.delete(path, true),
+        s"retraction: could not delete emptied bucket $path — a ghost " +
+          "bucket would keep serving retracted rows")
 
   /** Declared O-142 binding: clone the q87e-geometry pristine stores,
     * retract corpus ids 100-149 across them, then run the standard

@@ -754,14 +754,25 @@ object TextAnalysis {
     }
   }
 
+  /** Write-new-then-rename, never truncate-in-place (ADVICE r16):
+    * `fs.create(p, true)` on the local filesystem truncates the
+    * existing sidecar through its inode, which would corrupt a
+    * hard-link clone's pristine source (Ephemeral.cloneDir shares
+    * inodes). Staging to a sibling and renaming over keeps every
+    * mutation file-granular — the invariant cloneDir documents. */
   private def tfStoreWriteHwm(s: SparkSession, store: String,
       epoch: Long): Unit = {
     val p = tfHwmPath(store)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "_staging")
+    val out = fs.create(tmp, true)
     try out.write(epoch.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false): Unit
+    require(fs.rename(tmp, p),
+      s"tf store: could not move hwm sidecar $tmp into place")
   }
 
   /** Merge a batch into the standing model: O(batch tokens), zero

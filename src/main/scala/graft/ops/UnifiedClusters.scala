@@ -866,15 +866,13 @@ object UnifiedClusters {
             .partitionBy(bucketCol).parquet(path)
         }
         // an EMPTIED bucket gets no partition in the rewrite — remove
-        // its directory explicitly or its ghost rows survive
+        // its directory explicitly (loudly: a failed delete is a ghost
+        // bucket serving retracted rows) or its ghost rows survive
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        famKeys.filterNot(survived).foreach { k =>
-          try fs.delete(
-            new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k"),
-            true)
-          catch { case _: java.io.IOException => () }
-        }
+        famKeys.filterNot(survived).foreach(k =>
+          Dedup.deleteEmptiedBucket(fs,
+            new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k")))
         s.catalog.refreshByPath(path)
       }
     timed("retract.index_rewrites")(inParallel(Seq(
@@ -942,11 +940,9 @@ object UnifiedClusters {
           .partitionBy("kb").parquet(s"$store/clusters")
       val fs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      dirty.filterNot(survived).foreach { k =>
-        try fs.delete(
-          new org.apache.hadoop.fs.Path(s"$store/clusters/kb=$k"), true)
-        catch { case _: java.io.IOException => () }
-      }
+      dirty.filterNot(survived).foreach(k =>
+        Dedup.deleteEmptiedBucket(fs,
+          new org.apache.hadoop.fs.Path(s"$store/clusters/kb=$k")))
       s.catalog.refreshByPath(store)
     }
     val fsM = new org.apache.hadoop.fs.Path(tmp)

@@ -142,8 +142,10 @@ object Ephemeral {
     * in place — so a shared inode is never modified under the
     * pristine source. (The one in-place mutator in the repo,
     * setLastModified, runs only on stream STAGING files, never on
-    * store files.) Falls back to a byte copy per file when linking
-    * fails (cross-device, unsupported FS).
+    * store files; the tf-model hwm sidecar — the other candidate —
+    * writes-new-then-renames since round 17, ADVICE r16.) Falls back
+    * to a byte copy per file when linking fails (cross-device,
+    * unsupported FS).
     *
     * Assumes a plain directory tree: symlinks inside `src` are not
     * followed (Files.walk default) — a symlinked subdir would clone
