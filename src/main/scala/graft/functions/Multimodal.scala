@@ -635,7 +635,11 @@ object Multimodal {
       expr(s"bit_count(x.$sigCol ^ y.$sigCol)") <= scheme.maxHamming
     val crossHit =
       if (keys.isEmpty) batchSigs.select(col("doc_id")).limit(0)
-      else s.read.parquet(store)
+      // SCHEMA'D store read: a retraction (sigRetract) can empty every
+      // bucket, and a partitioned table with zero rows keeps no
+      // schema-bearing files — post-retraction admission must treat
+      // the index as empty, not throw (the cfa41fc lesson)
+      else s.read.schema(sigStoreSchema(sigCol)).parquet(store)
         .filter(col("kb").isin(keys.toIndexedSeq: _*)).as("x")
         .join(batchBands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") &&
@@ -658,6 +662,78 @@ object Multimodal {
       .join(crossHit.unionByName(intraHit).distinct(),
         Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
+  }
+
+  private def sigStoreSchema(sigCol: String): String =
+    s"doc_id BIGINT, $sigCol BIGINT, band INT, ckey BIGINT, kb INT"
+
+  // O-144 (VERDICT r16 #2): RETRACTION for the standalone perceptual
+  // admission stores. Without it a deleted image/track's band rows
+  // stay matchable forever — a future re-upload of retracted content
+  // would be silently rejected as a duplicate of data the operator
+  // was required to delete (the exact inversion of what a
+  // right-to-be-forgotten delete means).
+  /** Retract documents from a perceptual band store. `delSigs` is the
+    * deleted docs' (doc_id, sig) rows — signatures are deterministic
+    * functions of the payload, so recomputing the deleted docs' band
+    * rows names EXACTLY the buckets holding their index rows (the
+    * same determinism argument the text band family's retraction
+    * makes). Touched buckets are rewritten with survivors anti-joined
+    * on doc_id; an emptied bucket's directory is deleted explicitly
+    * and loudly ([[graft.ops.Dedup.deleteEmptiedBucket]]). One
+    * sig-generic definition — the [[sigMerge]] trio's posture —
+    * serves the image (ahash) and audio (ehash) families alike.
+    * Replay-idempotent: the removal is an anti-join and an
+    * already-absent bucket directory counts as done.
+    * Retract-equals-rebuild holds exactly (band rows are per-doc;
+    * MultimodalSpec pins it for both families). */
+  def sigRetract(s: SparkSession, store: String, sigCol: String,
+      scheme: BandScheme, delSigs: DataFrame): Unit = {
+    val delBands = graft.ops.Dedup.materializeBounded(
+      sigBandRows(delSigs.filter(col("doc_id").isNotNull), sigCol,
+        scheme)
+        .withColumn("kb",
+          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
+    val keys = delBands.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq // <= 64 buckets
+    if (keys.isEmpty) return
+    graft.ops.Dedup.retractBucketRewrite(s, store,
+      s.read.schema(sigStoreSchema(sigCol)).parquet(store)
+        .filter(col("kb").isin(keys: _*))
+        .join(delBands.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), col(sigCol), col("band"), col("ckey"),
+          col("kb")),
+      "kb", keys, Seq("band", "ckey"))
+  }
+
+  def ahashRetract(s: SparkSession, store: String,
+      delSigs: DataFrame): Unit =
+    sigRetract(s, store, "ahash", AhashScheme, delSigs)
+
+  def ehashRetract(s: SparkSession, store: String,
+      delSigs: DataFrame): Unit =
+    sigRetract(s, store, "ehash", EhashScheme, delSigs)
+
+  /** Declared O-144 binding: the q45d geometry with a takedown in
+    * between — build the doc_id < 50 image store once, retract ids
+    * 40-49 on a hard-linked clone (groups 14/15 vanish entirely;
+    * group 13 loses 40/41 but keeps 39; group 16 loses its whole
+    * STORED half 48/49), then run q45d's batch merge. Batch id 50 —
+    * a perceptual duplicate of ONLY the retracted 48/49 — must now
+    * ADMIT: that is the re-upload-after-takedown property this
+    * operator exists for. Oracle: q45d's replay with the corpus band
+    * side narrowed to the surviving doc_id < 40. */
+  def q45jImageRetractMerge(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ops.Dedup.materializeBounded(
+      imageSignatures(syntheticImages(s)))
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      "graft_ahash_retract_q45j")(
+      dir => ahashIndexWrite(sigs.filter(col("doc_id") < 50), dir))
+    val store = graft.util.Ephemeral.cloneDir(pristine, "q45j_store")
+    ahashRetract(s, store,
+      sigs.filter(col("doc_id") >= 40 && col("doc_id") < 50))
+    ahashMerge(s, store, sigs.filter(col("doc_id") >= 50))
   }
 
   /** q45d: the declared build-then-merge binding. Corpus = images with
@@ -951,6 +1027,7 @@ object Multimodal {
     "q45b_real_media_decode" -> (q45bRealMediaDecode _),
     "q45c_image_ahash_dedup" -> (q45cImageAhashDedup _),
     "q45d_image_merge" -> (q45dImageMerge _),
+    "q45j_image_retract_merge" -> (q45jImageRetractMerge _),
     "q45e_image_clusters" -> (q45eImageClusters _),
     "q45f_audio_envelope_dedup" -> (q45fAudioEnvelopeDedup _),
     "q45g_audio_merge" -> (q45gAudioMerge _),
@@ -1109,6 +1186,35 @@ object Multimodal {
         |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
         |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)
         |  WHERE doc_id < 50),
+        |bandB AS (
+        |  SELECT doc_id, ahash, tc.c,
+        |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)
+        |  WHERE doc_id >= 50),
+        |hit AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM bandB x JOIN bandC y ON x.c = y.c AND x.ckey = y.ckey
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
+        |  UNION
+        |  SELECT DISTINCT y.doc_id
+        |  FROM bandB x JOIN bandB y
+        |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming)
+        |SELECT doc_id, ahash FROM sigs
+        |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
+    // q45j: q45d's admission replay with the corpus band side narrowed
+    // to the post-retraction survivors (doc_id < 40) — retraction
+    // equals rebuild for a per-doc band index, so the surviving slice
+    // IS the retracted store; batch id 50 (dup of only the retracted
+    // 48/49) admits, re-keys of surviving corpus still screen out
+    "q45j_image_retract_merge" ->
+      s"""WITH $ahashSigsSql,
+        |bandC AS (
+        |  SELECT doc_id, ahash, tc.c,
+        |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey
+        |  FROM sigs, generate_series(0, ${AhashBands - 1}) tc(c)
+        |  WHERE doc_id < 40),
         |bandB AS (
         |  SELECT doc_id, ahash, tc.c,
         |    (ahash >> ($AhashBandBits * tc.c)) & ${(1 << AhashBandBits) - 1} AS ckey

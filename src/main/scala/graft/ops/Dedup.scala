@@ -3084,6 +3084,9 @@ object Dedup {
       .select(col("h")).distinct()
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bench")
     manifestWrite(exactSurv, s"$dir/manifest")
+    // the FULL corpus (not just exact survivors): dup-group members
+    // are promotion candidates, so the ledger must know them
+    hashLedgerWrite(scrubbed, s"$dir/hashes")
   }
 
   // O-142 (q87h): retraction for the INCREMENTAL-FUNNEL store family
@@ -3099,13 +3102,20 @@ object Dedup {
   // arrival that matches the promoted doc).
   /** Retract `delIds0` from the standing funnel stores at `stores`
     * (exact hash index, near-dup band index, eval-suite shingle set,
-    * generation manifest). `corpusScrubbed` is the SAME scrubbed
-    * corpus view the build used (the build's caller contract) — the
-    * retraction pays ONE 40 B/doc hash-projection pass over it (the
-    * q95 envelope; a production deployment amortizes this with a
-    * full-corpus manifest), plus text reads for exactly the deleted
-    * + promoted docs (band-row recomputation names the touched
-    * buckets, because signatures are deterministic). The eval suite
+    * generation manifest, full-corpus hash ledger). `corpusScrubbed`
+    * is the SAME scrubbed corpus view the build used (the build's
+    * caller contract). When the store carries the hash LEDGER a
+    * round-17 build writes (VERDICT r16 #3), the retraction is
+    * O(deleted + promoted): corpus text is read for exactly the
+    * deleted docs (their own hash + band rows — signatures are
+    * deterministic, so they name the touched buckets) and the
+    * promoted docs (their manifest/band appends), and every other
+    * doc's hash comes from the ledger PRUNED to the deleted hashes'
+    * <= 64 buckets — no corpus-wide scan of any kind
+    * (IncrementalFunnelSpec pins this behaviorally: corrupting every
+    * non-deleted/non-promoted doc's text changes nothing). A store
+    * without the ledger falls back to the legacy ONE 40 B/doc
+    * hash-projection pass (the q95 envelope). The eval suite
     * recomputes wholesale from the surviving src0 slice — suite-
     * sized by definition. Replay-idempotent: removals are
     * anti-joins; a replayed promotion append lands value-identical
@@ -3119,17 +3129,45 @@ object Dedup {
       delIds0: DataFrame): Unit = {
     val delIds = materializeBounded(
       delIds0.select(col("doc_id")).distinct())
-    val hp = materializeBounded(corpusScrubbed
+    // the deleted docs' own hash rows: text reads for EXACTLY the
+    // deleted docs, ledger or not
+    val delHp = materializeBounded(corpusScrubbed
       .filter(col("doc_id").isNotNull)
+      .join(delIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         sha2(col("text").cast("binary"), 256).as("content_hash")))
-    val survHp = hp.join(delIds, Seq("doc_id"), "left_anti")
+    val fsStores = new org.apache.hadoop.fs.Path(stores)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasLedger =
+      fsStores.exists(new org.apache.hadoop.fs.Path(s"$stores/hashes"))
+    val ledgerHbs: IndexedSeq[Int] =
+      if (!hasLedger) IndexedSeq.empty
+      else delHp
+        .select(pmod(xxhash64(col("content_hash")), lit(64))
+          .cast("int").as("hb"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq // <= 64
+    // every corpus doc CARRYING a deleted hash — survivorship and
+    // promotion are decided entirely inside this set. Ledger path:
+    // hb-pruned point-reads, O(deleted hashes' buckets); legacy path:
+    // the full 40 B/doc projection
+    val carriers = materializeBounded(
+      (if (hasLedger)
+        (if (ledgerHbs.isEmpty) hashLedgerTable(s, stores).limit(0)
+         else hashLedgerTable(s, stores)
+           .filter(col("hb").isin(ledgerHbs: _*)))
+          .select(col("doc_id"), col("h").as("content_hash"))
+      else corpusScrubbed
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          sha2(col("text").cast("binary"), 256).as("content_hash")))
+        .join(delHp.select(col("content_hash")).distinct(),
+          Seq("content_hash"), "left_semi"))
+    val survCarriers = carriers.join(delIds, Seq("doc_id"), "left_anti")
     // exact index: a deleted hash leaves ONLY when no survivor
     // carries it
     val dropHashes = materializeBounded(
-      hp.join(delIds, Seq("doc_id"), "left_semi")
-        .select(col("content_hash")).distinct()
-        .join(survHp.select(col("content_hash")),
+      delHp.select(col("content_hash")).distinct()
+        .join(survCarriers.select(col("content_hash")),
           Seq("content_hash"), "left_anti")
         .withColumn("bucket",
           pmod(xxhash64(col("content_hash")), lit(64)).cast("int")))
@@ -3159,7 +3197,7 @@ object Dedup {
         .join(delIds, Seq("doc_id"), "left_semi")
         .select(col("h")).distinct())
     val promotedIds = materializeBounded(
-      survHp.join(deletedSurvHashes
+      survCarriers.join(deletedSurvHashes
           .withColumnRenamed("h", "content_hash"),
         Seq("content_hash"), "left_semi")
         .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
@@ -3193,6 +3231,17 @@ object Dedup {
         "kb", delKb, Seq("doc_id"))
     if (hasPromoted)
       manifestWrite(promotedDocs, s"$stores/manifest", mode = "append")
+    // hash ledger: drop the deleted rows from their hashes' buckets
+    // (same touched-bucket pass — the ledger stays exactly the
+    // surviving corpus's projection, so the NEXT retraction prunes
+    // correctly too)
+    if (hasLedger && ledgerHbs.nonEmpty)
+      retractBucketRewrite(s, s"$stores/hashes",
+        hashLedgerTable(s, stores)
+          .filter(col("hb").isin(ledgerHbs: _*))
+          .join(delIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("h"), col("hb")),
+        "hb", ledgerHbs, Seq("h", "doc_id"))
     // eval suite: recompute wholesale from the surviving src0 slice
     sourcedShingleRows(corpusScrubbed
         .join(delIds, Seq("doc_id"), "left_anti"))
@@ -3201,6 +3250,43 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$stores/bench")
   }
 
+  /** The full-corpus hash ledger (round 17, VERDICT r16 #3): one
+    * (doc_id, h) row per corpus doc — INCLUDING exact-dup group
+    * members the manifest omits, which is exactly what promotion
+    * needs — partitioned by hb = hash-bucket so a retraction's
+    * carrier lookup is pruned to the deleted hashes' <= 64 buckets.
+    * ~72 B/doc; the retraction's answer to "who else carries this
+    * hash" without rescanning corpus text. SCHEMA'D read: a
+    * retract-all can empty every bucket. */
+  private[graft] def hashLedgerTable(s: SparkSession,
+      stores: String): DataFrame =
+    s.read.schema("doc_id BIGINT, h STRING, hb INT")
+      .parquet(s"$stores/hashes")
+
+  /** Write/append the hash ledger from a (doc_id, ..., text) corpus
+    * view — the manifestWrite posture (write-time DISTINCT, 64-way
+    * co-located bucket layout), keyed by HASH bucket rather than doc
+    * bucket because the ledger's one consumer looks up by hash. */
+  private[graft] def hashLedgerWrite(docs: DataFrame, store: String,
+      mode: String = "overwrite"): Unit =
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("h"))
+      .distinct()
+      .withColumn("hb", pmod(xxhash64(col("h")), lit(64)).cast("int"))
+      .repartition(64, col("hb"))
+      .sortWithinPartitions(col("hb"), col("h"), col("doc_id"))
+      .write.mode(mode).partitionBy("hb").parquet(store)
+
+  /** Bound the ledger's per-bucket file count under daily appends —
+    * the family-standard pass (compactBuckets' DISTINCT also reclaims
+    * an at-least-once replayed append's duplicate rows). */
+  private[graft] def hashLedgerCompact(s: SparkSession, stores: String,
+      maxFilesPerBucket: Int = 4): Seq[Int] =
+    compactBuckets(s, s"$stores/hashes", "hb",
+      Seq(col("doc_id"), col("h")),
+      Seq(col("hb"), col("h"), col("doc_id")), maxFilesPerBucket)
+
   /** Touched-bucket rewrite for a retraction: dynamic partition
     * overwrite of the surviving rows, PLUS explicit deletion of any
     * touched bucket the rewrite emptied — dynamic overwrite cannot
@@ -3208,7 +3294,7 @@ object Dedup {
     * would keep serving deleted rows (the O-140 lesson, shared
     * here). `pruned` must already be bucket-filtered and
     * anti-joined, with the bucket column LAST. */
-  private def retractBucketRewrite(s: SparkSession, path: String,
+  private[graft] def retractBucketRewrite(s: SparkSession, path: String,
       pruned: DataFrame, bucketCol: String, keys: Seq[Int],
       ordCols: Seq[String]): Unit = {
     val rewritten = materializeBounded(pruned)

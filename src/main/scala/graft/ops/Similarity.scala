@@ -289,6 +289,104 @@ object Similarity {
       Seq(col("vec_id"), col("label"), col("qe")),
       Seq(col("cell_id"), col("vec_id")), maxFilesPerCell)
 
+  // O-143: ANN STORE RETRACTION (VERDICT r16 #1) — round 16 built the
+  // right-to-be-forgotten delete for the unified cluster store (q61f),
+  // the tf model (q92b), and the funnel stores (q87h); the IVF/IVF-PQ
+  // cell stores were the ONE standing-store family a takedown request
+  // could not reach short of the q91 full retrain-rebuild. The store
+  // is cell-partitioned, so q61f's touched-bucket pattern maps
+  // directly: only the deleted vectors' cells are rewritten.
+  /** Retract vectors from a stored IVF layout. `delEmb` carries the
+    * deleted vectors' (vec_id, embedding) rows — their cells are
+    * recomputed ROW-LOCALLY against the store's own centroids (sound
+    * because every stored row was assigned against exactly those
+    * centroids: appends use the frozen model, and a q91 rebuild
+    * re-assigns everything it writes), so the touched-cell set is the
+    * deleted vectors' own cells with NO corpus scan. Each touched
+    * cell is rewritten with survivors anti-joined; an EMPTIED cell's
+    * directory is deleted explicitly and loudly
+    * ([[graft.ops.Dedup.deleteEmptiedBucket]] — dynamic partition
+    * overwrite cannot remove a partition it writes no rows for). The
+    * centroid/codebook model tables are untouched — retraction serves
+    * probes through the FROZEN model, the q88 append posture; model
+    * hygiene stays with the q84 drift audit + q91 retrain. Cost:
+    * O(touched cells' rows), never the corpus. Replay-idempotent:
+    * the removal is an anti-join and the emptied-cell delete treats
+    * an already-absent directory as done.
+    *
+    * Retract-equals-rebuild holds EXACTLY for this layout when the
+    * 16 seed vectors survive (ivfWriteDf's centroids are the seeds,
+    * so a survivors-only rebuild derives the same model and the same
+    * row-local assignment — IvfStoreSpec pins it); for the trained
+    * IVF-PQ layout the survivors' retrain would differ by design, so
+    * its contract is rows-exact deletion under the frozen model
+    * (q74c's oracle replays exactly that). */
+  def ivfRetract(s: SparkSession, storeDir: String,
+      delEmb: DataFrame): Unit =
+    annCellRetract(s, storeDir, delEmb,
+      "vec_id BIGINT, label INT, qe ARRAY<BIGINT>, cell_id INT",
+      Seq("vec_id", "label", "qe"))
+
+  /** [[ivfRetract]] for the IVF-PQ code store — same touched-cell
+    * rewrite over 8-byte code rows (deleting a vector's codes is the
+    * whole delete: raw vectors never lived in this store). */
+  def ivfPqRetract(s: SparkSession, storeDir: String,
+      delEmb: DataFrame): Unit =
+    annCellRetract(s, storeDir, delEmb,
+      "vec_id BIGINT, label INT, codes ARRAY<BIGINT>, cell_id INT",
+      Seq("vec_id", "label", "codes"))
+
+  /** Shared cell-store retraction: recompute the deleted vectors'
+    * cells against the store's frozen centroids (bounded point-read
+    * model, row-local codegen assignment), then rewrite only those
+    * cells via the family-standard touched-bucket pass. The vectors
+    * read is SCHEMA'D (the cfa41fc lesson): a retraction can empty
+    * every cell, and a partitioned table with zero rows keeps no
+    * schema-bearing files. */
+  private def annCellRetract(s: SparkSession, storeDir: String,
+      delEmb: DataFrame, schema: String, projCols: Seq[String]): Unit = {
+    val centroids = s.read.parquet(s"$storeDir/centroids")
+    val delAssigned = Dedup.materializeBounded(
+      coarseAssign(
+        delEmb.filter(col("vec_id").isNotNull)
+          .select(col("vec_id"), quantize(col("embedding")).as("qe")),
+        centroids)
+        .select(col("vec_id"), col("cell_id").cast("int").as("cell_id")))
+    val cells = delAssigned.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq // <= nCells (16), bounded
+    if (cells.isEmpty) return
+    Dedup.retractBucketRewrite(s, s"$storeDir/vectors",
+      s.read.schema(schema).parquet(s"$storeDir/vectors")
+        .filter(col("cell_id").isin(cells: _*))
+        .join(delAssigned.select(col("vec_id")), Seq("vec_id"),
+          "left_anti")
+        .select((projCols :+ "cell_id").map(col): _*),
+      "cell_id", cells, Seq("vec_id"))
+  }
+
+  /** Declared O-143 binding (IVF): pristine full-corpus store built
+    * once per (JVM, sf); every invocation retracts vec_id % 7 == 2
+    * (seeds excluded, so the frozen centroids ARE the survivors'
+    * rebuild model) on a hard-linked clone, then answers vec 0's
+    * standard probe. Oracle: q68's SQL with the retracted slice
+    * excluded — which by retract-equals-rebuild is literally the
+    * surviving corpus's own IVF answer. */
+  def q88bIvfRetract(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_ivf_retract_q88b", d))(
+      dir => ivfWriteDf(emb, dir))
+    val store = graft.util.Ephemeral.cloneDir(pristine, "q88b_store")
+    ivfRetract(s, store,
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 2)
+        .select(col("vec_id"), col("embedding")))
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfProbe(s, store, queryVec, nprobe = 4, k = 10,
+      excludeVecId = Some(0L))
+  }
+
   /** Declared write-append-probe binding: the store is built WITHOUT
     * the day's batch (vec_id >= 16 with vec_id % 5 == 0 — the 16 seed
     * vectors stay in the corpus so the codebook matches the full
@@ -321,7 +419,12 @@ object Similarity {
       .orderBy(col("qdot").desc, col("cell_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0)) // nprobe cell ids: tiny, driver-side
-    val hits = s.read.parquet(s"$storeDir/vectors")
+    // SCHEMA'D read: a retraction (ivfRetract) can empty every cell,
+    // and a partitioned table with zero rows has no schema-bearing
+    // files — the probe must see empty, not throw
+    val hits = s.read
+      .schema("vec_id BIGINT, label INT, qe ARRAY<BIGINT>, cell_id INT")
+      .parquet(s"$storeDir/vectors")
       .filter(col("cell_id").isin(cells.toIndexedSeq: _*)) // partition prune
     excludeVecId.foldLeft(hits)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("label"), col("cell_id"),
@@ -782,7 +885,12 @@ object Similarity {
     val lut = s.read.parquet(s"$storeDir/codebook")
       .select(col("m"), col("seed").as("code"),
         LongArrayDot(col("cv"), element_at(qsubs, col("m") + 1)).as("ld"))
-    val hits = s.read.parquet(s"$storeDir/vectors")
+    // SCHEMA'D read: an ivfPqRetract can empty every cell (see
+    // ivfProbe) — note the degenerate empty-corpus store writes this
+    // exact schema unpartitioned, so both layouts read uniformly
+    val hits = s.read
+      .schema("vec_id BIGINT, label INT, codes ARRAY<BIGINT>, cell_id INT")
+      .parquet(s"$storeDir/vectors")
       .filter(col("cell_id").isin(cells.toIndexedSeq: _*)) // partition prune
     excludeVecId.foldLeft(hits)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("label"), col("cell_id"),
@@ -802,6 +910,31 @@ object Similarity {
     val store = graft.util.Ephemeral.fixedDir("graft_ivfpq_store_q74")
     ivfPqWrite(s, d, store)
     val queryVec = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .head().getSeq[Long](0).toArray
+    ivfPqProbe(s, store, queryVec, nprobe = 4, k = 10,
+      excludeVecId = Some(0L))
+  }
+
+  /** Declared O-143 binding (IVF-PQ): the q74 geometry with the same
+    * retraction slice as q88b — build the full-corpus code store once
+    * per (JVM, sf), retract vec_id % 7 == 2 on a hard-linked clone,
+    * answer vec 0's ADC probe. The model (trained centroids +
+    * codebook) is FROZEN — a survivors-only retrain would differ by
+    * design — so the oracle is q74's full replay (model trained over
+    * the full corpus) with the retracted slice excluded from the
+    * candidate set: exactly what "delete the rows, keep the model"
+    * must produce. */
+  def q74cIvfPqRetract(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val pristine = graft.util.Ephemeral.fixedDirBuiltOnce(
+      graft.util.Ephemeral.sfKey("graft_ivfpq_retract_q74c", d))(
+      dir => ivfPqWriteDf(emb, dir))
+    val store = graft.util.Ephemeral.cloneDir(pristine, "q74c_store")
+    ivfPqRetract(s, store,
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 2)
+        .select(col("vec_id"), col("embedding")))
+    val queryVec = emb.filter(col("vec_id") === 0)
       .select(quantize(col("embedding")).as("qe"))
       .head().getSeq[Long](0).toArray
     ivfPqProbe(s, store, queryVec, nprobe = 4, k = 10,
@@ -1445,6 +1578,8 @@ object Similarity {
     "q37c_similarity_ivf" -> (q37cSimilarityIvf _),
     "q68_ivf_probe" -> (q68IvfProbe _),
     "q88_ivf_append" -> (q88IvfAppend _),
+    "q88b_ivf_retract" -> (q88bIvfRetract _),
+    "q74c_ivfpq_retract" -> (q74cIvfPqRetract _),
     "q36d_embedding_neardup" -> (q36dEmbeddingNeardup _),
     "q36f_embedding_neardup_lsh" -> (q36fEmbeddingNeardupLsh _),
     "q47_centroid_udaf" -> (q47CentroidUdaf _),
@@ -1525,8 +1660,12 @@ object Similarity {
 
   /** IVF result in SQL (coarse assignment by max centroid dot, probe =
     * the 4 cells nearest the query, exact re-rank inside them) — the
-    * oracle of BOTH q37c (in-query IVF) and q68 (stored-layout probe). */
-  private val ivfOracleSql: String =
+    * oracle of q37c (in-query IVF), q68 (stored-layout probe), and —
+    * with `exclude` — q88b (retracted-store probe: assignment and the
+    * probe's cell ranking run over the FULL corpus model, only the
+    * candidate set loses the retracted slice — which for this seed-
+    * centroid layout equals the survivors' own rebuild). */
+  private def ivfOracleSqlExcluding(exclude: String): String =
     s"""WITH q AS (
        |  SELECT vec_id, label, $qeSql AS qe FROM embeddings),
        |cent AS (SELECT vec_id AS cell_id, qe AS ce FROM q
@@ -1547,8 +1686,14 @@ object Similarity {
        |SELECT a.vec_id, a.label, a.cell_id,
        |  ${qdotSql("a.qe", "qv.qq")} AS dot_e12
        |FROM assigned a JOIN probe USING (cell_id), qv
-       |WHERE a.vec_id != 0
+       |WHERE a.vec_id != 0$exclude
        |ORDER BY dot_e12 DESC, vec_id LIMIT 10""".stripMargin
+
+  private val ivfOracleSql: String = ivfOracleSqlExcluding("")
+
+  /** The q88b/q74c retraction slice as a SQL exclusion clause. */
+  private val retractExcludeSql =
+    " AND NOT (a.vec_id >= 16 AND a.vec_id % 7 = 2)"
 
   /** q37's exact-scan oracle for an arbitrary probe id (round 10: the
     * q84 panel re-binds it once per panel member; the q37 entry stays
@@ -1617,7 +1762,7 @@ object Similarity {
     * matching the store, whose appended batch encodes against the
     * frozen codebook.) */
   private def q74OracleSqlTrained(pid: Long, src: String,
-      limit: Int = 10, nprobe: Int = 4): String = {
+      limit: Int = 10, nprobe: Int = 4, exclude: String = ""): String = {
     val baseCte =
       if (src == "q") ""
       else s"""
@@ -1677,7 +1822,7 @@ object Similarity {
          |JOIN probe USING (cell_id)
          |JOIN est e ON e.vec_id = a.vec_id
          |JOIN q ON q.vec_id = a.vec_id
-         |WHERE a.vec_id != $pid
+         |WHERE a.vec_id != $pid$exclude
          |ORDER BY est_dot_e12 DESC, a.vec_id LIMIT $limit""".stripMargin
   }
 
@@ -1749,6 +1894,15 @@ object Similarity {
     // append-equals-rebuild: the appended store's probe must produce
     // the full-corpus IVF answer bit-for-bit
     "q88_ivf_append" -> ivfOracleSql,
+    // retract-equals-rebuild: the retracted store's probe = the
+    // full-corpus IVF answer minus the retracted candidates (which,
+    // seeds surviving, IS the survivors' own rebuild answer)
+    "q88b_ivf_retract" -> ivfOracleSqlExcluding(retractExcludeSql),
+    // rows-exact deletion under the FROZEN model: full q74 replay
+    // (model CTEs over the whole corpus) with the retracted slice
+    // excluded from the candidate set only
+    "q74c_ivfpq_retract" ->
+      q74OracleSqlTrained(0L, "q", exclude = retractExcludeSql),
     "q37_similarity_topk" -> q37OracleSql,
     // Banded sign-LSH twin: per-plane sign bits from the mask literals,
     // band keys packed from bandBits-bit slices, candidates share >= one

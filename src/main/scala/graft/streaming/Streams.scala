@@ -1035,6 +1035,12 @@ object Streams {
           graft.ops.Dedup.dedupIndexWriteHashes(
             exactSurv.select(sha2(col("text").cast("binary"), 256)
               .as("content_hash")), s"$stores/exact", "append")
+          // ledger twin of the exact append: the SCRUB-stage rows
+          // (ledger invariant = every doc the funnel ever saw, the
+          // build's own coverage), so a later retraction's carrier
+          // lookup stays hb-pruned instead of rescanning text
+          graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+            s"$stores/hashes", mode = "append")
           graft.ops.Dedup.neardupIndexWrite(
             exactSurv, s"$stores/neardup", "append")
           val admitted = graft.ops.Dedup.manifestAppendReadBack(
@@ -1147,6 +1153,9 @@ object Streams {
           graft.ops.Dedup.dedupIndexWriteHashes(
             exactSurv.select(sha2(col("text").cast("binary"), 256)
               .as("content_hash")), s"$stores/exact", "append")
+          // ledger twin of the exact append (see s23)
+          graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+            s"$stores/hashes", mode = "append")
           val admitted = graft.ops.Dedup.manifestAppendReadBack(
             ss, stores, frames.last._3, frames.head._3)
           graft.ops.Dedup

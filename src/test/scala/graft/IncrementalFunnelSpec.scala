@@ -271,4 +271,93 @@ class IncrementalFunnelSpec extends SparkSpec {
     assert(byName("exact_screen") === 2L)
     assert(byName("neardup_screen") === 1L)
   }
+
+  test("q87h hash ledger: retraction reads NO corpus text beyond the " +
+    "deleted + promoted docs, legacy path agrees, ledger tracks " +
+    "survivors") {
+    import spark.implicits._
+    def docsOf(rs: (Long, String)*) =
+      rs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val textX = (1 to 40).map(i => s"x$i").mkString(" ")
+    val textY = (1 to 40).map(i => s"y$i").mkString(" ")
+    // exact group {1, 2} with 1 its manifested survivor; 0 unrelated
+    val corpus = docsOf(0L -> textY, 1L -> textX, 2L -> textX)
+    def build(dir: String, docs: org.apache.spark.sql.DataFrame): Unit =
+      ops.Dedup.incrementalStoresBuildFrom(spark, docs, dir)(surv =>
+        ops.Dedup.neardupIndexWrite(surv, s"$dir/neardup"))
+    val pristine = java.nio.file.Files
+      .createTempDirectory("incfunnel_ledger_").toString
+    build(pristine, corpus)
+    assert(new java.io.File(s"$pristine/hashes").exists,
+      "round-17 builds must write the hash ledger")
+    val del = Seq(1L).toDF("doc_id")
+    def tables(dir: String): Seq[Seq[String]] = Seq(
+      spark.read.schema("content_hash STRING, bucket INT")
+        .parquet(s"$dir/exact")
+        .orderBy("content_hash").collect().map(_.toString).toSeq,
+      ops.Dedup.bandIndexTable(spark, s"$dir/neardup")
+        .orderBy("doc_id", "band").collect().map(_.toString).toSeq,
+      spark.read.schema("doc_id BIGINT, source STRING, h STRING, kb INT")
+        .parquet(s"$dir/manifest")
+        .orderBy("doc_id").collect().map(_.toString).toSeq)
+    def retractOn(dir: String,
+        view: org.apache.spark.sql.DataFrame): Unit =
+      ops.Dedup.incrementalStoresRetract(spark, dir,
+        ops.TextAnalysis.piiScrubText(view), del)
+    val honest = graft.util.Ephemeral.cloneDir(pristine, "ledger_honest")
+    retractOn(honest, corpus)
+    // a corpus view where the one doc that is neither deleted (1) nor
+    // promoted (2) carries FORGED text — forged to textX, so that any
+    // path which re-hashes doc 0's text would see a new min-id carrier
+    // of the deleted hash and promote 0 instead of 2
+    val forged = corpus.withColumn("text",
+      when(col("doc_id") === 0L, lit(textX)).otherwise(col("text")))
+    val blind = graft.util.Ephemeral.cloneDir(pristine, "ledger_blind")
+    retractOn(blind, forged)
+    // the ledger path never read doc 0's text: identical state
+    assert(tables(blind) === tables(honest))
+    // negative control: the ledger is what makes that true — the
+    // legacy projection path DOES re-hash doc 0 and promotes it
+    val legacy = graft.util.Ephemeral.cloneDir(pristine, "ledger_legacy")
+    def rmLedger(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        assert(f.delete())
+      }
+      rm(new java.io.File(s"$dir/hashes"))
+    }
+    rmLedger(legacy)
+    retractOn(legacy, forged)
+    assert(tables(legacy) !== tables(honest),
+      "forged text should divert the legacy re-hash path — if it " +
+        "does not, this pin no longer discriminates")
+    // the legacy path promoted forged 0 (min-id carrier) INSTEAD of 2
+    assert(spark.read
+      .schema("doc_id BIGINT, source STRING, h STRING, kb INT")
+      .parquet(s"$legacy/manifest")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(0L))
+    assert(spark.read
+      .schema("doc_id BIGINT, source STRING, h STRING, kb INT")
+      .parquet(s"$honest/manifest")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(0L, 2L))
+    // legacy-path parity on HONEST text: same answer, just costlier
+    val legacyHonest =
+      graft.util.Ephemeral.cloneDir(pristine, "ledger_legacy_honest")
+    rmLedger(legacyHonest)
+    retractOn(legacyHonest, corpus)
+    assert(tables(legacyHonest) === tables(honest))
+    // ledger maintenance: after retraction the ledger IS the
+    // surviving corpus's projection (what a rebuild writes)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("incfunnel_ledger_rebuilt_").toString
+    build(rebuilt, corpus.filter(col("doc_id") =!= 1L))
+    def ledgerRows(dir: String): Seq[String] =
+      ops.Dedup.hashLedgerTable(spark, dir)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(ledgerRows(honest) === ledgerRows(rebuilt))
+  }
 }

@@ -172,4 +172,82 @@ class IvfStoreSpec extends SparkSpec {
     assert(rows(store, "vectors", Seq("vec_id")) ===
       rows(scratch, "vectors", Seq("vec_id")))
   }
+
+  test("ivfRetract equals survivors-only rebuild, replays " +
+    "idempotently, deletes emptied cells, and empties fully") {
+    val emb = Tables.embeddings(spark, sf)
+    val del = col("vec_id") >= 16 && col("vec_id") % 7 === 2
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf_retract_").toString
+    Similarity.ivfWriteDf(emb, store)
+    Similarity.ivfRetract(spark, store, emb.filter(del))
+    def vrows(dir: String): Seq[String] =
+      spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id"), col("label"), col("qe"),
+          col("cell_id").cast("long"))
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+    // retract-equals-rebuild: seeds survive, so the survivors-only
+    // build derives the SAME centroids and the same assignment
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("ivf_rebuild_").toString
+    Similarity.ivfWriteDf(emb.filter(!del), rebuilt)
+    assert(vrows(store) === vrows(rebuilt))
+    // replay: re-delivering the same retraction changes nothing
+    Similarity.ivfRetract(spark, store, emb.filter(del))
+    assert(vrows(store) === vrows(rebuilt))
+    // emptied cell: delete EVERY remaining member of a cell that does
+    // not hold probe vector 0 — its directory must be gone (a ghost
+    // dir would keep serving retracted rows), loudly not silently
+    val assigned = spark.read.parquet(s"$store/vectors")
+      .select(col("vec_id"), col("cell_id").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val cell0 = assigned.find(_._1 == 0L).get._2
+    val victim = assigned.map(_._2).distinct.filter(_ != cell0).head
+    val victimIds = assigned.filter(_._2 == victim).map(_._1).toSet
+    Similarity.ivfRetract(spark, store,
+      emb.filter(col("vec_id").isin(victimIds.toSeq: _*)))
+    assert(!new java.io.File(s"$store/vectors/cell_id=$victim").exists)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(quantize(col("embedding")).as("qe"))
+      .collect().head.getSeq[Long](0).toArray
+    val probed = Similarity.ivfProbe(spark, store, qv,
+      excludeVecId = Some(0L)).collect()
+    assert(probed.nonEmpty &&
+      probed.forall(r => !victimIds.contains(r.getLong(0))))
+    // full retraction: every cell empties, and the schema'd probe
+    // read sees an empty store instead of throwing
+    Similarity.ivfRetract(spark, store, emb)
+    assert(Similarity.ivfProbe(spark, store, qv).collect().isEmpty)
+  }
+
+  test("ivfPqRetract deletes exactly the retracted code rows under " +
+    "the frozen model") {
+    val emb = Tables.embeddings(spark, sf)
+    val del = col("vec_id") >= 16 && col("vec_id") % 7 === 2
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfpq_retract_").toString
+    Similarity.ivfPqWriteDf(emb, store)
+    def rows(t: String, order: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$store/$t")
+        .orderBy(order.map(col): _*).collect().map(_.toString).toSeq
+    val before = spark.read.parquet(s"$store/vectors")
+      .select(col("vec_id"), col("label"), col("codes"),
+        col("cell_id").cast("long"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.toString))
+    val centBefore = rows("centroids", Seq("cell_id"))
+    val cbBefore = rows("codebook", Seq("m", "seed"))
+    Similarity.ivfPqRetract(spark, store, emb.filter(del))
+    // rows-exact: the surviving table is the pristine table minus the
+    // retracted ids — codes and cells untouched (the trained model is
+    // FROZEN by contract; a survivors-only retrain would differ)
+    val delIds = emb.filter(del).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val after = spark.read.parquet(s"$store/vectors")
+      .select(col("vec_id"), col("label"), col("codes"),
+        col("cell_id").cast("long"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(after === before.filterNot(p => delIds(p._1)).map(_._2).toSeq)
+    assert(rows("centroids", Seq("cell_id")) === centBefore)
+    assert(rows("codebook", Seq("m", "seed")) === cbBefore)
+  }
 }

@@ -200,6 +200,61 @@ class MultimodalSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("sigRetract: retract-equals-rebuild, replayed retraction no-ops, " +
+    "retracted content re-admits, retract-all empties loudly") {
+    import spark.implicits._
+    val sigs = Multimodal.imageSignatures(
+      Multimodal.syntheticImages(spark)).cache()
+    val store = graft.util.Ephemeral.dir("ahash_retract")
+    Multimodal.ahashIndexWrite(sigs.filter(col("doc_id") < 50), store)
+    val del = sigs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+    Multimodal.ahashRetract(spark, store, del)
+    def rows(dir: String): Seq[String] =
+      spark.read.schema(
+          "doc_id BIGINT, ahash BIGINT, band INT, ckey BIGINT, kb INT")
+        .parquet(dir)
+        .orderBy("doc_id", "band").collect().map(_.toString).toSeq
+    // band rows are per-doc, so retraction IS the survivors' rebuild
+    val rebuilt = graft.util.Ephemeral.dir("ahash_retract_rebuild")
+    Multimodal.ahashIndexWrite(sigs.filter(col("doc_id") < 40), rebuilt)
+    assert(rows(store) === rows(rebuilt))
+    // at-least-once replay of the same retraction changes nothing
+    Multimodal.ahashRetract(spark, store, del)
+    assert(rows(store) === rows(rebuilt))
+    // the takedown property: batch id 50 perceptually duplicates ONLY
+    // the retracted 48/49, so it must now ADMIT (before retraction the
+    // q45d lifecycle drops it as a cross-store hit); every other
+    // admission is unchanged
+    val admitted = Multimodal.ahashMerge(spark, store,
+      sigs.filter(col("doc_id") >= 50)).as[(Long, Long)]
+      .collect().map(_._1).toSeq
+    assert(admitted === 50L +: (51L to 93L by 3L).toSeq)
+    // audio family through the SAME sig-generic definition, retract-all
+    // geometry: every bucket directory is gone (a ghost dir would keep
+    // serving deleted rows — deleteEmptiedBucket fails loudly if it
+    // cannot remove one), and the emptied store still merges exactly
+    // like a never-populated one (the schema'd-read posture)
+    val aSigs = Multimodal.audioSignatures(
+      Multimodal.syntheticWavs(spark)).cache()
+    val aStore = graft.util.Ephemeral.dir("ehash_retract")
+    Multimodal.sigIndexWrite(aSigs.filter(col("doc_id") < 32), "ehash",
+      Multimodal.EhashScheme, aStore)
+    Multimodal.ehashRetract(spark, aStore,
+      aSigs.filter(col("doc_id") < 32))
+    assert(new java.io.File(aStore).listFiles()
+      .count(_.getName.startsWith("kb=")) === 0)
+    val fresh = graft.util.Ephemeral.dir("ehash_retract_fresh")
+    Multimodal.sigIndexWrite(aSigs.limit(0), "ehash",
+      Multimodal.EhashScheme, fresh)
+    def mergeIds(dir: String): Seq[Long] =
+      Multimodal.sigMerge(spark, dir, "ehash", Multimodal.EhashScheme,
+        aSigs.filter(col("doc_id") >= 32)).as[(Long, Long)]
+        .collect().map(_._1).toSeq
+    val gotA = mergeIds(aStore)
+    assert(gotA.nonEmpty && gotA === mergeIds(fresh))
+    sigs.unpersist(); aSigs.unpersist(): Unit
+  }
+
   test("sigIndexCompact bounds per-bucket files without changing the " +
     "merge's answer (merge -> compact -> probe unchanged)") {
     import spark.implicits._
