@@ -638,10 +638,12 @@ object UnifiedClusters {
     * semantics match [[unifiedWeldDropIds]] for a batch whose edges
     * are not yet persisted — the declared stream flow; an
     * at-least-once REPLAYED batch's edges are anti-joined away
-    * (already persisted), so its drop set under-reports, consistent
-    * with the family's documented replay caveat (the counts sink
-    * double-counts a replayed batch regardless; a production sink
-    * commits idempotently by batchId). */
+    * (already persisted), so its drop set under-reports — which is
+    * why the s23/s24 counts sink WALs its first-delivery frame
+    * counts and commits write-once keyed by batchId (round 17,
+    * Streams.committedFunnelCounts): the under-reported replay set
+    * never reaches the declared counts, and the STORE is correct
+    * either way (replayed appends anti-join/DISTINCT away). */
   def unifiedClusterStoreUpdateWithDrops(s: SparkSession, store: String,
       batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {

@@ -977,12 +977,15 @@ object Streams {
   // verbatim, and the equality IS the composition's
   // incremental-equals-full-recompute proof at the driver gate.
   //
-  // Delivery caveat (the family's standing posture): foreachBatch is
-  // at-least-once — a replayed micro-batch re-appends value-identical
-  // index/manifest rows (reclaimed by the stores' compaction
-  // DISTINCTs; the manifest read-back already counts DISTINCT ids)
-  // but would double its rows in the counts sink; a production sink
-  // writes counts through an idempotent committer keyed on batchId.
+  // Delivery posture (round 17, VERDICT r16 #4): foreachBatch is
+  // at-least-once, and the counts sink now commits WRITE-ONCE KEYED
+  // BY batchId through [[committedFunnelCounts]] — a replayed
+  // micro-batch re-appends value-identical index/manifest rows
+  // (reclaimed by the stores' compaction DISTINCTs; the manifest
+  // read-back already counts DISTINCT ids) and contributes its
+  // counts exactly once, whatever its first delivery got through
+  // (StreamResumeSpec kills and restarts the stream mid-run and pins
+  // the oracle counts).
   def s23StreamIncrementalFunnel(s: SparkSession, d: String): DataFrame = {
     // fresh per invocation: the stream appends to every store, so a
     // reused store would re-screen an already-admitted batch to zero.
@@ -1026,37 +1029,99 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     val q = batchIn.writeStream
       .option("checkpointLocation", ephemeralCheckpointDir())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val ss = batch.sparkSession
-          val frames = graft.ops.Dedup
-            .incrementalFunnelFrames(ss, stores, batch)
-          val exactSurv = frames(2)._3
-          graft.ops.Dedup.dedupIndexWriteHashes(
-            exactSurv.select(sha2(col("text").cast("binary"), 256)
-              .as("content_hash")), s"$stores/exact", "append")
-          // ledger twin of the exact append: the SCRUB-stage rows
-          // (ledger invariant = every doc the funnel ever saw, the
-          // build's own coverage), so a later retraction's carrier
-          // lookup stays hb-pruned instead of rescanning text
-          graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
-            s"$stores/hashes", mode = "append")
-          graft.ops.Dedup.neardupIndexWrite(
-            exactSurv, s"$stores/neardup", "append")
-          val admitted = graft.ops.Dedup.manifestAppendReadBack(
-            ss, stores, frames.last._3, frames.head._3)
-          graft.ops.Dedup
-            .funnelCounts(frames :+ ((7, "manifest_append", admitted)))
-            .write.mode("append").parquet(countsDir)
+          committedFunnelCounts(ss, countsDir, batchId)(
+            graft.ops.Dedup.incrementalFunnelFrames(ss, stores, batch)
+          ) { frames =>
+            val exactSurv = frames(2)._3
+            graft.ops.Dedup.dedupIndexWriteHashes(
+              exactSurv.select(sha2(col("text").cast("binary"), 256)
+                .as("content_hash")), s"$stores/exact", "append")
+            // ledger twin of the exact append: the SCRUB-stage rows
+            // (ledger invariant = every doc the funnel ever saw, the
+            // build's own coverage), so a later retraction's carrier
+            // lookup stays hb-pruned instead of rescanning text
+            graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+              s"$stores/hashes", mode = "append")
+            graft.ops.Dedup.neardupIndexWrite(
+              exactSurv, s"$stores/neardup", "append")
+            graft.ops.Dedup.manifestAppendReadBack(
+              ss, stores, frames.last._3, frames.head._3)
+          }
         }
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    committedCountsReadBack(s, countsDir)
+  }
+
+  /** Write-once, batchId-keyed counts commit (round 17, VERDICT r16
+    * #4). foreachBatch is at-least-once, and a replayed micro-batch
+    * recomputes its read-only stage frames AGAINST A STORE ITS FIRST
+    * DELIVERY ALREADY MUTATED — the recomputed counts are wrong
+    * (every re-delivered doc now screens out against its own appended
+    * rows), so they must never reach the sink. Protocol:
+    *  1. the batch's commit partition (`batch_id=N`) exists => the
+    *     batch fully committed — do nothing at all;
+    *  2. WAL the read-only frame counts to an underscore-prefixed
+    *     staging dir BEFORE any store append (underscore => invisible
+    *     to the read-back scan; a complete earlier WAL — `_SUCCESS`
+    *     present — is REUSED on replay, because its values are the
+    *     pre-mutation truth a replay cannot recompute);
+    *  3. the caller runs its idempotent appends and returns the
+    *     admitted read-back, which is replay-invariant by itself
+    *     (kb-pruned DISTINCT — manifestAppendReadBack's contract);
+    *  4. WAL rows + the admitted row land in a temp dir and RENAME
+    *     atomically into the commit partition; the WAL is deleted.
+    * Every kill point between micro-batches replays to the same
+    * committed counts (StreamResumeSpec). Remaining caveat, narrower
+    * than before: a crash INSIDE the frames computation of a fused
+    * screen-update binding (s24's stage 3 persists as it screens)
+    * can replay to a healed-store recount whose drop set
+    * under-reports — the store itself stays correct via the update's
+    * staging-marker protocol. */
+  private[graft] def committedFunnelCounts(ss: SparkSession, countsDir: String,
+      batchId: Long)(framesOf: => Seq[(Int, String, DataFrame)])(
+      appendsAndAdmitted: Seq[(Int, String, DataFrame)] => DataFrame)
+      : Unit = {
+    val conf = ss.sparkContext.hadoopConfiguration
+    val commit = new org.apache.hadoop.fs.Path(
+      s"$countsDir/batch_id=$batchId")
+    val fs = commit.getFileSystem(conf)
+    if (fs.exists(commit)) return // fully-committed replayed delivery
+    val frames = framesOf
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$countsDir/_staged_$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+      graft.ops.Dedup.funnelCounts(frames)
+        .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val admitted = appendsAndAdmitted(frames)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$countsDir/_commit_$batchId")
+    ss.read.schema("stage INT, stage_name STRING, n_docs BIGINT")
+      .parquet(staged.toString)
+      .unionByName(graft.ops.Dedup.funnelCounts(
+        Seq((7, "manifest_append", admitted))))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, commit),
+      s"counts commit: could not move $tmp into place for " +
+        s"batch $batchId")
+    try fs.delete(staged, true)
+    catch { case _: java.io.IOException => () } // WAL is garbage now
+  }
+
+  /** The declared aggregation over the committed per-batch counts —
+    * no DISTINCT needed: write-once means exactly one file-set per
+    * batch, and leftover `_staged_`/`_commit_` dirs are invisible to
+    * the scan (underscore prefix). */
+  private[graft] def committedCountsReadBack(s: SparkSession,
+      countsDir: String): DataFrame =
     s.read.parquet(countsDir)
       .groupBy(col("stage"), col("stage_name"))
       .agg(sum(col("n_docs")).as("n_docs"))
       .orderBy(col("stage"))
-  }
 
   // O-137 (s24): the UNIFIED incremental funnel as a continuous
   // ingest pipeline — s23's chain with the near-dup screen upgraded
@@ -1120,7 +1185,7 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     val q = batchIn.writeStream
       .option("checkpointLocation", ephemeralCheckpointDir())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val ss = batch.sparkSession
           // the screen and the q61d steady-state update run FUSED
@@ -1132,43 +1197,43 @@ object Streams {
           // screen-then-update form ran the identical pruned cross
           // joins twice per micro-batch). Side inputs restricted to
           // the batch's ids (vec_id == doc_id identification; media
-          // re-keyed signatures).
-          val frames = graft.ops.Dedup.incrementalFunnelFrames(
-            ss, stores, batch,
-            ndScreen = Some(("unified_screen", (s2: DataFrame) => {
-              val ids = s2.select(col("doc_id"))
-              val drops = graft.ops.UnifiedClusters
-                .unifiedClusterStoreUpdateWithDrops(ss,
-                  s"$stores/unified", s2,
-                  graft.ops.Tables.embeddings(ss, d)
-                    .join(ids.withColumnRenamed("doc_id", "vec_id"),
-                      Seq("vec_id"), "left_semi"),
-                  graft.ops.Dedup.mediaBatchImgSigs(ss)
-                    .join(ids, Seq("doc_id"), "left_semi"),
-                  graft.ops.Dedup.mediaBatchAudSigs(ss)
-                    .join(ids, Seq("doc_id"), "left_semi"))
-              s2.join(drops, Seq("doc_id"), "left_anti")
-            })))
-          val exactSurv = frames(2)._3
-          graft.ops.Dedup.dedupIndexWriteHashes(
-            exactSurv.select(sha2(col("text").cast("binary"), 256)
-              .as("content_hash")), s"$stores/exact", "append")
-          // ledger twin of the exact append (see s23)
-          graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
-            s"$stores/hashes", mode = "append")
-          val admitted = graft.ops.Dedup.manifestAppendReadBack(
-            ss, stores, frames.last._3, frames.head._3)
-          graft.ops.Dedup
-            .funnelCounts(frames :+ ((7, "manifest_append", admitted)))
-            .write.mode("append").parquet(countsDir)
+          // re-keyed signatures). NOTE the fused update mutates the
+          // unified store DURING the frames computation — which is
+          // exactly why committedFunnelCounts WALs the frame counts
+          // and never recomputes them on a replayed delivery.
+          committedFunnelCounts(ss, countsDir, batchId)(
+            graft.ops.Dedup.incrementalFunnelFrames(
+              ss, stores, batch,
+              ndScreen = Some(("unified_screen", (s2: DataFrame) => {
+                val ids = s2.select(col("doc_id"))
+                val drops = graft.ops.UnifiedClusters
+                  .unifiedClusterStoreUpdateWithDrops(ss,
+                    s"$stores/unified", s2,
+                    graft.ops.Tables.embeddings(ss, d)
+                      .join(ids.withColumnRenamed("doc_id", "vec_id"),
+                        Seq("vec_id"), "left_semi"),
+                    graft.ops.Dedup.mediaBatchImgSigs(ss)
+                      .join(ids, Seq("doc_id"), "left_semi"),
+                    graft.ops.Dedup.mediaBatchAudSigs(ss)
+                      .join(ids, Seq("doc_id"), "left_semi"))
+                s2.join(drops, Seq("doc_id"), "left_anti")
+              })))
+          ) { frames =>
+            val exactSurv = frames(2)._3
+            graft.ops.Dedup.dedupIndexWriteHashes(
+              exactSurv.select(sha2(col("text").cast("binary"), 256)
+                .as("content_hash")), s"$stores/exact", "append")
+            // ledger twin of the exact append (see s23)
+            graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+              s"$stores/hashes", mode = "append")
+            graft.ops.Dedup.manifestAppendReadBack(
+              ss, stores, frames.last._3, frames.head._3)
+          }
         }
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(countsDir)
-      .groupBy(col("stage"), col("stage_name"))
-      .agg(sum(col("n_docs")).as("n_docs"))
-      .orderBy(col("stage"))
+    committedCountsReadBack(s, countsDir)
   }
 
   // O-130 (s21): ingest-time MANIFEST maintenance — the promotion
