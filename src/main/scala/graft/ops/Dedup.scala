@@ -3570,12 +3570,15 @@ object Dedup {
   // corpus-quadratic); the weld graph is pair-bounded; CC is the q61
   // star contraction; the non-canonical id set is pair-graph-bounded
   // and anti-joins broadcast (the q61b reasoning).
-  /** Non-canonical members (doc_id != component min) of the
-    * five-family weld graph RESTRICTED to `docs`' id set — pairs with
-    * an endpoint outside the surviving corpus cannot drop a survivor
-    * (their doc is already gone; banding is pair-local, so filtering
-    * vectors/pairs to the id set commutes with pair generation). */
-  private[graft] def unifiedNonCanonical(docs: DataFrame, emb: DataFrame,
+  /** Connected components of the five-family weld graph RESTRICTED to
+    * `docs`' id set — pairs with an endpoint outside the surviving
+    * corpus cannot drop a survivor (their doc is already gone;
+    * banding is pair-local, so filtering vectors/pairs to the id set
+    * commutes with pair generation). Shared by the two ship rules:
+    * min-id ([[unifiedNonCanonical]], q87f) and quality-elected
+    * ([[unifiedNonElected]], q87i). */
+  private[graft] def unifiedWeldComponents(docs: DataFrame,
+      emb: DataFrame,
       imgPairs: DataFrame, audPairs: DataFrame): DataFrame = {
     val ids = materializeBounded(docs.select(col("doc_id")))
     val embR = emb.join(ids.withColumnRenamed("doc_id", "vec_id"),
@@ -3593,7 +3596,33 @@ object Dedup {
       .unionByName(restrict(imgPairs.select(col("doc_a"), col("doc_b"))))
       .unionByName(restrict(audPairs.select(col("doc_a"), col("doc_b"))))
     connectedComponents(materializeBounded(fams.distinct()))
+  }
+
+  private[graft] def unifiedNonCanonical(docs: DataFrame, emb: DataFrame,
+      imgPairs: DataFrame, audPairs: DataFrame): DataFrame =
+    unifiedWeldComponents(docs, emb, imgPairs, audPairs)
       .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+
+  // O-139 CONSUMED (round 17, VERDICT r16 #7): the q87i ship rule.
+  // q61e's quality election existed but every funnel still shipped
+  // min-id representatives; here the unified-dedup stage keeps each
+  // weld component's LONGEST member (q62's token rule, tie -> min id
+  // — the qualityCanonical election, one definition) instead of its
+  // min id: "ship the best copy", which is what a curation team
+  // actually wants from a near-dup group. Same weld graph, same
+  // bounded shapes — the election adds one pair-graph-bounded window
+  // and a token count computed only over cluster MEMBERS.
+  /** Drop ids = every weld-component member EXCEPT the
+    * quality-elected one. */
+  private[graft] def unifiedNonElected(docs: DataFrame, emb: DataFrame,
+      imgPairs: DataFrame, audPairs: DataFrame): DataFrame = {
+    val cc = materializeBounded(
+      unifiedWeldComponents(docs, emb, imgPairs, audPairs))
+    val elected = qualityCanonical(docs, cc)
+      .select(col("cluster_id"), col("canonical_id"))
+    cc.join(elected, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
   }
 
@@ -3603,6 +3632,22 @@ object Dedup {
     val aud = graft.functions.Multimodal.audioEhashPairs(s)
     extendedFunnelShared(s, d, None, Some(("unified_dedup",
       (surv: DataFrame) => unifiedNonCanonical(surv, emb, img, aud))))
+  }
+
+  /** Declared O-139-consumption binding: q87f's funnel with the ship
+    * rule swapped to the quality election — each weld component keeps
+    * its LONGEST member. The stage counts are identical to q87f by
+    * construction (one kept member per component either way); the
+    * DIFFERENCE is which documents flow on, which the downstream
+    * stages see: a long member can pass the quality screen where the
+    * truncated min-id copy failed (or vice versa), so the later
+    * stage counts diverge where the election mattered. */
+  def q87iFunnelElected(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val img = graft.functions.Multimodal.imageAhashPairs(s)
+    val aud = graft.functions.Multimodal.audioEhashPairs(s)
+    extendedFunnelShared(s, d, None, Some(("unified_elected",
+      (surv: DataFrame) => unifiedNonElected(surv, emb, img, aud))))
   }
 
   def q61cUnifiedCanonical(s: SparkSession, d: String): DataFrame =
@@ -3703,6 +3748,7 @@ object Dedup {
     "q87d_funnel_multimodal" -> (q87dFunnelMultimodal _),
     "q87e_incremental_funnel" -> (q87eIncrementalFunnel _),
     "q87f_funnel_unified" -> (q87fFunnelUnified _),
+    "q87i_funnel_elected" -> (q87iFunnelElected _),
     "q87g_unified_inc_funnel" -> (q87gUnifiedIncFunnel _),
     "q87h_retracted_funnel" -> (q87hRetractedFunnel _),
     "q36_near_dup" -> (q36NearDup _),
@@ -4056,18 +4102,47 @@ object Dedup {
     extFunnelOracleSql(if (withAttachment) "attachment" else "base")
 
   /** @param variant "base" (q87c), "attachment" (q87d — perceptual
-    *   drop stage after the text near-dup), or "unified" (q87f —
+    *   drop stage after the text near-dup), "unified" (q87f —
     *   round 15: the text near-dup stage REPLACED by the five-family
     *   weld set, unifiedFamiliesCcSql restricted to the stage-2
-    *   survivors, non-canonical members dropping). base/attachment
-    *   output is byte-identical to the pre-variant generator. */
+    *   survivors, non-canonical members dropping), or "elected"
+    *   (q87i — round 17: the same weld set shipping each component's
+    *   quality-ELECTED member, q61e's longest-member/tie-min rule).
+    *   base/attachment output is byte-identical to the pre-variant
+    *   generator. */
   private def extFunnelOracleSql(variant: String): String = {
     val withAttachment = variant == "attachment"
-    val unified = variant == "unified"
+    val unified = variant == "unified" || variant == "elected"
     val r = if (withAttachment || unified) "RECURSIVE " else ""
     val ndOut = if (withAttachment) "s3b" else "s3"
     val off = if (withAttachment) 1 else 0
-    val ndStage = if (unified) "unified_dedup" else "near_dup"
+    val ndStage = variant match {
+      case "unified" => "unified_dedup"
+      case "elected" => "unified_elected"
+      case _ => "near_dup"
+    }
+    // the drop rule over the weld components: min-id keeps the
+    // component root; "elected" keeps the longest member (token rule
+    // = q62's, over the SCRUBBED s2 text both engines tokenize)
+    val unddropSql =
+      if (variant == "elected")
+        s"""tk87 AS (
+           |  SELECT doc_id, CAST(len($qtoksSql) AS INT) AS n_tokens
+           |  FROM s2),
+           |elect87 AS (
+           |  SELECT cluster_id, doc_id AS win FROM (
+           |    SELECT m.cluster_id, m.id AS doc_id,
+           |      row_number() OVER (PARTITION BY m.cluster_id
+           |        ORDER BY t.n_tokens DESC, m.id) AS rn
+           |    FROM comp m JOIN tk87 t ON t.doc_id = m.id) WHERE rn = 1),
+           |unddrop AS MATERIALIZED (
+           |  SELECT c.id AS doc_id FROM comp c
+           |  JOIN elect87 e USING (cluster_id)
+           |  WHERE c.id <> e.win)""".stripMargin
+      else
+        """unddrop AS MATERIALIZED (
+          |  SELECT id AS doc_id FROM comp WHERE id <> cluster_id)"""
+          .stripMargin
     val ndCtes =
       if (!unified)
         s"""${shingleSqlFor("(SELECT doc_id, text FROM s2)", "R")},
@@ -4088,8 +4163,7 @@ object Dedup {
         s"""${unifiedFamiliesCcSql(
                "(SELECT doc_id, lang, source, n_chars, text FROM s2)",
                restrictRel = Some("s2"))},
-         |unddrop AS MATERIALIZED (
-         |  SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
+         |$unddropSql,
          |s3 AS MATERIALIZED (
          |  SELECT * FROM s2 f WHERE NOT EXISTS
          |    (SELECT 1 FROM unddrop n WHERE n.doc_id = f.doc_id))"""
@@ -5247,6 +5321,7 @@ $attCtes         |tkR AS (SELECT doc_id, $qtoksSql AS w FROM $ndOut),
     // five-family unified weld set (unifiedFamiliesCcSql over the
     // stage-2 survivors, non-canonical members dropping)
     "q87f_funnel_unified" -> extFunnelOracleSql("unified"),
+    "q87i_funnel_elected" -> extFunnelOracleSql("elected"),
     // q87b: the funnel CTEs + the q101 affinity/quota stack over
     // (src0 target slice UNION stage-5 survivors) + the selection
     // count as stage 6 — one oracle composed from the two shared
