@@ -3419,6 +3419,13 @@ object Dedup {
       batchIds: DataFrame): DataFrame = {
     manifestWrite(admitted, s"$stores/manifest", mode = "append")
     manifestCompact(s, s"$stores/manifest")
+    // the hash ledger compacts at the same gate point (round 17): the
+    // stream steady state appends one file-set per batch into its
+    // touched hb buckets, the same growth every bucket family bounds
+    if (new org.apache.hadoop.fs.Path(s"$stores/hashes")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$stores/hashes")))
+      hashLedgerCompact(s, stores): Unit
     val kbs = batchIds
       .select(pmod(xxhash64(col("doc_id")), lit(64)).cast("int").as("kb"))
       .distinct().collect().map(_.getInt(0))

@@ -201,6 +201,84 @@ object ScaleProbe {
     println(s"[scale] inc store files: exact=${pqFiles(s"$incStore/exact")}" +
       s" neardup=${pqFiles(s"$incStore/neardup")}" +
       s" manifest=${pqFiles(s"$incStore/manifest")}")
+
+    // -- 6. round-17 paths (verdict r16 #5): the retraction family
+    //       and the unified-funnel steady state — the two paths
+    //       added in rounds 16-17 without scale evidence ------------
+    // (a) q87h-style funnel-store retraction: 1% of the standing
+    //     corpus deleted from the §5c stores (which carry the round-17
+    //     hash ledger, so the carrier lookup is hb-pruned — no corpus
+    //     text rescan; text reads only for deleted + promoted docs)
+    val delCut = dStride * mult / 100L
+    val scrubbed95 = graft.ops.TextAnalysis.piiScrubText(
+      allDocs.filter(col("doc_id") < dCut)).localCheckpoint()
+    timed("incfunnel.retract (1% of standing corpus)") {
+      graft.ops.Dedup.incrementalStoresRetract(spark, incStore,
+        scrubbed95,
+        allDocs.filter(col("doc_id") < delCut).select(col("doc_id")))
+    }
+    println("[scale] inc store files after retract: " +
+      s"exact=${pqFiles(s"$incStore/exact")}" +
+      s" neardup=${pqFiles(s"$incStore/neardup")}" +
+      s" manifest=${pqFiles(s"$incStore/manifest")}" +
+      s" hashes=${pqFiles(s"$incStore/hashes")}")
+    // (b) q61f-style unified-store retraction against the §2 store:
+    //     the same 1% doc/vector slice plus the media signatures in
+    //     range — touched buckets only, CC re-run over touched
+    //     components' surviving edges
+    timed("uni.retract (1% docs + vectors, in-range media sigs)") {
+      graft.ops.UnifiedClusters.unifiedClusterStoreRetract(spark, store,
+        allDocs.filter(col("doc_id") < delCut),
+        allEmb.filter(col("vec_id") < delCut),
+        imgSigs.filter(col("doc_id") < 10),
+        audSigs.filter(col("doc_id") < 10))
+    }
+    val nClustersAfter = timed("uni.readback after retract") {
+      graft.ops.UnifiedClusters.unifiedClustersFromStore(spark, store)
+        .count()
+    }
+    println(s"[scale] unified clusters after retract: $nClustersAfter" +
+      s" (was $nClusters)")
+    // (c) the q87g/s24 steady state: ONE daily batch admitted through
+    //     the five-family unified screen against a standing store
+    //     built over the 95% slice — the fused screen+update
+    val uniInc = s"$work/uni_inc_store"
+    timed("unifunnel.store_build (95% corpus, unified nd-store)") {
+      graft.ops.Dedup.incrementalStoresBuildFrom(spark,
+        allDocs.filter(col("doc_id") < dCut), uniInc) { surv =>
+        val survIds = surv.select(col("doc_id"))
+        graft.ops.UnifiedClusters.unifiedClusterStoreWrite(
+          surv,
+          allEmb.filter(col("vec_id") < vCut)
+            .join(survIds.withColumnRenamed("doc_id", "vec_id"),
+              Seq("vec_id"), "left_semi"),
+          imgSigs.join(survIds, Seq("doc_id"), "left_semi"),
+          audSigs.join(survIds, Seq("doc_id"), "left_semi"),
+          s"$uniInc/unified")
+      }
+    }
+    val uniStages =
+      timed("unifunnel.admission (5% batch + 1% re-keys, fused)") {
+        val frames = graft.ops.Dedup.incrementalFunnelFrames(spark,
+          uniInc, batchDocs,
+          ndScreen = Some(("unified_screen", (s2: DataFrame) => {
+            val ids = s2.select(col("doc_id"))
+            val drops = graft.ops.UnifiedClusters
+              .unifiedClusterStoreUpdateWithDrops(spark,
+                s"$uniInc/unified", s2,
+                allEmb.join(ids.withColumnRenamed("doc_id", "vec_id"),
+                  Seq("vec_id"), "left_semi"),
+                imgSigs.join(ids, Seq("doc_id"), "left_semi"),
+                audSigs.join(ids, Seq("doc_id"), "left_semi"))
+            s2.join(drops, Seq("doc_id"), "left_anti")
+          })))
+        val admitted = graft.ops.Dedup.manifestAppendReadBack(spark,
+          uniInc, frames.last._3, frames.head._3)
+        graft.ops.Dedup.funnelCounts(
+          frames :+ ((7, "manifest_append", admitted))).collect()
+      }
+    uniStages.foreach(r =>
+      println(s"[scale]   uni admission ${r.mkString(" ")}"))
     spark.stop()
   }
 }
