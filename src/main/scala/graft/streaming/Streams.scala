@@ -1065,9 +1065,11 @@ object Streams {
     * rows), so they must never reach the sink. Protocol:
     *  1. the batch's commit partition (`batch_id=N`) exists => the
     *     batch fully committed — do nothing at all;
-    *  2. WAL the read-only frame counts to an underscore-prefixed
-    *     staging dir BEFORE any store append (underscore => invisible
-    *     to the read-back scan; a complete earlier WAL — `_SUCCESS`
+    *  2. WAL the read-only frame counts to a SIBLING `<countsDir>_wal`
+    *     dir BEFORE any store append (outside countsDir => invisible
+    *     to the read-back scan, and explicit reads stay
+    *     warning-free — an underscore-prefixed child would be
+    *     listing-filtered; a complete earlier WAL — `_SUCCESS`
     *     present — is REUSED on replay, because its values are the
     *     pre-mutation truth a replay cannot recompute);
     *  3. the caller runs its idempotent appends and returns the
@@ -1093,13 +1095,13 @@ object Streams {
     if (fs.exists(commit)) return // fully-committed replayed delivery
     val frames = framesOf
     val staged = new org.apache.hadoop.fs.Path(
-      s"$countsDir/_staged_$batchId")
+      s"${countsDir}_wal/staged_$batchId")
     if (!fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
       graft.ops.Dedup.funnelCounts(frames)
         .coalesce(1).write.mode("overwrite").parquet(staged.toString)
     val admitted = appendsAndAdmitted(frames)
     val tmp = new org.apache.hadoop.fs.Path(
-      s"$countsDir/_commit_$batchId")
+      s"${countsDir}_wal/commit_$batchId")
     ss.read.schema("stage INT, stage_name STRING, n_docs BIGINT")
       .parquet(staged.toString)
       .unionByName(graft.ops.Dedup.funnelCounts(
@@ -1114,8 +1116,8 @@ object Streams {
 
   /** The declared aggregation over the committed per-batch counts —
     * no DISTINCT needed: write-once means exactly one file-set per
-    * batch, and leftover `_staged_`/`_commit_` dirs are invisible to
-    * the scan (underscore prefix). */
+    * batch, and the WAL lives in the sibling `<countsDir>_wal` dir
+    * the scan never touches. */
   private[graft] def committedCountsReadBack(s: SparkSession,
       countsDir: String): DataFrame =
     s.read.parquet(countsDir)
