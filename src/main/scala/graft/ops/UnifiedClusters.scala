@@ -156,7 +156,7 @@ object UnifiedClusters {
 
   // ---- per-family index rows (batch and build share these) ---------
   /** Shingle index rows with the 64-way h-hash bucket. */
-  private def shingleRowsOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame =
     Dedup.hashedShinglesWithCount(docs)
       .withColumn("kb", pmod(col("h"), lit(64)).cast("int"))
 
@@ -165,7 +165,7 @@ object UnifiedClusters {
     * (they feed the self-pair verify and the emb_vec append without a
     * second quantize pass); only the PERSISTED band table is slimmed
     * to (vec_id, band, bkey, kb) — layout v2, round 14. */
-  private def lshRowsOf(emb: DataFrame): DataFrame =
+  private[graft] def lshRowsOf(emb: DataFrame): DataFrame =
     Similarity.lshBandRows(emb.filter(col("vec_id").isNotNull))
       .withColumn("kb",
         pmod(xxhash64(col("band"), col("bkey")), lit(64)).cast("int"))
@@ -173,12 +173,12 @@ object UnifiedClusters {
   /** One (vec_id, qe, kv) row per vector, derived from materialized
     * band rows (no re-read of the raw float table): the emb_vec side
     * table's rows, co-bucketed by pmod(vec_id, 64). */
-  private def vecRowsOf(lshRows: DataFrame): DataFrame =
+  private[graft] def vecRowsOf(lshRows: DataFrame): DataFrame =
     lshRows.groupBy(col("vec_id")).agg(first(col("qe")).as("qe"))
       .withColumn("kv", pmod(col("vec_id"), lit(64)).cast("int"))
 
   /** Sig-family band rows with [[Multimodal.sigIndexWrite]]'s bucket. */
-  private def sigRowsOf(sigs: DataFrame, sigCol: String,
+  private[graft] def sigRowsOf(sigs: DataFrame, sigCol: String,
       scheme: BandScheme): DataFrame =
     Dedup.bandChunkRows(sigs.filter(col("doc_id").isNotNull), sigCol,
         scheme.nBands, scheme.bits)
@@ -219,7 +219,7 @@ object UnifiedClusters {
     * ANY duplication, restoring the family's "duplicates are merely
     * unreclaimed bytes" contract; on clean stores the two counts are
     * identical (per-doc shingles are distinct by construction). */
-  private def shinglePairs(self: Boolean)(x: DataFrame,
+  private[graft] def shinglePairs(self: Boolean)(x: DataFrame,
       y: DataFrame): DataFrame =
     x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"), col("x.h") === col("y.h"))
@@ -235,7 +235,7 @@ object UnifiedClusters {
 
   /** Banded-hamming pairs between two sig-family band tables (the
     * [[Dedup.bandedHammingPairs]] rule over stored rows). */
-  private def sigPairs(sigCol: String, scheme: BandScheme,
+  private[graft] def sigPairs(sigCol: String, scheme: BandScheme,
       self: Boolean)(x: DataFrame, y: DataFrame): DataFrame =
     x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"),
@@ -251,7 +251,7 @@ object UnifiedClusters {
   /** Sign-LSH band-collision pairs with the quantized-dot verify
     * INSIDE the join — both sides IN-MEMORY band rows carrying qe
     * (build-time corpus self pairs and intra-batch self pairs). */
-  private def lshSelfPairs(x: DataFrame): DataFrame =
+  private[graft] def lshSelfPairs(x: DataFrame): DataFrame =
     x.as("x").hint("shuffle_hash")
       .join(x.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&
@@ -290,7 +290,7 @@ object UnifiedClusters {
     * the update's emb_vec append, so the groupBy runs once per
     * merge; review finding), and the same NdMinDot dot verify — now
     * over O(candidates) rows instead of riding every band row. */
-  private def lshCrossPairs(s: SparkSession, store: String,
+  private[graft] def lshCrossPairs(s: SparkSession, store: String,
       prunedIdx: DataFrame, batch: DataFrame,
       batchVec: DataFrame): DataFrame = {
     val cand = materializeBounded(lshCrossCandidates(prunedIdx, batch))
@@ -453,7 +453,7 @@ object UnifiedClusters {
   /** The five families' MATERIALIZED batch index rows (each feeds the
     * bucket-prune collect, the verify joins, and the persisting
     * append — one signature/decode pass per family per merge). */
-  private def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
+  private[graft] def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): Seq[DataFrame] = {
     val five = inParallel(Seq(
       () => materializeBounded(shingleRowsOf(batchDocs)),
