@@ -173,12 +173,14 @@ object Dedup {
       .withColumn("content_hash", sha2(col("text").cast("binary"), 256))
       .withColumn("bucket",
         pmod(xxhash64(col("content_hash")), lit(64)).cast("int"))
-    val batchFirst = hashed
+    // batch-first rows materialized WITH their bucket set observed in
+    // the same job (round 17, materializeWithKeys): the bucket collect
+    // used to re-run the hash+window pass, and the anti-join below ran
+    // it a third time — now one pass feeds both
+    val (batchFirst, buckets) = materializeWithKeys(hashed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
-    val buckets = batchFirst.select(col("bucket"))
-      .distinct().collect().map(_.getInt(0)) // bounded by the 64 buckets
+      .filter(col("rn") === 1), "bucket")
     // SCHEMA'D read (ADVICE r16): a retraction (incrementalStoresRetract)
     // can legitimately empty EVERY exact bucket, and a partitioned table
     // with zero rows keeps no schema-bearing files — post-retraction
@@ -361,16 +363,18 @@ object Dedup {
     // collect, the cross-store join, and both intra-join sides — an
     // unmaterialized plan re-ran the whole signature pipeline for the
     // collect (measured ~1s of the query at sf0.1)
-    val batchBands = materializeBounded(bandRows(q36bSig(batch))
+    // touched buckets collected via the materialization's own observe
+    // (round 17, materializeWithKeys) — one job instead of two
+    val (batchBands, keys) = materializeWithKeys(bandRows(q36bSig(batch))
       .withColumn("kb",
-        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
+        pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")), "kb")
     // codegen agreement count (round-10): the previous
     // aggregate(zip_with(...)) form was an interpreted CodegenFallback
     // lambda per candidate pair — see LongArrayEqCount scaladoc
     val nMatch = graft.functions.LongArrayEqCount(
       col("x.mins"), col("y.mins"))
-    val keys = batchBands.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
+    // per-branch DISTINCTs skipped: the union's DISTINCT below
+    // subsumes them (round 17)
     val crossHit =
       if (keys.isEmpty) batch.select(col("doc_id")).limit(0)
       else {
@@ -380,14 +384,14 @@ object Dedup {
             col("x.band") === col("y.band") &&
               col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2"))
           .filter(nMatch * 2 >= NHashes)
-          .select(col("y.doc_id").as("doc_id")).distinct()
+          .select(col("y.doc_id").as("doc_id"))
       }
     val intraHit = batchBands.as("x").hint("shuffle_hash")
       .join(batchBands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.k1") === col("y.k1") &&
           col("x.k2") === col("y.k2") && col("x.doc_id") < col("y.doc_id"))
       .filter(nMatch * 2 >= NHashes)
-      .select(col("y.doc_id").as("doc_id")).distinct()
+      .select(col("y.doc_id").as("doc_id"))
     batch
       .join(crossHit.unionByName(intraHit).distinct(),
         Seq("doc_id"), "left_anti")
@@ -693,12 +697,17 @@ object Dedup {
       standingEdges: DataFrame, clusters: DataFrame,
       torn: Boolean): (DataFrame, DataFrame) = {
     if (torn) {
-      val allEdges = materializeBounded(
+      // edge tables are strict doc_a < doc_b by construction, so the
+      // materialized union satisfies connectedComponentsMaterialized's
+      // no-self-pair leaf contract; the count rides the
+      // materialization (round 17 — the public wrapper would
+      // re-materialize this leaf a second time)
+      val (allEdges, nAll) = materializeWithCount(
         newEdges.unionByName(standingEdges).distinct())
       return (clusters.limit(0)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("is_canonical"), col("kb")),
-        connectedComponents(allEdges)
+        connectedComponentsMaterialized(allEdges, nAll)
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             col("is_canonical")))
     }
@@ -718,9 +727,13 @@ object Dedup {
     // internal self-union over a live nested-union+semi-join lineage
     // trips Union constraint rewriting (observed NoSuchElementException
     // in UnionBase.rewriteConstraints) — a leaf input sidesteps it and
-    // is the CC convention anyway
-    val subCc = connectedComponents(materializeBounded(
-      newEdges.unionByName(touchedEdges).distinct()))
+    // is the CC convention anyway. Both edge inputs are strict
+    // doc_a < doc_b, so the leaf meets the Materialized variant's
+    // no-self-pair contract and its count rides the materialization
+    // (round 17 — the public wrapper re-materialized this leaf)
+    val (subPairs, nSub) = materializeWithCount(
+      newEdges.unionByName(touchedEdges).distinct())
+    val subCc = connectedComponentsMaterialized(subPairs, nSub)
     // keep the kb partition column on the untouched rows: the pruned
     // persist path filters on it (partition-pruned label scan), the
     // read-only merge drops it
@@ -780,10 +793,11 @@ object Dedup {
       newDocs: DataFrame): Unit = {
     val (batchBands, newEdges, untouched, relabeled) =
       clusterMergeParts(s, store, newDocs)
-    val dirty = materializeBounded(
-      relabeled.withColumn("kb", clusterBucket(col("doc_id"))))
-    val buckets = dirty.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64, the corpusMerge convention
+    // dirty buckets via the materialization's own observe (round 17,
+    // materializeWithKeys) — <= 64 ints, the corpusMerge convention,
+    // one job instead of two
+    val (dirty, buckets) = materializeWithKeys(
+      relabeled.withColumn("kb", clusterBucket(col("doc_id"))), "kb")
     val tmp = s"$store/clusters_staging"
     // stage the dirty buckets' new content FIRST (it reads the live
     // label table); the band/edge appends then run before the swap so
@@ -1949,19 +1963,64 @@ object Dedup {
     // and delete it after the run), and setCheckpointDir is
     // SparkContext-global, so later checkpoint() calls in the same
     // session also land there.
-    val ss = pairs.sparkSession
-    val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
-    ckptDir.foreach(ss.sparkContext.setCheckpointDir)
-    val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    def timed[T](what: String)(body: => T): T = {
+    //
+    // pair count as an OBSERVED metric (round 17): the size-dispatch
+    // compare used to run a separate count() job after the
+    // materialization; observe() fills the same number during the
+    // materialization job itself — one scheduler round saved on EVERY
+    // CC invocation (the merge/build/retract paths all funnel here).
+    // Reliable-checkpoint caveat (the observedSum contract below):
+    // checkpoint() executes the plan twice, so the observed count
+    // reads ~2x there — which only ever routes borderline graphs
+    // (localThreshold/2 .. localThreshold pairs) to the distributed
+    // path, the safe direction, and both paths are exact.
+    val pairs0Plan = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .observe("cc_pair_count", count(lit(1)).as("n"))
+    val pairs0 = ccTimed("pairs")(ccMaterialize(pairs.sparkSession,
+      pairs0Plan))
+    val pairCount = {
+      val row = pairs0Plan.queryExecution.observedMetrics("cc_pair_count")
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    connectedComponentsMaterialized(pairs0, pairCount)
+  }
+
+  private def ccTimed[T](what: String)(body: => T): T = {
+    if (!sys.env.contains("GRAFT_CC_DEBUG")) body
+    else {
       val t0 = System.nanoTime()
       val r = body
-      if (debug) System.err.println(s"[graft.cc] $what " +
+      System.err.println(s"[graft.cc] $what " +
         s"${(System.nanoTime() - t0) / 1000000} ms")
       r
     }
-    def materialize(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
+  private def ccMaterialize(ss: SparkSession, df: DataFrame): DataFrame = {
+    val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(ss.sparkContext.setCheckpointDir)
+    if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
+  /** [[connectedComponents]] over an ALREADY-MATERIALIZED canonical
+    * pair table (round 17). Contract: `pairs0` is a materialized leaf
+    * (checkpoint/localCheckpoint) of exactly (doc_a, doc_b) rows with
+    * no self-pairs — the shape every store protocol's edge tables
+    * already have (strict doc_a < doc_b canonicalization) — and
+    * `pairCount` is its row count (observed during the caller's own
+    * materialization, [[materializeWithCount]]). The public wrapper
+    * used to re-materialize such inputs a second time just to apply a
+    * no-op self-pair filter and count — one full job per CC call on
+    * the relabel and retraction paths, now skipped. */
+  private[graft] def connectedComponentsMaterialized(pairs0: DataFrame,
+      pairCount: Long): DataFrame = {
+    val ss = pairs0.sparkSession
+    val ckptDir = ss.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(ss.sparkContext.setCheckpointDir)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[T](what: String)(body: => T): T = ccTimed(what)(body)
+    def materialize(df: DataFrame): DataFrame = ccMaterialize(ss, df)
     // SMALL-GRAPH FAST PATH (round 10). Below a size threshold the
     // distributed loops' cost is pure scheduler-round latency
     // (~0.3-0.5s per materialized round, 4-6 rounds — the measured
@@ -1980,13 +2039,11 @@ object Dedup {
     // retune) via spark.graft.cc.localThreshold; an explicitly set
     // spark.graft.cc.algo also bypasses it (see below).
     //
-    // doc_a != doc_b here makes the node-domain contract identical
-    // across all three paths: a self-pair carries no connectivity and
-    // registers no node (asserted on random graphs with planted
-    // self-loops in PropertiesSpec).
-    val pairs0 = timed("pairs")(materialize(
-      pairs.filter(col("doc_a") =!= col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))))
+    // doc_a != doc_b (applied in the public wrapper) makes the
+    // node-domain contract identical across all three paths: a
+    // self-pair carries no connectivity and registers no node
+    // (asserted on random graphs with planted self-loops in
+    // PropertiesSpec).
     val localThreshold = ss.conf
       .getOption("spark.graft.cc.localThreshold")
       .map(_.toLong).getOrElse(100000L)
@@ -1996,7 +2053,7 @@ object Dedup {
     // having to know about localThreshold
     val algoConf = ss.conf.getOption("spark.graft.cc.algo")
     if (algoConf.isEmpty && localThreshold > 0 &&
-        pairs0.count() <= localThreshold)
+        pairCount <= localThreshold)
       return timed("local")(ccFinish(localCcLabels(ss, pairs0)))
     // Algorithm switch (VERDICT r6/r7: the jump loop is at its measured
     // floor — 5 x ~0.42s scheduler rounds + labels0 — so the round-count
@@ -2484,6 +2541,43 @@ object Dedup {
         ss.conf.get("spark.graft.cc.checkpointDir"))
       df.checkpoint()
     } else df.localCheckpoint()
+  }
+
+  /** [[materializeBounded]] that ALSO returns the row count, observed
+    * during the materialization job itself (round 17) — for callers
+    * that feed [[connectedComponentsMaterialized]], whose size
+    * dispatch needs the count without a second job. Reliable
+    * checkpoint() executes the plan twice and doubles the observed
+    * count — see the CC dispatch comment for why that only ever
+    * routes borderline graphs the safe (distributed) way. */
+  private[graft] def materializeWithCount(
+      df: DataFrame): (DataFrame, Long) = {
+    val plan = df.observe("graft_count", count(lit(1)).as("n"))
+    val m = materializeBounded(plan)
+    val row = plan.queryExecution.observedMetrics("graft_count")
+    (m, if (row.isNullAt(0)) 0L else row.getLong(0))
+  }
+
+  /** [[materializeBounded]] that ALSO returns the distinct values of
+    * an INT key column, collected via observe() DURING the
+    * materialization job itself (round 17): the store protocols'
+    * recurring "materialize, then run a second job to collect the
+    * touched bucket ids" shape pays one scheduler round where one
+    * suffices — the collect_set fills alongside the checkpoint the
+    * way the CC loop's label-sum does. Key domains here are bucket
+    * ids (<= 64 values), far under any aggregation-buffer concern;
+    * reliable checkpoint()'s double execution only re-unions the same
+    * set. Returns keys SORTED so downstream static-IN filters and
+    * file layouts stay deterministic (collect_set order is not). */
+  private[graft] def materializeWithKeys(df: DataFrame,
+      keyCol: String): (DataFrame, Seq[Int]) = {
+    val plan = df.observe(s"graft_keys_$keyCol",
+      collect_set(col(keyCol).cast("int")).as("ks"))
+    val m = materializeBounded(plan)
+    val row = plan.queryExecution.observedMetrics(s"graft_keys_$keyCol")
+    val keys = if (row.isNullAt(0)) Seq.empty[Int]
+      else row.getSeq[Int](0).sorted
+    (m, keys)
   }
 
   /** @param imgPairs the image family's (doc_a, doc_b) perceptual
@@ -3297,9 +3391,10 @@ object Dedup {
   private[graft] def retractBucketRewrite(s: SparkSession, path: String,
       pruned: DataFrame, bucketCol: String, keys: Seq[Int],
       ordCols: Seq[String]): Unit = {
-    val rewritten = materializeBounded(pruned)
-    val survived = rewritten.select(col(bucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // surviving buckets via the materialization's own observe (round
+    // 17, materializeWithKeys) — one job instead of two per rewrite
+    val (rewritten, survivedKeys) = materializeWithKeys(pruned, bucketCol)
+    val survived = survivedKeys.toSet
     if (survived.nonEmpty)
       rewritten.repartition(survived.size, col(bucketCol))
         .sortWithinPartitions((bucketCol +: ordCols).map(col): _*)
@@ -3602,7 +3697,11 @@ object Dedup {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .unionByName(restrict(imgPairs.select(col("doc_a"), col("doc_b"))))
       .unionByName(restrict(audPairs.select(col("doc_a"), col("doc_b"))))
-    connectedComponents(materializeBounded(fams.distinct()))
+    // all five family rules emit strict doc_a < doc_b, so the
+    // materialized leaf meets connectedComponentsMaterialized's
+    // contract; the count rides the materialization (round 17)
+    val (pairs0, n) = materializeWithCount(fams.distinct())
+    connectedComponentsMaterialized(pairs0, n)
   }
 
   private[graft] def unifiedNonCanonical(docs: DataFrame, emb: DataFrame,

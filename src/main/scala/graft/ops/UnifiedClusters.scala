@@ -109,7 +109,7 @@ object UnifiedClusters {
     * letting sibling append jobs land AFTER the caller unwound — the
     * crash-window analysis assumes the store is quiescent at
     * exception time, so the await must be unconditional). */
-  private def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+  private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ParallelEc
@@ -126,9 +126,15 @@ object UnifiedClusters {
     }
     done.map(_.get)
   }
+  // 6 threads (round 17, was 4): every inParallel site here submits
+  // 5 or 6 mutually independent jobs (five family pipelines + the
+  // emb_vec side table on the write paths), and a 4-thread pool ran
+  // them as two waves — the second wave's jobs idled behind the
+  // first's stragglers. One wave of 6 lets the scheduler interleave
+  // them; same posture on a cluster (guide §2.6 back-fill).
   private lazy val ParallelEc =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(4,
+      java.util.concurrent.Executors.newFixedThreadPool(6,
         (r: Runnable) => {
           val t = new Thread(r, "graft-uni-store")
           t.setDaemon(true)
@@ -209,35 +215,56 @@ object UnifiedClusters {
     if (self) col(xid) < col(yid) else col(xid) =!= col(yid)
 
   /** Exact-Jaccard >= 0.5 pairs between two shingle index tables.
-    * The intersection is a DISTINCT-h count, not a row count (round-13
-    * review finding): the standing index is append-replayed under the
-    * at-least-once posture, and a row-counted `inter` over duplicated
-    * rows inflates while the carried n_a/n_b stay true — enough to
-    * push a sub-threshold pair over 0.5 and weld clusters PERMANENTLY
-    * (edges are persisted; compaction reclaims duplicate index rows
-    * but never wrong edges). With distinct-h the verify is exact over
-    * ANY duplication, restoring the family's "duplicates are merely
-    * unreclaimed bytes" contract; on clean stores the two counts are
-    * identical (per-doc shingles are distinct by construction). */
-  private[graft] def shinglePairs(self: Boolean)(x: DataFrame,
-      y: DataFrame): DataFrame =
-    x.as("x").hint("shuffle_hash")
+    * CROSS sets count the intersection as a DISTINCT-h count, not a
+    * row count (round-13 review finding): the standing index is
+    * append-replayed under the at-least-once posture, and a
+    * row-counted `inter` over duplicated rows inflates while the
+    * carried n_a/n_b stay true — enough to push a sub-threshold pair
+    * over 0.5 and weld clusters PERMANENTLY (edges are persisted;
+    * compaction reclaims duplicate index rows but never wrong edges).
+    * With distinct-h the verify is exact over ANY duplication,
+    * restoring the family's "duplicates are merely unreclaimed
+    * bytes" contract.
+    *
+    * SELF sets (round 17) count rows: both sides are the same
+    * freshly-computed materialization, whose (doc_id, h) rows are
+    * distinct by construction (hashedShingleExpr array_distincts the
+    * per-doc hash array before the explode — never a replayed store
+    * read), so each shared h contributes exactly one join row and
+    * count == distinct-count. The distinct aggregate costs a second
+    * aggregation level over the join output (the merge profile's
+    * largest intermediate: ~1.2M rows at sf0.1, hashed on a 5-column
+    * key before the group-key exchange) — a plain count drops that
+    * level, and the groupBy already emits one row per (a, b), so the
+    * trailing canonicalize-DISTINCT is also a no-op for self sets
+    * (x.doc_id < y.doc_id fixes the orientation). */
+  private[graft] def shinglePairs(self: Boolean,
+      dedup: Boolean = true)(x: DataFrame,
+      y: DataFrame): DataFrame = {
+    val grouped = x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"), col("x.h") === col("y.h"))
       .filter(idGuard(self, "x.doc_id", "y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.c").as("n_a"), col("y.c").as("n_b"))
-      .agg(countDistinct(col("x.h")).as("inter"))
+      .agg((if (self) count(lit(1)) else countDistinct(col("x.h")))
+        .as("inter"))
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter"))
         >= 0.5)
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
-      .distinct()
+    if (self || !dedup) grouped else grouped.distinct()
+  }
 
   /** Banded-hamming pairs between two sig-family band tables (the
-    * [[Dedup.bandedHammingPairs]] rule over stored rows). */
+    * [[Dedup.bandedHammingPairs]] rule over stored rows).
+    * `dedup = false` skips the trailing DISTINCT when the caller's
+    * own outer DISTINCT subsumes it (the merge path's cross ∪ self
+    * union — round 17; multi-band collisions duplicate pairs, so the
+    * dedup must happen somewhere, just not twice). */
   private[graft] def sigPairs(sigCol: String, scheme: BandScheme,
-      self: Boolean)(x: DataFrame, y: DataFrame): DataFrame =
-    x.as("x").hint("shuffle_hash")
+      self: Boolean, dedup: Boolean = true)(x: DataFrame,
+      y: DataFrame): DataFrame = {
+    val pairs = x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&
           col("x.ckey") === col("y.ckey"))
@@ -246,13 +273,16 @@ object UnifiedClusters {
         <= scheme.maxHamming)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
+  }
 
   /** Sign-LSH band-collision pairs with the quantized-dot verify
     * INSIDE the join — both sides IN-MEMORY band rows carrying qe
-    * (build-time corpus self pairs and intra-batch self pairs). */
-  private[graft] def lshSelfPairs(x: DataFrame): DataFrame =
-    x.as("x").hint("shuffle_hash")
+    * (build-time corpus self pairs and intra-batch self pairs).
+    * `dedup` as in [[sigPairs]]. */
+  private[graft] def lshSelfPairs(x: DataFrame,
+      dedup: Boolean = true): DataFrame = {
+    val pairs = x.as("x").hint("shuffle_hash")
       .join(x.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey"))
@@ -261,7 +291,8 @@ object UnifiedClusters {
         >= Similarity.NdMinDot)
       .select(least(col("x.vec_id"), col("y.vec_id")).as("doc_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("doc_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
+  }
 
   /** The CANDIDATE id pairs of the batch-vs-standing sign-LSH cross:
     * band-key collisions only, no vector columns — the slimmed
@@ -292,22 +323,24 @@ object UnifiedClusters {
     * over O(candidates) rows instead of riding every band row. */
   private[graft] def lshCrossPairs(s: SparkSession, store: String,
       prunedIdx: DataFrame, batch: DataFrame,
-      batchVec: DataFrame): DataFrame = {
-    val cand = materializeBounded(lshCrossCandidates(prunedIdx, batch))
-    val kvs = cand
-      .select(pmod(col("a"), lit(64)).cast("int").as("kv"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq // <= 64
+      batchVec: DataFrame, dedup: Boolean = true): DataFrame = {
+    // the candidates' kv bucket set rides the materialization job as
+    // an observed collect_set (round 17) — the separate distinct+
+    // collect job this used to run per merge is folded away
+    val (cand, kvs) = Dedup.materializeWithKeys(
+      lshCrossCandidates(prunedIdx, batch)
+        .withColumn("kv", pmod(col("a"), lit(64)).cast("int")), "kv")
     val vecsA = (if (kvs.isEmpty) vecTable(s, store).limit(0)
       else vecTable(s, store).filter(col("kv").isin(kvs: _*)))
       .select(col("vec_id").as("a"), col("qe").as("qe_a"))
     val vecsB = batchVec
       .select(col("vec_id").as("b"), col("qe").as("qe_b"))
-    cand.join(vecsA, Seq("a")).join(vecsB, Seq("b"))
+    val pairs = cand.join(vecsA, Seq("a")).join(vecsB, Seq("b"))
       .filter(graft.functions.LongArrayDot(col("qe_a"), col("qe_b"))
         >= Similarity.NdMinDot)
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
 
   private def famLit(df: DataFrame, family: String): DataFrame =
@@ -387,20 +420,9 @@ object UnifiedClusters {
     if (keys.isEmpty) index.limit(0)
     else index.filter(col("kb").isin(keys: _*))
 
-  /** One job: every family's touched-bucket set. */
-  private def touchedKeys(batchSh: DataFrame, batchSim: DataFrame,
-      batchLsh: DataFrame, batchImg: DataFrame,
-      batchAud: DataFrame): Map[String, Seq[Int]] = {
-    val rows = batchSh.select(lit("shingle").as("f"), col("kb"))
-      .unionByName(batchSim.select(lit("simhash").as("f"), col("kb")))
-      .unionByName(batchLsh.select(lit("emb_lsh").as("f"), col("kb")))
-      .unionByName(batchImg.select(lit("img_ahash").as("f"), col("kb")))
-      .unionByName(batchAud.select(lit("ehash").as("f"), col("kb")))
-      .distinct().collect() // <= 5 * 64 rows
-    rows.groupBy(_.getString(0))
-      .map { case (f, rs) => f -> rs.map(_.getInt(1)).toSeq }
-      .withDefaultValue(Seq.empty)
-  }
+  // (the one-job touchedKeys collect is gone — round 17: each
+  // family's bucket set now rides its batch-row materialization as an
+  // observed collect_set, see batchRowsOf)
 
   /** The batch's new verified edges across all five families — each
     * family's pruned cross join against its standing index plus its
@@ -409,12 +431,11 @@ object UnifiedClusters {
   private[graft] def unifiedNewEdgesPlan(s: SparkSession, store: String,
       batchSh: DataFrame, batchSim: DataFrame, batchLsh: DataFrame,
       batchImg: DataFrame, batchAud: DataFrame,
-      batchVec: DataFrame): DataFrame = {
+      batchVec: DataFrame, keys: Map[String, Seq[Int]]): DataFrame = {
     // DISTINCT over cross ∪ intra: the two sides are disjoint except
     // when a batch re-ingests an id the store already indexes, where a
     // pair could otherwise surface on both sides and double its
     // provenance count (edge-bounded, cheap insurance)
-    val keys = touchedKeys(batchSh, batchSim, batchLsh, batchImg, batchAud)
     // a family whose batch rows are EMPTY (keys(fam) collected no
     // buckets) contributes nothing — fold it to a LocalRelation
     // instead of scheduling its cross/self join stages. This is what
@@ -422,6 +443,10 @@ object UnifiedClusters {
     // stream) from paying the three text families' empty-join rounds.
     val noEdges = s.emptyDataFrame
       .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"))
+    // per-branch DISTINCTs are skipped (dedup = false) — the union's
+    // one DISTINCT below subsumes them (round 17: two exchanges+aggs
+    // per family removed from the merge's hot plan; the build path
+    // keeps its per-rule dedup so stored edge bytes are unchanged)
     def cross(index: DataFrame, batch: DataFrame, fam: String,
         rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
       if (keys(fam).isEmpty) noEdges
@@ -429,45 +454,58 @@ object UnifiedClusters {
         .unionByName(rule(true)(batch, batch))
         .distinct()
     famLit(cross(shingleIndexTable(s, store), batchSh, "shingle",
-        self => shinglePairs(self)), "shingle")
+        self => shinglePairs(self, dedup = false)), "shingle")
       .unionByName(famLit(cross(sigIndexTable(s, store, "simhash",
           "simhash"), batchSim, "simhash",
-        self => sigPairs("simhash", SimScheme, self)), "simhash"))
+        self => sigPairs("simhash", SimScheme, self, dedup = false)),
+        "simhash"))
       .unionByName(famLit(
         if (keys("emb_lsh").isEmpty) noEdges
         else lshCrossPairs(s, store,
             prunedTo(lshIndexTable(s, store), keys("emb_lsh")), batchLsh,
-            batchVec)
-          .unionByName(lshSelfPairs(batchLsh))
+            batchVec, dedup = false)
+          .unionByName(lshSelfPairs(batchLsh, dedup = false))
           .distinct(), "emb_lsh"))
       .unionByName(famLit(cross(sigIndexTable(s, store, "img_ahash",
           "ahash"), batchImg, "img_ahash",
-        self => sigPairs("ahash", Multimodal.AhashScheme, self)),
-        "img_ahash"))
+        self => sigPairs("ahash", Multimodal.AhashScheme, self,
+          dedup = false)), "img_ahash"))
       .unionByName(famLit(cross(sigIndexTable(s, store, "ehash",
           "ehash"), batchAud, "ehash",
-        self => sigPairs("ehash", Multimodal.EhashScheme, self)),
-        "ehash"))
+        self => sigPairs("ehash", Multimodal.EhashScheme, self,
+          dedup = false)), "ehash"))
   }
 
   /** The five families' MATERIALIZED batch index rows (each feeds the
-    * bucket-prune collect, the verify joins, and the persisting
-    * append — one signature/decode pass per family per merge). */
+    * pruned index joins and the persisting append — one signature/
+    * decode pass per family per merge), WITH each family's touched
+    * bucket set observed during its own materialization job (round
+    * 17, the materializeWithKeys shape — the separate five-way-union
+    * bucket collect job is folded away), plus the batch vec map's kv
+    * bucket set (ditto, for the retraction path's emb_vec rewrite). */
   private[graft] def batchRowsOf(batchDocs: DataFrame, batchEmb: DataFrame,
-      batchImgSigs: DataFrame, batchAudSigs: DataFrame): Seq[DataFrame] = {
-    val five = inParallel(Seq(
-      () => materializeBounded(shingleRowsOf(batchDocs)),
-      () => materializeBounded(
-        sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme)),
-      () => materializeBounded(lshRowsOf(batchEmb)),
-      () => materializeBounded(
-        sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme)),
-      () => materializeBounded(
-        sigRowsOf(batchAudSigs, "ehash", Multimodal.EhashScheme))))
+      batchImgSigs: DataFrame, batchAudSigs: DataFrame)
+      : (Seq[DataFrame], Map[String, Seq[Int]], Seq[Int]) = {
+    val five = inParallel[(DataFrame, Seq[Int])](Seq(
+      () => Dedup.materializeWithKeys(shingleRowsOf(batchDocs), "kb"),
+      () => Dedup.materializeWithKeys(
+        sigRowsOf(Dedup.simhashSigs(batchDocs), "simhash", SimScheme),
+        "kb"),
+      () => Dedup.materializeWithKeys(lshRowsOf(batchEmb), "kb"),
+      () => Dedup.materializeWithKeys(
+        sigRowsOf(batchImgSigs, "ahash", Multimodal.AhashScheme), "kb"),
+      () => Dedup.materializeWithKeys(
+        sigRowsOf(batchAudSigs, "ehash", Multimodal.EhashScheme), "kb")))
     // the batch vec map rides as the sixth frame: BOTH consumers (the
     // cross verify's vecsB and the update's emb_vec append) read the
     // same materialization — one groupBy per merge (review finding)
-    five :+ materializeBounded(vecRowsOf(five(2)))
+    val (vec, kvKeys) = Dedup.materializeWithKeys(
+      vecRowsOf(five(2)._1), "kv")
+    val keys = Map(
+      "shingle" -> five(0)._2, "simhash" -> five(1)._2,
+      "emb_lsh" -> five(2)._2, "img_ahash" -> five(3)._2,
+      "ehash" -> five(4)._2).withDefaultValue(Seq.empty)
+    (five.map(_._1) :+ vec, keys, kvKeys)
   }
 
   /** The batch's new-edges plan from raw batch inputs — the
@@ -483,10 +521,11 @@ object UnifiedClusters {
   private[graft] def unifiedMergeNewEdgesPlan(s: SparkSession,
       store: String, batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
-    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
+    val (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec),
+      keys, _) =
       batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs)
     unifiedNewEdgesPlan(s, store, batchSh, batchSim, batchLsh, batchImg,
-      batchAud, batchVec)
+      batchAud, batchVec, keys)
   }
 
   /** O-136/O-137 (q87g/s24): the batch ids that WELD to a lower-id
@@ -536,7 +575,8 @@ object UnifiedClusters {
       batchAudSigs: DataFrame)
       : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
     requireUnifiedStore(s, store)
-    val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
+    val (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec),
+      keys, _) =
       timed("merge.batch_rows")(
         batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs))
     // LEFT ANTI vs the standing edge table (round-13 ADVICE): a batch
@@ -548,7 +588,7 @@ object UnifiedClusters {
     // is scanned by the relabel anyway.
     val newEdges = timed("merge.new_edges")(
       materializeBounded(unifiedNewEdgesPlan(s, store,
-          batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec)
+          batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec, keys)
         .join(edgesTable(s, store),
           Seq("doc_a", "doc_b", "family"), "left_anti")))
     val (untouched, relabeled) = timed("merge.relabel")(Dedup.relabelAgainst(
@@ -658,10 +698,11 @@ object UnifiedClusters {
   private def persistMerge(s: SparkSession, store: String,
       parts: (Seq[DataFrame], DataFrame, DataFrame, DataFrame)): Unit = {
     val (batchRows, newEdges, untouched, relabeled) = parts
-    val dirty = materializeBounded(
-      relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))))
-    val buckets = dirty.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64, the corpusMerge convention
+    // dirty buckets collected via the materialization's own observe
+    // (round 17, the materializeWithKeys shape) — <= 64 ints, the
+    // corpusMerge convention, one job instead of two
+    val (dirty, buckets) = Dedup.materializeWithKeys(
+      relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))), "kb")
     val tmp = s"$store/clusters_staging"
     if (buckets.nonEmpty) timed("update.label_stage")(
       untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
@@ -790,24 +831,25 @@ object UnifiedClusters {
       delDocs: DataFrame, delEmb: DataFrame,
       delImgSigs: DataFrame, delAudSigs: DataFrame): Unit = {
     requireUnifiedStore(s, store)
-    val Seq(delSh, delSim, delLsh, delImg, delAud, delVec) =
+    val (Seq(delSh, delSim, delLsh, delImg, delAud, delVec), keys,
+      kvKeys) =
       timed("retract.batch_rows")(
         batchRowsOf(delDocs, delEmb, delImgSigs, delAudSigs))
-    val delIds = materializeBounded(
+    // the deleted ids' label-bucket set rides the materialization job
+    // as an observed collect_set (round 17, materializeWithKeys) —
+    // the separate distinct+collect job is folded away
+    val (delIds0, delKb) = Dedup.materializeWithKeys(
       delDocs.select(col("doc_id"))
         .unionByName(delEmb.select(col("vec_id").as("doc_id")))
         .unionByName(delImgSigs.select(col("doc_id")))
         .unionByName(delAudSigs.select(col("doc_id")))
-        .distinct())
-    val keys = touchedKeys(delSh, delSim, delLsh, delImg, delAud)
-    val kvKeys = delVec.select(col("kv")).distinct()
-      .collect().map(_.getInt(0)).toSeq // <= 64
+        .distinct()
+        .withColumn("kb", Dedup.clusterBucket(col("doc_id"))), "kb")
+    val delIds = delIds0.select(col("doc_id"))
+    // keys and kvKeys observed during batchRowsOf's own jobs above
 
     // relabel parts read the PRE-retraction store, computed up front
     val labels = Dedup.clusterLabelsTable(s, store)
-    val delKb = delIds
-      .select(Dedup.clusterBucket(col("doc_id")).as("kb"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
     val touchedClusters = materializeBounded(
       (if (delKb.isEmpty) labels.limit(0)
        else labels.filter(col("kb").isin(delKb: _*)))
@@ -818,16 +860,21 @@ object UnifiedClusters {
         .select(col("doc_id"), col("kb")))
     // an edge's endpoints share a component, so doc_a alone
     // attributes the edge to a touched component
-    val survEdges = materializeBounded(edgesTable(s, store)
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .join(touchedMembers.select(col("doc_id").as("doc_a")),
-        Seq("doc_a"), "left_semi")
-      .join(delIds.withColumnRenamed("doc_id", "doc_a"),
-        Seq("doc_a"), "left_anti")
-      .join(delIds.withColumnRenamed("doc_id", "doc_b"),
-        Seq("doc_b"), "left_anti"))
+    // strict doc_a < doc_b edges — the materialized leaf meets
+    // connectedComponentsMaterialized's contract, and its count rides
+    // the materialization (round 17: one job instead of CC's own
+    // re-materialize + count of the same leaf)
+    val (survEdges, nSurv) = Dedup.materializeWithCount(
+      edgesTable(s, store)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .join(touchedMembers.select(col("doc_id").as("doc_a")),
+          Seq("doc_a"), "left_semi")
+        .join(delIds.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_anti")
+        .join(delIds.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_anti"))
     val newLabels = timed("retract.relabel")(materializeBounded(
-      Dedup.connectedComponents(survEdges)
+      Dedup.connectedComponentsMaterialized(survEdges, nSurv)
         .withColumn("kb", Dedup.clusterBucket(col("doc_id")))))
     val dirty = touchedMembers.select(col("kb")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
@@ -852,13 +899,15 @@ object UnifiedClusters {
         famKeys: Seq[Int], idCol: String, projCols: Seq[String],
         ordCols: Seq[String]): Unit =
       if (famKeys.nonEmpty) {
-        val rewritten = materializeBounded(
+        // surviving buckets via the materialization's own observe
+        // (round 17, materializeWithKeys) — one job instead of two
+        // per family rewrite
+        val (rewritten, survivedKeys) = Dedup.materializeWithKeys(
           table.filter(col(bucketCol).isin(famKeys: _*))
             .join(delIds.withColumnRenamed("doc_id", idCol),
               Seq(idCol), "left_anti")
-            .select((projCols :+ bucketCol).map(col): _*))
-        val survived = rewritten.select(col(bucketCol)).distinct()
-          .collect().map(_.getInt(0)).toSet
+            .select((projCols :+ bucketCol).map(col): _*), bucketCol)
+        val survived = survivedKeys.toSet
         if (survived.nonEmpty) {
           rewritten
             .repartition(survived.size, col(bucketCol))

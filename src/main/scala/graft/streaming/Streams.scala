@@ -1036,17 +1036,23 @@ object Streams {
             graft.ops.Dedup.incrementalFunnelFrames(ss, stores, batch)
           ) { frames =>
             val exactSurv = frames(2)._3
-            graft.ops.Dedup.dedupIndexWriteHashes(
-              exactSurv.select(sha2(col("text").cast("binary"), 256)
-                .as("content_hash")), s"$stores/exact", "append")
-            // ledger twin of the exact append: the SCRUB-stage rows
-            // (ledger invariant = every doc the funnel ever saw, the
-            // build's own coverage), so a later retraction's carrier
-            // lookup stays hb-pruned instead of rescanning text
-            graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
-              s"$stores/hashes", mode = "append")
-            graft.ops.Dedup.neardupIndexWrite(
-              exactSurv, s"$stores/neardup", "append")
+            // the three standing-index appends are mutually
+            // independent idempotent appends to disjoint tables —
+            // concurrent submission (round 17, the index_appends
+            // posture); the manifest gate stays LAST (it is the
+            // declared read-back and the batch's commit point)
+            graft.ops.UnifiedClusters.inParallel(Seq(
+              () => graft.ops.Dedup.dedupIndexWriteHashes(
+                exactSurv.select(sha2(col("text").cast("binary"), 256)
+                  .as("content_hash")), s"$stores/exact", "append"),
+              // ledger twin of the exact append: the SCRUB-stage rows
+              // (ledger invariant = every doc the funnel ever saw, the
+              // build's own coverage), so a later retraction's carrier
+              // lookup stays hb-pruned instead of rescanning text
+              () => graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+                s"$stores/hashes", mode = "append"),
+              () => graft.ops.Dedup.neardupIndexWrite(
+                exactSurv, s"$stores/neardup", "append")))
             graft.ops.Dedup.manifestAppendReadBack(
               ss, stores, frames.last._3, frames.head._3)
           }
@@ -1222,12 +1228,16 @@ object Streams {
               })))
           ) { frames =>
             val exactSurv = frames(2)._3
-            graft.ops.Dedup.dedupIndexWriteHashes(
-              exactSurv.select(sha2(col("text").cast("binary"), 256)
-                .as("content_hash")), s"$stores/exact", "append")
-            // ledger twin of the exact append (see s23)
-            graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
-              s"$stores/hashes", mode = "append")
+            // independent idempotent appends to disjoint tables —
+            // concurrent submission (round 17, the s23 posture);
+            // manifest gate last
+            graft.ops.UnifiedClusters.inParallel(Seq(
+              () => graft.ops.Dedup.dedupIndexWriteHashes(
+                exactSurv.select(sha2(col("text").cast("binary"), 256)
+                  .as("content_hash")), s"$stores/exact", "append"),
+              // ledger twin of the exact append (see s23)
+              () => graft.ops.Dedup.hashLedgerWrite(frames(1)._3,
+                s"$stores/hashes", mode = "append")))
             graft.ops.Dedup.manifestAppendReadBack(
               ss, stores, frames.last._3, frames.head._3)
           }

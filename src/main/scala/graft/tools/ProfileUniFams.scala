@@ -48,7 +48,7 @@ object ProfileUniFams {
         println(f"[unifam] rep=$r $what rows=$n " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
-      val Seq(bSh, bSim, bLsh, bImg, bAud, bVec) =
+      val (Seq(bSh, bSim, bLsh, bImg, bAud, bVec), _, _) =
         UnifiedClusters.batchRowsOf(batchDocs, batchEmb, batchImg, batchAud)
       t("batch_rows")(bSh.count())
       val shIdx = idx("shingle", "doc_id BIGINT, c BIGINT, h BIGINT, kb INT")

@@ -28,7 +28,7 @@ object ProfileUniJoinSizes {
         .withColumn("doc_id", col("doc_id") + Dedup.ReKeyOffset))
       .localCheckpoint()
     val batchEmb = emb.filter(col("vec_id") >= 250).localCheckpoint()
-    val Seq(bSh, bSim, bLsh, bImg, bAud, bVec) =
+    val (Seq(bSh, bSim, bLsh, bImg, bAud, bVec), _, _) =
       UnifiedClusters.batchRowsOf(batchDocs, batchEmb,
         imgSigs.filter(col("doc_id") >= 50),
         audSigs.filter(col("doc_id") >= 32))

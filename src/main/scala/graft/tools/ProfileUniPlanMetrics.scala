@@ -44,6 +44,9 @@ object ProfileUniPlanMetrics {
       batchDocs, batchEmb, imgSigs.filter(col("doc_id") >= 50),
       audSigs.filter(col("doc_id") >= 32))
     df.collect()
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def walk(p: SparkPlan, depth: Int): Unit = {
       val interesting = p.metrics.filter { case (k, m) =>
         (k.contains("time") || k.contains("duration") ||
@@ -54,6 +57,9 @@ object ProfileUniPlanMetrics {
       println(("  " * depth) + s"${p.nodeName} $ms")
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: QueryStageExec => walk(q.plan, depth + 1)
+        case r: ReusedExchangeExec => walk(r.child, depth + 1)
+        case r: ReusedSubqueryExec => walk(r.child, depth + 1)
         case _ => p.children.foreach(walk(_, depth + 1))
       }
     }
