@@ -624,13 +624,14 @@ object Multimodal {
 
   def sigMerge(s: SparkSession, store: String, sigCol: String,
       scheme: BandScheme, batchSigs: DataFrame): DataFrame = {
-    val batchBands = graft.ops.Dedup.materializeBounded(
+    // touched buckets observed during the materialization job (round
+    // 17, materializeWithKeys) — one job instead of two
+    val (batchBands, keys) = graft.ops.Dedup.materializeWithKeys(
       sigBandRows(batchSigs.filter(col("doc_id").isNotNull), sigCol,
         scheme)
         .withColumn("kb",
-          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
-    val keys = batchBands.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
+          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")),
+      "kb")
     val near =
       expr(s"bit_count(x.$sigCol ^ y.$sigCol)") <= scheme.maxHamming
     val crossHit =
@@ -689,13 +690,14 @@ object Multimodal {
     * MultimodalSpec pins it for both families). */
   def sigRetract(s: SparkSession, store: String, sigCol: String,
       scheme: BandScheme, delSigs: DataFrame): Unit = {
-    val delBands = graft.ops.Dedup.materializeBounded(
+    // touched buckets observed during the materialization job (round
+    // 17, materializeWithKeys) — one job instead of two
+    val (delBands, keys) = graft.ops.Dedup.materializeWithKeys(
       sigBandRows(delSigs.filter(col("doc_id").isNotNull), sigCol,
         scheme)
         .withColumn("kb",
-          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")))
-    val keys = delBands.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq // <= 64 buckets
+          pmod(xxhash64(col("band"), col("ckey")), lit(64)).cast("int")),
+      "kb")
     if (keys.isEmpty) return
     graft.ops.Dedup.retractBucketRewrite(s, store,
       s.read.schema(sigStoreSchema(sigCol)).parquet(store)

@@ -560,26 +560,29 @@ object Dedup {
     * materializes this before CC, which hides the shape from the final
     * plan). */
   private[graft] def clusterMergeNewEdgesPlan(s: SparkSession,
-      store: String, newDocs: DataFrame): DataFrame =
-    newEdgesFromBands(s, store, batchBandsOf(newDocs))
+      store: String, newDocs: DataFrame): DataFrame = {
+    val (batchBands, keys) = batchBandsOf(newDocs)
+    newEdgesFromBands(s, store, batchBands, keys)
+  }
 
   /** The batch's materialized band table (the q85 merge shape): band
     * rows + the kb bucket hash, localCheckpointed once — it feeds the
     * bucket-set collect, both verify joins, and (in the persisting
     * update) the band-index append, so the batch's signature pipeline
     * runs exactly once per merge. */
-  private def batchBandsOf(newDocs: DataFrame): DataFrame =
-    materializeBounded(
+  private def batchBandsOf(newDocs: DataFrame): (DataFrame, Seq[Int]) =
+    // touched buckets observed during the materialization job (round
+    // 17, materializeWithKeys) — one job instead of two per merge
+    materializeWithKeys(
       bandRows(q36bSig(newDocs.filter(col("doc_id").isNotNull)))
         .withColumn("kb",
-          pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")))
+          pmod(xxhash64(col("band"), col("k1")), lit(64)).cast("int")),
+      "kb")
 
   private def newEdgesFromBands(s: SparkSession, store: String,
-      batchBands: DataFrame): DataFrame = {
+      batchBands: DataFrame, keys: Seq[Int]): DataFrame = {
     val nMatch = graft.functions.LongArrayEqCount(
       col("x.mins"), col("y.mins"))
-    val keys = batchBands.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)) // <= 64 buckets, the q83 argument
     val crossEdges =
       if (keys.isEmpty)
         batchBands
@@ -652,9 +655,9 @@ object Dedup {
   private def clusterMergeParts(s: SparkSession, store: String,
       newDocs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     requireClusterStore(s, store)
-    val batchBands = batchBandsOf(newDocs)
+    val (batchBands, bandKeys) = batchBandsOf(newDocs)
     val newEdges = materializeBounded(
-      newEdgesFromBands(s, store, batchBands))
+      newEdgesFromBands(s, store, batchBands, bandKeys))
     val (untouched, relabeled) = relabelAgainst(newEdges,
       clusterEdgesTable(s, store), clusterLabelsTable(s, store),
       tornMarker(s, store))
@@ -828,13 +831,12 @@ object Dedup {
       .write.mode("append").partitionBy("kb").parquet(s"$store/bands")
     newEdges.write.mode("append").parquet(s"$store/edges")
     if (buckets.nonEmpty) {
-      s.read.parquet(tmp).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("kb").parquet(s"$store/clusters")
-      // re-cache any CACHED dataset over the store; note that
+      // rename swap (round 17, swapStagedBuckets): metadata-only; the
+      // torn marker covers the per-bucket window. Note that
       // DataFrames CREATED before this swap hold the pre-swap file
       // listing (Spark's snapshot semantics) — collect them before
       // updating, or re-create them after
+      swapStagedBuckets(s, tmp, s"$store/clusters", "kb")
       s.catalog.refreshByPath(store)
     }
     // clear the in-progress marker UNCONDITIONALLY: a post-swap-crash
@@ -982,23 +984,26 @@ object Dedup {
   /** Generic exact 3-gram Jaccard near-dup pairs at threshold 0.5 over
     * any (doc_id, text) table. */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    // materialize-via-exchange: q36's two consumers of the shingle table
-    // — the self-join (both sides) and the per-doc count — either require
-    // hash(h) or don't care (the count partial-aggregates before its own
-    // tiny exchange), so one repartition(h) makes the shingling+digest
-    // pass a single shared stage AND pre-satisfies the join distribution
-    // (EnsureRequirements adds no further exchange on h). q36e does NOT
-    // share this: see nearDupPairsPrefix.
+    // materialize-via-exchange: ONE repartition(h) makes the
+    // shingling+digest pass a single shared stage for both self-join
+    // sides AND pre-satisfies the join distribution
+    // (EnsureRequirements adds no further exchange on h). q36e does
+    // NOT share this: see nearDupPairsPrefix.
+    //
+    // Round 17: per-doc counts ride the shingle rows (the unified
+    // store's carried-c shape, hashedShinglesWithCount) instead of a
+    // separate count aggregate joined back post-aggregation — the
+    // count values are identical (per-doc shingles are distinct by
+    // construction on both paths), the two n_a/n_b attach joins
+    // disappear, and carrying the sizes through the join enables the
+    // lossless PPJoin SIZE prune inside it (sizedAtHalf), cutting the
+    // candidate rows the pair aggregation hashes.
     val saltBuckets = scala.util.Try(docs.sparkSession.conf
       .get("spark.graft.neardup.saltBuckets", "1").toInt).getOrElse(1)
-    val sh = hashedShingles(docs).repartition(col("h"))
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val pairs = shingleSelfJoin(sh, saltBuckets)
-      .groupBy(col("doc_a"), col("doc_b"))
+    val sh = hashedShinglesWithCount(docs).repartition(col("h"))
+    shingleSelfJoin(sh, saltBuckets, sizedAtHalf = true)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("n_a")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
@@ -1030,8 +1035,14 @@ object Dedup {
     * the true 100 TB near-dup paths (q36e's PPJoin prefix filter, which
     * structurally EXCLUDES high-df shingles from candidate prefixes;
     * q36b's banded MinHash) don't have this hot-key shape at all. */
+  /** @param sizedAtHalf when true, `sh` must carry the per-doc
+    *   distinct-shingle count `c` (hashedShinglesWithCount), the
+    *   output carries (n_a, n_b), and the lossless t = 0.5 PPJoin
+    *   SIZE prune (max <= 2*min — a pair violating it cannot reach
+    *   Jaccard 0.5) runs INSIDE the join, before any aggregation.
+    *   Containment and the skew spec keep the unsized default. */
   private[graft] def shingleSelfJoin(sh: DataFrame,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int, sizedAtHalf: Boolean = false): DataFrame = {
     val matched =
       if (saltBuckets <= 1)
         sh.as("a").hint("shuffle_hash")
@@ -1055,9 +1066,15 @@ object Dedup {
           .join(b.as("b").hint("shuffle_hash"),
             col("a.h") === col("b.h") && col("a.salt") === col("b.salt"))
       }
-    matched
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ordered = matched.filter(col("a.doc_id") < col("b.doc_id"))
+    if (!sizedAtHalf)
+      ordered.select(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+    else ordered
+      .filter(greatest(col("a.c"), col("b.c"))
+        <= lit(2) * least(col("a.c"), col("b.c")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.c").as("n_a"), col("b.c").as("n_b"))
   }
 
   def q36NearDup(s: SparkSession, d: String): DataFrame =
@@ -3221,25 +3238,30 @@ object Dedup {
   private[graft] def incrementalStoresRetract(s: SparkSession,
       stores: String, corpusScrubbed: DataFrame,
       delIds0: DataFrame): Unit = {
-    val delIds = materializeBounded(
-      delIds0.select(col("doc_id")).distinct())
+    // the deleted ids' manifest-bucket set rides the materialization
+    // (round 17, materializeWithKeys; consumed by the manifest
+    // rewrite below)
+    val (delIdsM, delKb) = materializeWithKeys(
+      delIds0.select(col("doc_id")).distinct()
+        .withColumn("kb",
+          pmod(xxhash64(col("doc_id")), lit(64)).cast("int")), "kb")
+    val delIds = delIdsM.select(col("doc_id"))
     // the deleted docs' own hash rows: text reads for EXACTLY the
-    // deleted docs, ledger or not
-    val delHp = materializeBounded(corpusScrubbed
+    // deleted docs, ledger or not — their ledger hb set observed in
+    // the same job (round 17)
+    val (delHp, delHbs) = materializeWithKeys(corpusScrubbed
       .filter(col("doc_id").isNotNull)
       .join(delIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        sha2(col("text").cast("binary"), 256).as("content_hash")))
+        sha2(col("text").cast("binary"), 256).as("content_hash"))
+      .withColumn("hb",
+        pmod(xxhash64(col("content_hash")), lit(64)).cast("int")), "hb")
     val fsStores = new org.apache.hadoop.fs.Path(stores)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val hasLedger =
       fsStores.exists(new org.apache.hadoop.fs.Path(s"$stores/hashes"))
     val ledgerHbs: IndexedSeq[Int] =
-      if (!hasLedger) IndexedSeq.empty
-      else delHp
-        .select(pmod(xxhash64(col("content_hash")), lit(64))
-          .cast("int").as("hb"))
-        .distinct().collect().map(_.getInt(0)).toIndexedSeq // <= 64
+      if (!hasLedger) IndexedSeq.empty else delHbs.toIndexedSeq
     // every corpus doc CARRYING a deleted hash — survivorship and
     // promotion are decided entirely inside this set. Ledger path:
     // hb-pruned point-reads, O(deleted hashes' buckets); legacy path:
@@ -3259,14 +3281,13 @@ object Dedup {
     val survCarriers = carriers.join(delIds, Seq("doc_id"), "left_anti")
     // exact index: a deleted hash leaves ONLY when no survivor
     // carries it
-    val dropHashes = materializeBounded(
+    val (dropHashes, hashKeys) = materializeWithKeys(
       delHp.select(col("content_hash")).distinct()
         .join(survCarriers.select(col("content_hash")),
           Seq("content_hash"), "left_anti")
         .withColumn("bucket",
-          pmod(xxhash64(col("content_hash")), lit(64)).cast("int")))
-    val hashKeys = dropHashes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+          pmod(xxhash64(col("content_hash")), lit(64)).cast("int")),
+      "bucket")
     if (hashKeys.nonEmpty)
       retractBucketRewrite(s, s"$stores/exact",
         s.read.schema("content_hash STRING, bucket INT")
@@ -3282,30 +3303,35 @@ object Dedup {
     val manifest = s.read
       .schema("doc_id BIGINT, source STRING, h STRING, kb INT")
       .parquet(s"$stores/manifest")
-    val delKb = delIds
-      .select(pmod(xxhash64(col("doc_id")), lit(64)).cast("int").as("kb"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val deletedSurvHashes = materializeBounded(
+    // deletedSurvHashes is single-consumer — inlined into the
+    // promotedIds plan (round 17: its standalone materialization was
+    // one more job); promotedIds' emptiness check rides its
+    // materialization as the observed count
+    val deletedSurvHashes =
       (if (delKb.isEmpty) manifest.limit(0)
        else manifest.filter(col("kb").isin(delKb: _*)))
         .join(delIds, Seq("doc_id"), "left_semi")
-        .select(col("h")).distinct())
-    val promotedIds = materializeBounded(
+        .select(col("h")).distinct()
+    val (promotedIds, nPromoted) = materializeWithCount(
       survCarriers.join(deletedSurvHashes
           .withColumnRenamed("h", "content_hash"),
         Seq("content_hash"), "left_semi")
         .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")))
-    val hasPromoted = promotedIds.head(1).nonEmpty
+    val hasPromoted = nPromoted > 0
     val promotedDocs =
       corpusScrubbed.join(promotedIds, Seq("doc_id"), "left_semi")
     // band index: the deleted docs' recomputed band rows name the
-    // touched buckets; survivors rewritten in place, promoted docs
-    // appended through the same writer the build used
-    val delBands = batchBandsOf(
-      corpusScrubbed.join(delIds, Seq("doc_id"), "left_semi"))
-    val bandKeys = delBands.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    // touched buckets (keys only — one collect job, no checkpoint:
+    // nothing downstream re-reads these rows); survivors rewritten in
+    // place, promoted docs appended through the same writer the build
+    // used
+    val bandKeys = bandRows(q36bSig(
+        corpusScrubbed.filter(col("doc_id").isNotNull)
+          .join(delIds, Seq("doc_id"), "left_semi")))
+      .select(pmod(xxhash64(col("band"), col("k1")), lit(64))
+        .cast("int").as("kb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
     if (bandKeys.nonEmpty)
       retractBucketRewrite(s, s"$stores/neardup",
         bandIndexTable(s, s"$stores/neardup")
@@ -3380,6 +3406,44 @@ object Dedup {
     compactBuckets(s, s"$stores/hashes", "hb",
       Seq(col("doc_id"), col("h")),
       Seq(col("hb"), col("h"), col("doc_id")), maxFilesPerBucket)
+
+  /** Swap a staging dir's bucket partitions into a live partitioned
+    * table by RENAME (round 17): the previous read-staging-then-
+    * dynamic-overwrite step re-read and re-wrote every staged
+    * bucket's parquet bytes through a full Spark job, but the
+    * committed staging layout is already exactly one `bucketCol=N`
+    * dir per staged bucket, so the swap is |staged buckets| metadata
+    * renames (delete live dir, move staged dir in) — zero data bytes
+    * moved on a rename-capable filesystem, and strictly less I/O than
+    * the read+rewrite everywhere else. ONLY for label tables guarded
+    * by the `clusters_staging` torn marker: the per-bucket
+    * delete-then-rename window can lose a bucket on a crash —
+    * exactly the mixed-generation state the marker already names, and
+    * the heal rebuilds the ENTIRE label set as CC(edges), so every
+    * crash point replays to a consistent store (the same guarantee
+    * the Spark committer's own per-partition delete+rename window
+    * leaned on). Markerless stores (indices, manifests, compaction)
+    * keep the committed write path. Returns the staged bucket ids
+    * (== the buckets that survived with rows: partitionBy writes no
+    * dir for an empty bucket). */
+  private[graft] def swapStagedBuckets(s: SparkSession, staged: String,
+      live: String, bucketCol: String): Seq[Int] = {
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    val fs = stagedPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(stagedPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(bucketCol + "="))
+    dirs.foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
+      if (fs.exists(target))
+        require(fs.delete(target, true),
+          s"bucket swap: could not remove $target for replacement")
+      require(fs.rename(st.getPath, target),
+        s"bucket swap: could not move ${st.getPath} into place")
+    }
+    s.catalog.refreshByPath(live)
+    dirs.map(_.getPath.getName.stripPrefix(bucketCol + "=").toInt).toSeq
+  }
 
   /** Touched-bucket rewrite for a retraction: dynamic partition
     * overwrite of the surviving rows, PLUS explicit deletion of any

@@ -346,14 +346,15 @@ object Similarity {
   private def annCellRetract(s: SparkSession, storeDir: String,
       delEmb: DataFrame, schema: String, projCols: Seq[String]): Unit = {
     val centroids = s.read.parquet(s"$storeDir/centroids")
-    val delAssigned = Dedup.materializeBounded(
+    // touched cells observed during the materialization job (round 17,
+    // materializeWithKeys) — one job instead of two
+    val (delAssigned, cells) = Dedup.materializeWithKeys(
       coarseAssign(
         delEmb.filter(col("vec_id").isNotNull)
           .select(col("vec_id"), quantize(col("embedding")).as("qe")),
         centroids)
-        .select(col("vec_id"), col("cell_id").cast("int").as("cell_id")))
-    val cells = delAssigned.select(col("cell_id")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq // <= nCells (16), bounded
+        .select(col("vec_id"), col("cell_id").cast("int").as("cell_id")),
+      "cell_id")
     if (cells.isEmpty) return
     Dedup.retractBucketRewrite(s, s"$storeDir/vectors",
       s.read.schema(schema).parquet(s"$storeDir/vectors")

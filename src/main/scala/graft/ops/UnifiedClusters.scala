@@ -244,6 +244,14 @@ object UnifiedClusters {
     val grouped = x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"), col("x.h") === col("y.h"))
       .filter(idGuard(self, "x.doc_id", "y.doc_id"))
+      // PPJoin SIZE filter (round 17, lossless at this function's
+      // baked-in t = 0.5): inter <= min(|A|,|B|) and union >= max, so
+      // J <= min/max — a pair with max > 2*min can never pass the
+      // post-aggregation Jaccard filter. Both sizes ride every row
+      // (the carried c), so the prune runs INSIDE the join and cuts
+      // the rows the million-group aggregation below has to hash.
+      .filter(greatest(col("x.c"), col("y.c"))
+        <= lit(2) * least(col("x.c"), col("y.c")))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.c").as("n_a"), col("y.c").as("n_b"))
       .agg((if (self) count(lit(1)) else countDistinct(col("x.h")))
@@ -748,9 +756,9 @@ object UnifiedClusters {
     timed("update.edges_append")(
       newEdges.write.mode("append").parquet(s"$store/edges"))
     if (buckets.nonEmpty) timed("update.label_swap") {
-      s.read.parquet(tmp).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("kb").parquet(s"$store/clusters")
+      // rename swap (round 17, Dedup.swapStagedBuckets): metadata-only;
+      // the torn marker covers the per-bucket window
+      Dedup.swapStagedBuckets(s, tmp, s"$store/clusters", "kb")
       s.catalog.refreshByPath(store)
     }
     val fs = new org.apache.hadoop.fs.Path(tmp)
@@ -855,9 +863,11 @@ object UnifiedClusters {
        else labels.filter(col("kb").isin(delKb: _*)))
         .join(delIds, Seq("doc_id"), "left_semi")
         .select(col("cluster_id")).distinct())
-    val touchedMembers = materializeBounded(
+    // dirty label buckets observed during the materialization (round
+    // 17, materializeWithKeys) — the separate collect job is gone
+    val (touchedMembers, dirty) = Dedup.materializeWithKeys(
       labels.join(touchedClusters, Seq("cluster_id"), "left_semi")
-        .select(col("doc_id"), col("kb")))
+        .select(col("doc_id"), col("kb")), "kb")
     // an edge's endpoints share a component, so doc_a alone
     // attributes the edge to a touched component
     // strict doc_a < doc_b edges — the materialized leaf meets
@@ -876,8 +886,6 @@ object UnifiedClusters {
     val newLabels = timed("retract.relabel")(materializeBounded(
       Dedup.connectedComponentsMaterialized(survEdges, nSurv)
         .withColumn("kb", Dedup.clusterBucket(col("doc_id")))))
-    val dirty = touchedMembers.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
 
     // marker first: stage the dirty buckets' full post-retraction
     // content (untouched rows in those buckets + the re-resolved
@@ -980,15 +988,14 @@ object UnifiedClusters {
     // exactly the empty-table case the clusterLabelsTable reasoning
     // covers for the live table.
     if (dirty.nonEmpty) timed("retract.label_swap") {
-      val staged = s.read.schema("doc_id BIGINT, cluster_id BIGINT, " +
-          "cluster_size BIGINT, is_canonical BOOLEAN, kb INT")
-        .parquet(tmp)
-      val survived = staged.select(col("kb")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (survived.nonEmpty)
-        staged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb").parquet(s"$store/clusters")
+      // rename swap (round 17, Dedup.swapStagedBuckets): metadata-only,
+      // zero reads — the marker covers the per-bucket window, and the
+      // staged DIR SET is the survived set (a retraction that
+      // dissolves every touched component stages zero dirs, the
+      // round-16 spec catch — partitionBy writes no dir for no rows),
+      // so the separate schema'd read + survived collect job is gone
+      val survived =
+        Dedup.swapStagedBuckets(s, tmp, s"$store/clusters", "kb").toSet
       val fs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       dirty.filterNot(survived).foreach(k =>
