@@ -549,6 +549,16 @@ object Dedup {
     s.read.schema("doc_a BIGINT, doc_b BIGINT")
       .parquet(s"$store/edges")
 
+  /** CAVEAT (round-18 ADVICE): a DIRECT read of this table does not
+    * check [[tornMarker]] — a crash inside swapStagedBuckets'
+    * per-bucket delete/rename window can leave a live bucket dir
+    * absent until the next update's heal, so a consumer outside the
+    * merge/update/retract protocols (which heal via relabelAgainst)
+    * or unifiedClustersFromStore (which refuses on the marker) can
+    * serve a label table silently missing whole buckets. Exposure is
+    * the same window the dynamic-overwrite committer always had; new
+    * read-back paths should mirror unifiedClustersFromStore's
+    * tornMarker require. */
   private[graft] def clusterLabelsTable(s: SparkSession,
       store: String): DataFrame =
     s.read.schema("doc_id BIGINT, cluster_id BIGINT, " +
@@ -1489,8 +1499,15 @@ object Dedup {
     val (oldSnap, newSnap) = q95Snapshots(documents(s, d))
     val oldStore = graft.util.Ephemeral.fixedDir("graft_manifest_o_q95b")
     val newStore = graft.util.Ephemeral.fixedDir("graft_manifest_n_q95b")
-    manifestWrite(oldSnap, oldStore)
-    manifestWrite(newSnap, newStore)
+    // the two generation writes are mutually independent (disjoint
+    // stores, read-only input) — concurrent submission (round 18,
+    // §2.6: the second write's tasks back-fill the first's tail; a
+    // real pipeline writes each generation's manifest as that
+    // generation materializes, so the serialization was an artifact
+    // of the binding, not the cadence)
+    graft.ops.UnifiedClusters.inParallel(Seq(
+      () => manifestWrite(oldSnap, oldStore),
+      () => manifestWrite(newSnap, newStore)))
     manifestDiff(s, oldStore, newStore)
   }
 
@@ -2071,7 +2088,7 @@ object Dedup {
     val algoConf = ss.conf.getOption("spark.graft.cc.algo")
     if (algoConf.isEmpty && localThreshold > 0 &&
         pairCount <= localThreshold)
-      return timed("local")(ccFinish(localCcLabels(ss, pairs0)))
+      return timed("local")(localCcFinished(ss, pairs0))
     // Algorithm switch (VERDICT r6/r7: the jump loop is at its measured
     // floor — 5 x ~0.42s scheduler rounds + labels0 — so the round-count
     // cut has to come from a structurally different algorithm):
@@ -2281,6 +2298,46 @@ object Dedup {
       .map(x => (x, find(x))).toSeq
     import ss.implicits._
     labels.toDF("id", "label")
+  }
+
+  /** The small-graph fast path FINISHED driver-side (round 18):
+    * cluster sizes and the canonical flag are trivial folds over the
+    * already-collected union-find labels, so the local path emits the
+    * full (doc_id, cluster_id, cluster_size, is_canonical) contract
+    * as ONE sorted LocalRelation instead of handing [[ccFinish]] a
+    * label table — that window + sort re-entered every consumer's
+    * plan as two extra exchanges, a per-merge scheduler tax on the
+    * store protocols whose touched subgraphs route here. Identical
+    * rows and (cluster_id, doc_id) order to ccFinish over the same
+    * labels: size = member count per root, canonical = id == root
+    * (the root IS the component min, see [[localCcLabels]]). */
+  private def localCcFinished(ss: SparkSession,
+      pairs0: DataFrame): DataFrame = {
+    val edges = pairs0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.iterator
+      .flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val rootOf = nodes.map(x => (x, find(x))).toMap
+    val sizeOf = rootOf.groupMapReduce(_._2)(_ => 1L)(_ + _)
+    val rows = nodes.map { x =>
+      val r = rootOf(x)
+      (x, r, sizeOf(r), x == r)
+    }.sortBy(t => (t._2, t._1)).toSeq
+    import ss.implicits._
+    rows.toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
   }
 
   /** Shared CC presentation: label table (id, label) -> the
@@ -2563,10 +2620,15 @@ object Dedup {
   /** [[materializeBounded]] that ALSO returns the row count, observed
     * during the materialization job itself (round 17) — for callers
     * that feed [[connectedComponentsMaterialized]], whose size
-    * dispatch needs the count without a second job. Reliable
-    * checkpoint() executes the plan twice and doubles the observed
-    * count — see the CC dispatch comment for why that only ever
-    * routes borderline graphs the safe (distributed) way. */
+    * dispatch needs the count without a second job.
+    *
+    * COUNT MAY OVER-REPORT — use only for thresholds/emptiness
+    * (round-18 ADVICE): reliable checkpoint() executes the plan twice
+    * and doubles the observed count, and speculative/retried
+    * SUCCESSFUL task attempts inflate it on the localCheckpoint path
+    * too. Every current consumer is monotone-safe (CC localThreshold
+    * dispatch, nPromoted > 0); an exact-count consumer must run its
+    * own count() instead. */
   private[graft] def materializeWithCount(
       df: DataFrame): (DataFrame, Long) = {
     val plan = df.observe("graft_count", count(lit(1)).as("n"))
@@ -2865,6 +2927,29 @@ object Dedup {
   def curationFunnelExtended(docs0: DataFrame): DataFrame =
     funnelCounts(funnelStagesExtended(docs0))
 
+  /** The funnel's repetition + quality stages computed in ONE
+    * materialization (round 18, guide §2.4): both filters are
+    * row-local predicates over text, so quality evaluated on the
+    * repetition survivors equals quality evaluated on their input
+    * restricted to those survivors — one job materializes the input
+    * rows with BOTH keep flags, and each stage frame is a filter over
+    * the shared leaf. Counts and downstream rows are byte-identical
+    * to the chained materialize+semi-join form this replaces (doc_id
+    * is unique by the corpus contract, so the inner flag joins are
+    * exactly the previous semi joins). Returns (repetition survivors,
+    * quality survivors) with the input's column set. */
+  private def fusedRepetitionQuality(in: DataFrame,
+      tag: String): (DataFrame, DataFrame) = {
+    val inCols = in.columns.map(col).toIndexedSeq
+    val flagged = stageTimed(tag)(materializeBounded(in
+      .join(TextAnalysis.repetitionFilter(in)
+        .select(col("doc_id"), col("keep").as("rep_keep")), Seq("doc_id"))
+      .join(TextAnalysis.qualityFilter(in)
+        .select(col("doc_id"), col("keep").as("q_keep")), Seq("doc_id"))))
+    (flagged.filter(col("rep_keep")).select(inCols: _*),
+      flagged.filter(col("rep_keep") && col("q_keep")).select(inCols: _*))
+  }
+
   /** GRAFT_FUNNEL_DEBUG: per-stage stderr timings (materializeBounded
     * is eager, so each stage's real cost lands at construction) —
     * dev-only, zero cost when unset; ProfileQ87c drives THIS
@@ -2947,14 +3032,9 @@ object Dedup {
         drop.select(col("doc_id")), Seq("doc_id"), "left_anti"))))
     val ndOut = sAtt.getOrElse(s3)
     val off = if (sAtt.isDefined) 1 else 0
-    val s4 = stageTimed("s4_repetition")(materializeBounded(ndOut.join(
-      TextAnalysis.repetitionFilter(ndOut).filter(col("keep"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")))
-    val s5 = stageTimed("s5_quality")(materializeBounded(s4.join(
-      TextAnalysis.qualityFilter(s4).filter(col("keep"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")))
+    // stages 4+5 fused into one materialization (round 18, §2.4 —
+    // see fusedRepetitionQuality)
+    val (s4, s5) = fusedRepetitionQuality(ndOut, "s4s5_flags")
     // 6: segment dedup REWRITES text to the kept segments (token set
     // preserved up to whitespace normalization — downstream stages
     // are token-keyed); docs whose every segment is shared drop here
@@ -3543,12 +3623,14 @@ object Dedup {
         neardupMerge(s, s"$stores/neardup", surv).select(col("doc_id")),
         Seq("doc_id"), "left_semi")))
     val s3 = stageTimed("e_s3_neardup")(materializeBounded(ndOf(s2)))
-    val s4 = stageTimed("e_s4_repetition")(materializeBounded(s3.join(
-      TextAnalysis.repetitionFilter(s3).filter(col("keep"))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")))
-    val s5 = stageTimed("e_s5_quality")(materializeBounded(s4.join(
-      TextAnalysis.qualityFilter(s4).filter(col("keep"))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")))
+    // stages 4+5 FUSED into one materialization (round 18, §2.4):
+    // both filters are row-local, so quality-over-s4 equals
+    // quality-over-s3 restricted to the repetition survivors — one
+    // job computes both flags, and each stage frame is a filter over
+    // the shared leaf. Counts and downstream rows are unchanged
+    // (doc_id is unique by the corpus contract, so the inner flag
+    // joins are exactly the previous semi joins).
+    val (s4, s5) = fusedRepetitionQuality(s3, "e_s4s5_flags")
     // the suite is id-list sized by construction (a benchmark set,
     // not a corpus) — same broadcast posture as q87c's bench side
     val bench = s.read.parquet(s"$stores/bench")

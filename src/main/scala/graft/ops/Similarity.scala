@@ -127,8 +127,15 @@ object Similarity {
     * rows (all-NULL dots rank the lowest cell_id first), so no oracle
     * changes. */
   private[graft] def coarseAssign(quantized: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
+      centroids: DataFrame): DataFrame =
+    coarseAssignCollected(quantized, collectCentroids(centroids))
+
+  /** [[coarseAssign]] over an ALREADY-COLLECTED centroid table (round
+    * 18): callers that need the centroids driver-side anyway (the
+    * IVF-PQ writer collects them once and reuses the rows for the
+    * model-table write) skip the second collect job. */
+  private[graft] def coarseAssignCollected(quantized: DataFrame,
+      cents: Array[(Long, Seq[Long])]): DataFrame = {
     if (cents.isEmpty)
       return quantized.limit(0).withColumn("cell_id", lit(0L))
     val dim = cents.head._2.length
@@ -777,8 +784,13 @@ object Similarity {
     val quantized = emb.filter(col("vec_id").isNotNull)
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("qe"))
-    // q75-trained cells, not raw seeds (see trainedCentroids scaladoc)
-    val centroids = trainedCentroids(quantized, 16)
+    // q75-trained cells, not raw seeds (see trainedCentroids scaladoc).
+    // Collected ONCE (round 18, guide §2.4 aggregate-once): the
+    // trained table is k-bounded but its PLAN is a full-corpus
+    // assign+aggregate, and the previous form executed that plan
+    // twice — once inside coarseAssign's collect and once more for
+    // the centroids-table write. One collect now feeds both.
+    val cents = collectCentroids(trainedCentroids(quantized, 16))
     // the PQ model: first-k full vectors, collected (k-bounded by
     // definition), sliced into the per-sub-space codebook driver-side
     val seeds = quantized.filter(col("vec_id") < k)
@@ -799,7 +811,7 @@ object Similarity {
           lit(0).cast("int").as("cell_id"))
         .write.mode("overwrite").parquet(s"$storeDir/vectors")
     else
-      coarseAssign(quantized, centroids)
+      coarseAssignCollected(quantized, cents)
         .withColumn("codes", graft.functions.PqEncodeCodes(col("qe"),
           seeds.map(_._1),
           (0 until m).flatMap(mi => seeds.flatMap(
@@ -813,7 +825,10 @@ object Similarity {
         (mi, id, qe.slice(mi * subDim, (mi + 1) * subDim)))
     }.toDF("m", "seed", "cv")
       .write.mode("overwrite").parquet(s"$storeDir/codebook")
-    centroids.write.mode("overwrite").parquet(s"$storeDir/centroids")
+    // the centroids table writes from the collected rows — a local
+    // relation, NOT a re-execution of the training aggregation
+    cents.toSeq.toDF("cell_id", "ce")
+      .write.mode("overwrite").parquet(s"$storeDir/centroids")
   }
 
   /** O-82 incremental path for the IVF-PQ layout (the ivfAppend

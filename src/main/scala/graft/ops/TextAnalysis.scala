@@ -864,6 +864,14 @@ object TextAnalysis {
     * model side is a dictionary-sized store read. */
   def corpusFreqScoreFromStore(docs: DataFrame, store: String,
       rarePct: Int = 1): DataFrame =
+    // NOT materialized although the scorer references the model fold
+    // twice (round 18, measured + reconsidered): a localCheckpoint
+    // here would hide the store read behind a Scan ExistingRDD —
+    // PlanShapeSpec's q92 pin ("the model side is the store READ, not
+    // an in-query retrain") deliberately asserts the parquet path in
+    // the declared tree, and the fold is dictionary-sized with its
+    // DISTINCT exchange deduped by ReuseExchange, so the second
+    // reference costs one tiny aggregate, not a second store scan.
     scoreAgainstModel(tokenPositions(docs),
       tfModel(docs.sparkSession, store), rarePct)
 

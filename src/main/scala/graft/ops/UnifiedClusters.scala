@@ -113,8 +113,25 @@ object UnifiedClusters {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ParallelEc
+    // Propagate the calling thread's job group/description/pool into
+    // the pool threads (round-18 ADVICE): these are thread-local, so
+    // jobs submitted from the shared pool otherwise lose them —
+    // StreamingQuery.stop() could no longer cancel in-flight append
+    // jobs for its query, and UI attribution of the appends was lost.
+    val callerProps = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext).map { sc =>
+        val keys = Seq("spark.jobGroup.id", "spark.job.description",
+          "spark.job.interruptOnCancel", "spark.scheduler.pool")
+        (sc, keys.map(k => k -> sc.getLocalProperty(k)))
+      }
+    def withProps[B](body: () => B): B = {
+      callerProps.foreach { case (sc, props) =>
+        props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      }
+      body()
+    }
     val done = Await.result(
-      Future.sequence(tasks.map(t => Future(scala.util.Try(t())))),
+      Future.sequence(tasks.map(t => Future(scala.util.Try(withProps(t))))),
       Duration.Inf)
     // rethrow the first failure with any sibling failures attached as
     // suppressed (round-14 ADVICE: collectFirst-throw discarded them
@@ -238,9 +255,18 @@ object UnifiedClusters {
     * level, and the groupBy already emits one row per (a, b), so the
     * trailing canonicalize-DISTINCT is also a no-op for self sets
     * (x.doc_id < y.doc_id fixes the orientation). */
-  private[graft] def shinglePairs(self: Boolean,
+  /** CONTRACT (`freshSelf`, round-18 ADVICE): `freshSelf = true`
+    * asserts BOTH sides are the same freshly-computed materialization
+    * whose (doc_id, h) rows are distinct by construction — NEVER a
+    * store-read index table, whose at-least-once replayed rows would
+    * inflate the row-counted `inter` and weld clusters permanently.
+    * Every current true-caller passes `batchRowsOf`/`build.rows`
+    * materializations; a new caller over store rows must pass false
+    * (or dedup its input first). */
+  private[graft] def shinglePairs(freshSelf: Boolean,
       dedup: Boolean = true)(x: DataFrame,
       y: DataFrame): DataFrame = {
+    val self = freshSelf
     val grouped = x.as("x").hint("shuffle_hash")
       .join(y.as("y").hint("shuffle_hash"), col("x.h") === col("y.h"))
       .filter(idGuard(self, "x.doc_id", "y.doc_id"))
@@ -389,7 +415,7 @@ object UnifiedClusters {
       () => writeBuckets(aud, s"$store/ehash", "overwrite",
         "band", "ckey"))))
     val fams = timed("build.fams")(materializeBounded(
-      famLit(shinglePairs(self = true)(sh, sh), "shingle")
+      famLit(shinglePairs(freshSelf = true)(sh, sh), "shingle")
         .unionByName(famLit(
           sigPairs("simhash", SimScheme, self = true)(sim, sim),
           "simhash"))

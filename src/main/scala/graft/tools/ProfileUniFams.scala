@@ -53,9 +53,9 @@ object ProfileUniFams {
       t("batch_rows")(bSh.count())
       val shIdx = idx("shingle", "doc_id BIGINT, c BIGINT, h BIGINT, kb INT")
       t("shingle_cross")(
-        UnifiedClusters.shinglePairs(self = false)(shIdx, bSh).count())
+        UnifiedClusters.shinglePairs(freshSelf = false)(shIdx, bSh).count())
       t("shingle_self")(
-        UnifiedClusters.shinglePairs(self = true)(bSh, bSh).count())
+        UnifiedClusters.shinglePairs(freshSelf = true)(bSh, bSh).count())
       val simIdx = idx("simhash",
         "doc_id BIGINT, simhash BIGINT, band INT, ckey BIGINT, kb INT")
       t("simhash_cross")(UnifiedClusters.sigPairs("simhash",

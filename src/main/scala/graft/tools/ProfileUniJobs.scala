@@ -28,10 +28,13 @@ object ProfileUniJobs {
     val stageLog =
       new scala.collection.mutable.ArrayBuffer[(Int, String, Int, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
+      // ONE monitor for all stageLog access (round-18 ADVICE): the
+      // main thread reads under stageLog.synchronized, so the
+      // callbacks must append under the same lock, not the listener's
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        stageLog.synchronized { jobs += 1 }
       override def onStageCompleted(st: SparkListenerStageCompleted): Unit =
-        synchronized {
+        stageLog.synchronized {
           stages += 1
           val info = st.stageInfo
           stageLog += ((info.stageId,
@@ -39,7 +42,7 @@ object ProfileUniJobs {
             info.numTasks, info.taskMetrics.executorRunTime))
         }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        synchronized { tasks += 1; taskMs += t.taskInfo.duration }
+        stageLog.synchronized { tasks += 1; taskMs += t.taskInfo.duration }
     })
     import graft.ops.{Tables, UnifiedClusters, Dedup}
     val docs = Tables.documents(spark, sfDir)
