@@ -812,33 +812,41 @@ object Dedup {
     val (dirty, buckets) = materializeWithKeys(
       relabeled.withColumn("kb", clusterBucket(col("doc_id"))), "kb")
     val tmp = s"$store/clusters_staging"
-    // stage the dirty buckets' new content FIRST (it reads the live
-    // label table); the band/edge appends then run before the swap so
-    // the torn-store check's invariant (endpoints ⊆ labels) pinpoints
-    // exactly a crash inside this window
-    if (buckets.nonEmpty)
-      untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
-        .unionByName(dirty)
-        .repartition(buckets.length, col("kb"))
-        .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("kb").parquet(tmp)
-    // ALWAYS append the batch's band rows — an edgeless batch is
-    // still admitted corpus that future merges must match against —
-    // reusing the merge's OWN materialized band table
-    // (neardupIndexWrite layout) instead of re-running the batch's
-    // signature pipeline a second time: one signature pass per
-    // persisted merge. Bands append BEFORE edges: a crash between
-    // the two then loses only the batch's not-yet-appended EDGES
-    // (restored by replay; until then the docs are merely unclustered
-    // but still DISCOVERABLE through the band index), whereas the
-    // reverse order would leave persisted edges whose docs no future
-    // batch can ever band-match — a silent permanent divergence.
-    batchBands
-      .select(col("doc_id"), col("mins"), col("band"), col("k1"),
-        col("k2"), col("kb")) // neardupIndexWrite's column order
-      .repartition(64, col("kb"))
-      .sortWithinPartitions(col("kb"), col("band"), col("k1"), col("k2"))
-      .write.mode("append").partitionBy("kb").parquet(s"$store/bands")
+    // label staging and the band append run as ONE concurrent wave
+    // (round 18, the unified store's update.stage_and_appends
+    // reasoning): both writes are mutually independent (disjoint
+    // paths, pre-materialized inputs), and the protocol constraint is
+    // only that the MARKER (the staging dir) exists before the EDGES
+    // append — band rows are idempotent facts that cannot violate
+    // labels = CC(edges). A crash inside the wave can leave bands
+    // appended with no marker: exactly the documented "bands append
+    // first" state (docs band-discoverable, unclustered, replay
+    // restores); the heal-requiring state — edges appended, labels
+    // stale — stays impossible before the wave's barrier. Bands still
+    // land BEFORE edges (the wave is a barrier): the reverse order
+    // would leave persisted edges whose docs no future batch can ever
+    // band-match — a silent permanent divergence.
+    graft.ops.UnifiedClusters.inParallel(Seq(
+      () => if (buckets.nonEmpty)
+        untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
+          .unionByName(dirty)
+          .repartition(buckets.length, col("kb"))
+          .sortWithinPartitions(col("kb"), col("cluster_id"),
+            col("doc_id"))
+          .write.mode("overwrite").partitionBy("kb").parquet(tmp),
+      // ALWAYS append the batch's band rows — an edgeless batch is
+      // still admitted corpus that future merges must match against —
+      // reusing the merge's OWN materialized band table
+      // (neardupIndexWrite layout) instead of re-running the batch's
+      // signature pipeline a second time: one signature pass per
+      // persisted merge.
+      () => batchBands
+        .select(col("doc_id"), col("mins"), col("band"), col("k1"),
+          col("k2"), col("kb")) // neardupIndexWrite's column order
+        .repartition(64, col("kb"))
+        .sortWithinPartitions(col("kb"), col("band"), col("k1"),
+          col("k2"))
+        .write.mode("append").partitionBy("kb").parquet(s"$store/bands")))
     newEdges.write.mode("append").parquet(s"$store/edges")
     if (buckets.nonEmpty) {
       // rename swap (round 17, swapStagedBuckets): metadata-only; the
@@ -3399,55 +3407,88 @@ object Dedup {
         .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")))
     val hasPromoted = nPromoted > 0
-    val promotedDocs =
+    // materialized once (round 18): both promoted appends (band index
+    // + manifest) read the same corpus-slice scan
+    val promotedDocs = if (!hasPromoted)
       corpusScrubbed.join(promotedIds, Seq("doc_id"), "left_semi")
-    // band index: the deleted docs' recomputed band rows name the
-    // touched buckets (keys only — one collect job, no checkpoint:
-    // nothing downstream re-reads these rows); survivors rewritten in
-    // place, promoted docs appended through the same writer the build
-    // used
-    val bandKeys = bandRows(q36bSig(
-        corpusScrubbed.filter(col("doc_id").isNotNull)
-          .join(delIds, Seq("doc_id"), "left_semi")))
-      .select(pmod(xxhash64(col("band"), col("k1")), lit(64))
-        .cast("int").as("kb"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
-    if (bandKeys.nonEmpty)
-      retractBucketRewrite(s, s"$stores/neardup",
-        bandIndexTable(s, s"$stores/neardup")
-          .filter(col("kb").isin(bandKeys: _*))
-          .join(delIds, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("mins"), col("band"), col("k1"),
-            col("k2"), col("kb")),
-        "kb", bandKeys, Seq("band", "k1", "k2"))
-    if (hasPromoted)
-      neardupIndexWrite(promotedDocs, s"$stores/neardup", mode = "append")
-    // manifest: drop the deleted rows, admit the promoted ones
-    if (delKb.nonEmpty)
-      retractBucketRewrite(s, s"$stores/manifest",
-        manifest.filter(col("kb").isin(delKb: _*))
-          .join(delIds, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source"), col("h"), col("kb")),
-        "kb", delKb, Seq("doc_id"))
-    if (hasPromoted)
-      manifestWrite(promotedDocs, s"$stores/manifest", mode = "append")
-    // hash ledger: drop the deleted rows from their hashes' buckets
-    // (same touched-bucket pass — the ledger stays exactly the
-    // surviving corpus's projection, so the NEXT retraction prunes
-    // correctly too)
-    if (hasLedger && ledgerHbs.nonEmpty)
-      retractBucketRewrite(s, s"$stores/hashes",
-        hashLedgerTable(s, stores)
-          .filter(col("hb").isin(ledgerHbs: _*))
-          .join(delIds, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("h"), col("hb")),
-        "hb", ledgerHbs, Seq("h", "doc_id"))
-    // eval suite: recompute wholesale from the surviving src0 slice
-    sourcedShingleRows(corpusScrubbed
-        .join(delIds, Seq("doc_id"), "left_anti"))
-      .filter(col("source") === "src0")
-      .select(col("h")).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(s"$stores/bench")
+    else materializeBounded(
+      corpusScrubbed.join(promotedIds, Seq("doc_id"), "left_semi"))
+    // The five store surfaces rewrite as ONE concurrent wave (round
+    // 18, §2.6): exact index, band index, manifest, hash ledger, and
+    // the eval suite are mutually independent tables, and every input
+    // (delIds, delHp, carriers, promotedIds/Docs) is materialized
+    // above, BEFORE any mutation. Each promoted append stays ordered
+    // AFTER its own table's rewrite inside the task (the dynamic
+    // overwrite reads then replaces touched buckets — an append
+    // landing between would be clobbered). Crash posture unchanged:
+    // removals are anti-joins and replaying the same retraction heals
+    // any completed subset, exactly as under the sequential order
+    // (no ordering constraint existed ACROSS these tables).
+    graft.ops.UnifiedClusters.inParallel(Seq(
+      () => if (hashKeys.nonEmpty)
+        retractBucketRewrite(s, s"$stores/exact",
+          s.read.schema("content_hash STRING, bucket INT")
+            .parquet(s"$stores/exact")
+            .filter(col("bucket").isin(hashKeys: _*))
+            .join(dropHashes.select(col("content_hash")),
+              Seq("content_hash"), "left_anti")
+            .select(col("content_hash"), col("bucket")),
+          "bucket", hashKeys, Seq("content_hash")),
+      () => {
+        // band index: the deleted docs' recomputed band rows name the
+        // touched buckets (keys only — one collect job, no
+        // checkpoint: nothing downstream re-reads these rows);
+        // survivors rewritten in place, promoted docs appended
+        // through the same writer the build used
+        val bandKeys = bandRows(q36bSig(
+            corpusScrubbed.filter(col("doc_id").isNotNull)
+              .join(delIds, Seq("doc_id"), "left_semi")))
+          .select(pmod(xxhash64(col("band"), col("k1")), lit(64))
+            .cast("int").as("kb"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
+        if (bandKeys.nonEmpty)
+          retractBucketRewrite(s, s"$stores/neardup",
+            bandIndexTable(s, s"$stores/neardup")
+              .filter(col("kb").isin(bandKeys: _*))
+              .join(delIds, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("mins"), col("band"),
+                col("k1"), col("k2"), col("kb")),
+            "kb", bandKeys, Seq("band", "k1", "k2"))
+        if (hasPromoted)
+          neardupIndexWrite(promotedDocs, s"$stores/neardup",
+            mode = "append")
+      },
+      () => {
+        // manifest: drop the deleted rows, admit the promoted ones
+        if (delKb.nonEmpty)
+          retractBucketRewrite(s, s"$stores/manifest",
+            manifest.filter(col("kb").isin(delKb: _*))
+              .join(delIds, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("source"), col("h"),
+                col("kb")),
+            "kb", delKb, Seq("doc_id"))
+        if (hasPromoted)
+          manifestWrite(promotedDocs, s"$stores/manifest",
+            mode = "append")
+      },
+      // hash ledger: drop the deleted rows from their hashes' buckets
+      // (same touched-bucket pass — the ledger stays exactly the
+      // surviving corpus's projection, so the NEXT retraction prunes
+      // correctly too)
+      () => if (hasLedger && ledgerHbs.nonEmpty)
+        retractBucketRewrite(s, s"$stores/hashes",
+          hashLedgerTable(s, stores)
+            .filter(col("hb").isin(ledgerHbs: _*))
+            .join(delIds, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("h"), col("hb")),
+          "hb", ledgerHbs, Seq("h", "doc_id")),
+      // eval suite: recompute wholesale from the surviving src0 slice
+      () => sourcedShingleRows(corpusScrubbed
+          .join(delIds, Seq("doc_id"), "left_anti"))
+        .filter(col("source") === "src0")
+        .select(col("h")).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stores/bench")))
   }
 
   /** The full-corpus hash ledger (round 17, VERDICT r16 #3): one

@@ -143,15 +143,17 @@ object UnifiedClusters {
     }
     done.map(_.get)
   }
-  // 6 threads (round 17, was 4): every inParallel site here submits
-  // 5 or 6 mutually independent jobs (five family pipelines + the
-  // emb_vec side table on the write paths), and a 4-thread pool ran
-  // them as two waves — the second wave's jobs idled behind the
-  // first's stragglers. One wave of 6 lets the scheduler interleave
-  // them; same posture on a cluster (guide §2.6 back-fill).
+  // 8 threads (round 18, was 6): the update path's widest wave is now
+  // 7 mutually independent writes (label staging + five family index
+  // appends + emb_vec), and a narrower pool ran them as two waves —
+  // the second wave's jobs idled behind the first's stragglers. One
+  // wave lets the scheduler interleave them; same posture on a
+  // cluster (guide §2.6 back-fill). Sized for ONE merge/stream at a
+  // time (the bench geometry) — two concurrent streams sharing this
+  // static pool serialize across it, a documented round-17 caveat.
   private lazy val ParallelEc =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(6,
+      java.util.concurrent.Executors.newFixedThreadPool(8,
         (r: Runnable) => {
           val t = new Thread(r, "graft-uni-store")
           t.setDaemon(true)
@@ -465,7 +467,24 @@ object UnifiedClusters {
   private[graft] def unifiedNewEdgesPlan(s: SparkSession, store: String,
       batchSh: DataFrame, batchSim: DataFrame, batchLsh: DataFrame,
       batchImg: DataFrame, batchAud: DataFrame,
-      batchVec: DataFrame, keys: Map[String, Seq[Int]]): DataFrame = {
+      batchVec: DataFrame, keys: Map[String, Seq[Int]]): DataFrame =
+    unifiedNewEdgesFamilies(s, store, batchSh, batchSim, batchLsh,
+      batchImg, batchAud, batchVec, keys).map(_._2())
+      .reduce(_ unionByName _)
+
+  /** The five family branches of [[unifiedNewEdgesPlan]], one thunk
+    * per family (round 18): each branch is a self-contained
+    * provenance-tagged pair plan (its own cross ∪ intra DISTINCT), so
+    * the merge can materialize the branches as CONCURRENT jobs —
+    * guide §2.6 — instead of one fused 50-exchange plan whose AQE
+    * stage-by-stage replanning serializes on the driver. The fused
+    * union ([[unifiedNewEdgesPlan]]) remains the plan-shape pin's
+    * probe; both forms compute the identical row set. */
+  private[graft] def unifiedNewEdgesFamilies(s: SparkSession,
+      store: String, batchSh: DataFrame, batchSim: DataFrame,
+      batchLsh: DataFrame, batchImg: DataFrame, batchAud: DataFrame,
+      batchVec: DataFrame, keys: Map[String, Seq[Int]])
+      : Seq[(String, () => DataFrame)] = {
     // DISTINCT over cross ∪ intra: the two sides are disjoint except
     // when a batch re-ingests an id the store already indexes, where a
     // pair could otherwise surface on both sides and double its
@@ -475,39 +494,70 @@ object UnifiedClusters {
     // instead of scheduling its cross/self join stages. This is what
     // keeps an attachment-only micro-batch (s22's late-attachment
     // stream) from paying the three text families' empty-join rounds.
-    val noEdges = s.emptyDataFrame
+    def noEdges = s.emptyDataFrame
       .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"))
-    // per-branch DISTINCTs are skipped (dedup = false) — the union's
-    // one DISTINCT below subsumes them (round 17: two exchanges+aggs
-    // per family removed from the merge's hot plan; the build path
-    // keeps its per-rule dedup so stored edge bytes are unchanged)
-    def cross(index: DataFrame, batch: DataFrame, fam: String,
+    // per-branch canonicalize-DISTINCTs inside the rules are skipped
+    // (dedup = false) — each family's one cross ∪ intra DISTINCT
+    // subsumes them (round 17: two exchanges+aggs per family removed
+    // from the merge's hot plan; the build path keeps its per-rule
+    // dedup so stored edge bytes are unchanged)
+    def cross(index: => DataFrame, batch: DataFrame, fam: String,
         rule: Boolean => (DataFrame, DataFrame) => DataFrame): DataFrame =
       if (keys(fam).isEmpty) noEdges
       else rule(false)(prunedTo(index, keys(fam)), batch)
         .unionByName(rule(true)(batch, batch))
         .distinct()
-    famLit(cross(shingleIndexTable(s, store), batchSh, "shingle",
-        self => shinglePairs(self, dedup = false)), "shingle")
-      .unionByName(famLit(cross(sigIndexTable(s, store, "simhash",
+    Seq(
+      ("shingle", () => famLit(cross(shingleIndexTable(s, store),
+        batchSh, "shingle",
+        self => shinglePairs(self, dedup = false)), "shingle")),
+      ("simhash", () => famLit(cross(sigIndexTable(s, store, "simhash",
           "simhash"), batchSim, "simhash",
         self => sigPairs("simhash", SimScheme, self, dedup = false)),
-        "simhash"))
-      .unionByName(famLit(
+        "simhash")),
+      ("emb_lsh", () => famLit(
         if (keys("emb_lsh").isEmpty) noEdges
         else lshCrossPairs(s, store,
             prunedTo(lshIndexTable(s, store), keys("emb_lsh")), batchLsh,
             batchVec, dedup = false)
           .unionByName(lshSelfPairs(batchLsh, dedup = false))
-          .distinct(), "emb_lsh"))
-      .unionByName(famLit(cross(sigIndexTable(s, store, "img_ahash",
-          "ahash"), batchImg, "img_ahash",
+          .distinct(), "emb_lsh")),
+      ("img_ahash", () => famLit(cross(sigIndexTable(s, store,
+          "img_ahash", "ahash"), batchImg, "img_ahash",
         self => sigPairs("ahash", Multimodal.AhashScheme, self,
-          dedup = false)), "img_ahash"))
-      .unionByName(famLit(cross(sigIndexTable(s, store, "ehash",
+          dedup = false)), "img_ahash")),
+      ("ehash", () => famLit(cross(sigIndexTable(s, store, "ehash",
           "ehash"), batchAud, "ehash",
         self => sigPairs("ehash", Multimodal.EhashScheme, self,
-          dedup = false)), "ehash"))
+          dedup = false)), "ehash")))
+  }
+
+  /** The batch's new verified edges MATERIALIZED per family as
+    * concurrent jobs (round 18, §2.6): the five branches are mutually
+    * independent (disjoint index tables, pre-materialized batch
+    * leaves), and the fused single-job form left the driver
+    * serializing ~50 AQE stage replans while most branches are
+    * scheduler-floor-sized — measured per family at sf0.1:
+    * shingle 3.0 s + simhash 1.75 + lsh 1.5 + img 0.66 + aud 0.5
+    * serial vs ~max(family) concurrent. Empty families (no collected
+    * buckets) skip their job entirely. Row set identical to
+    * [[unifiedNewEdgesPlan]]; each branch thunk is built INSIDE its
+    * task so the emb_lsh branch's eager candidate materialization
+    * (see lshCrossCandidates) overlaps the other families too. */
+  private[graft] def unifiedNewEdgesConcurrent(s: SparkSession,
+      store: String, batchSh: DataFrame, batchSim: DataFrame,
+      batchLsh: DataFrame, batchImg: DataFrame, batchAud: DataFrame,
+      batchVec: DataFrame, keys: Map[String, Seq[Int]]): DataFrame = {
+    val fams = unifiedNewEdgesFamilies(s, store, batchSh, batchSim,
+      batchLsh, batchImg, batchAud, batchVec, keys)
+    val nonEmpty = fams.filter { case (fam, _) => keys(fam).nonEmpty }
+    if (nonEmpty.isEmpty)
+      // schema-correct empty set (zero rows; the tag never surfaces)
+      return famLit(s.emptyDataFrame
+        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")), "shingle")
+    inParallel(nonEmpty.map { case (_, thunk) =>
+      () => materializeBounded(thunk())
+    }).reduce(_ unionByName _)
   }
 
   /** The five families' MATERIALIZED batch index rows (each feeds the
@@ -593,8 +643,14 @@ object UnifiedClusters {
       batchDocs: DataFrame, batchEmb: DataFrame,
       batchImgSigs: DataFrame, batchAudSigs: DataFrame): DataFrame = {
     requireUnifiedStore(s, store)
-    unifiedMergeNewEdgesPlan(s, store, batchDocs, batchEmb,
-        batchImgSigs, batchAudSigs)
+    // concurrent per-family materialization (round 18, §2.6 — the
+    // merge path's unifiedNewEdgesConcurrent reasoning; identical row
+    // set to the fused plan this wrapped before)
+    val (Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec),
+      keys, _) =
+      batchRowsOf(batchDocs, batchEmb, batchImgSigs, batchAudSigs)
+    unifiedNewEdgesConcurrent(s, store, batchSh, batchSim, batchLsh,
+        batchImg, batchAud, batchVec, keys)
       .select(col("doc_b").as("doc_id"))
       .join(batchDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .distinct()
@@ -621,7 +677,7 @@ object UnifiedClusters {
     // component it already welded. Edge-bounded: the standing table
     // is scanned by the relabel anyway.
     val newEdges = timed("merge.new_edges")(
-      materializeBounded(unifiedNewEdgesPlan(s, store,
+      materializeBounded(unifiedNewEdgesConcurrent(s, store,
           batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec, keys)
         .join(edgesTable(s, store),
           Seq("doc_a", "doc_b", "family"), "left_anti")))
@@ -738,31 +794,35 @@ object UnifiedClusters {
     val (dirty, buckets) = Dedup.materializeWithKeys(
       relabeled.withColumn("kb", Dedup.clusterBucket(col("doc_id"))), "kb")
     val tmp = s"$store/clusters_staging"
-    if (buckets.nonEmpty) timed("update.label_stage")(
-      untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
-        .unionByName(dirty)
-        .repartition(buckets.length, col("kb"))
-        .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("kb").parquet(tmp))
-    // indices append BEFORE edges (the neardupClusterStoreUpdate
-    // ordering: a crash between the two loses only not-yet-appended
-    // EDGES, restored by replay, with the batch's docs still
-    // discoverable through the indices — never the reverse)
     val Seq(batchSh, batchSim, batchLsh, batchImg, batchAud, batchVec) =
       batchRows
-    // the five family appends are mutually independent — concurrent
-    // submission; the PROTOCOL order (staging first, all indices
-    // before edges) is preserved by the surrounding barriers. A crash
-    // here can leave any subset of family indices un-appended; replay
-    // restores them byte-identically (at-least-once), same window as
-    // the sequential form. Layout-v2 note: emb_lsh and emb_vec append
-    // inside the same barrier with no order between them, so a crash
-    // can leave a band row whose vec_id has no emb_vec row yet — the
-    // candidate verify's inner join simply skips such candidates
-    // (band-discoverable, not yet verifiable), and the SAME batch's
-    // replay restores the vec rows and re-derives the skipped pairs
-    // (the anti-join keeps already-persisted edges from duplicating).
-    timed("update.index_appends")(inParallel(Seq(
+    // ONE concurrent wave for the label staging AND the five family
+    // index appends (round 18): all seven writes are mutually
+    // independent (disjoint paths, pre-materialized inputs), and the
+    // protocol constraint is only that the MARKER (the staging dir)
+    // exists before the EDGES append — the marker guards the
+    // labels = CC(edges) invariant, which index-row facts cannot
+    // violate. A crash inside this wave can now leave family indices
+    // appended with NO marker present — but that is exactly the
+    // already-documented "bands append first" state (labels and edges
+    // still mutually consistent, the batch's docs band-discoverable
+    // but unclustered, the SAME batch's replay restores everything);
+    // the state needing the heal — edges appended, labels stale —
+    // remains impossible before the wave's barrier. Layout-v2 note:
+    // emb_lsh and emb_vec append inside the same wave with no order
+    // between them, so a crash can leave a band row whose vec_id has
+    // no emb_vec row yet — the candidate verify's inner join skips
+    // such candidates (band-discoverable, not yet verifiable), and
+    // the replay restores the vec rows and re-derives the skipped
+    // pairs (the anti-join keeps persisted edges from duplicating).
+    timed("update.stage_and_appends")(inParallel(Seq(
+      () => if (buckets.nonEmpty)
+        untouched.filter(col("kb").isin(buckets.toIndexedSeq: _*))
+          .unionByName(dirty)
+          .repartition(buckets.length, col("kb"))
+          .sortWithinPartitions(col("kb"), col("cluster_id"),
+            col("doc_id"))
+          .write.mode("overwrite").partitionBy("kb").parquet(tmp),
       () => writeBuckets(batchSh.select(col("doc_id"), col("c"),
         col("h"), col("kb")), s"$store/shingle", "append", "h"),
       () => writeBuckets(batchSim.select(col("doc_id"), col("simhash"),
@@ -913,19 +973,27 @@ object UnifiedClusters {
       Dedup.connectedComponentsMaterialized(survEdges, nSurv)
         .withColumn("kb", Dedup.clusterBucket(col("doc_id")))))
 
-    // marker first: stage the dirty buckets' full post-retraction
-    // content (untouched rows in those buckets + the re-resolved
-    // touched survivors)
+    // Label staging AND the six family rewrites run as ONE concurrent
+    // wave (round 18, the update path's stage_and_appends reasoning):
+    // the seven writes are mutually independent (disjoint paths,
+    // pre-materialized inputs), and the marker-before-EDGES constraint
+    // is preserved by the wave's barrier — index-row deletions cannot
+    // violate labels = CC(edges), and a crash leaving some indices
+    // rewritten with no marker is the already-documented "edge-visible
+    // but not band-discoverable" torn-retraction state that replaying
+    // the same retraction heals (every removal is an anti-join).
     val tmp = s"$store/clusters_staging"
-    if (dirty.nonEmpty) timed("retract.label_stage")(
-      labels.filter(col("kb").isin(dirty: _*))
-        .join(touchedMembers.select(col("doc_id")), Seq("doc_id"),
-          "left_anti")
-        .unionByName(newLabels.select(col("doc_id"), col("cluster_id"),
-          col("cluster_size"), col("is_canonical"), col("kb")))
-        .repartition(dirty.length, col("kb"))
-        .sortWithinPartitions(col("kb"), col("cluster_id"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("kb").parquet(tmp))
+    def stageLabels(): Unit =
+      if (dirty.nonEmpty)
+        labels.filter(col("kb").isin(dirty: _*))
+          .join(touchedMembers.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .unionByName(newLabels.select(col("doc_id"), col("cluster_id"),
+            col("cluster_size"), col("is_canonical"), col("kb")))
+          .repartition(dirty.length, col("kb"))
+          .sortWithinPartitions(col("kb"), col("cluster_id"),
+            col("doc_id"))
+          .write.mode("overwrite").partitionBy("kb").parquet(tmp)
 
     // per-family touched-bucket rewrites (concurrent — mutually
     // independent, the update's index_appends posture)
@@ -960,7 +1028,8 @@ object UnifiedClusters {
             new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$k")))
         s.catalog.refreshByPath(path)
       }
-    timed("retract.index_rewrites")(inParallel(Seq(
+    timed("retract.stage_and_rewrites")(inParallel(Seq(
+      () => stageLabels(),
       () => rewriteFam(s"$store/shingle", shingleIndexTable(s, store),
         "kb", keys("shingle"), "doc_id", Seq("doc_id", "c", "h"),
         Seq("h")),

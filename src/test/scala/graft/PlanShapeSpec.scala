@@ -192,15 +192,20 @@ class PlanShapeSpec extends SparkSpec {
         .withColumn("doc_id", col("doc_id") + ops.Dedup.ReKeyOffset))
       .unionByName(ops.Dedup.mediaBatchDocs(spark))
     val ids = batch.select(col("doc_id"))
-    val dropPlan = ops.UnifiedClusters.unifiedWeldDropIds(spark,
-        s"$dir/unified", batch,
-        ops.Tables.embeddings(spark, sf)
-          .join(ids.withColumnRenamed("doc_id", "vec_id"),
-            Seq("vec_id"), "left_semi"),
-        ops.Dedup.mediaBatchImgSigs(spark)
-          .join(ids, Seq("doc_id"), "left_semi"),
-        ops.Dedup.mediaBatchAudSigs(spark)
-          .join(ids, Seq("doc_id"), "left_semi"))
+    val batchEmb = ops.Tables.embeddings(spark, sf)
+      .join(ids.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_semi")
+    val batchImg = ops.Dedup.mediaBatchImgSigs(spark)
+      .join(ids, Seq("doc_id"), "left_semi")
+    val batchAud = ops.Dedup.mediaBatchAudSigs(spark)
+      .join(ids, Seq("doc_id"), "left_semi")
+    // the pruned-scan shapes are pinned on the new-edges PLAN the drop
+    // set derives from: since round 18 unifiedWeldDropIds materializes
+    // the family branches as concurrent jobs (the clusterMergeNewEdges
+    // convention — materialization hides the scan shape from the final
+    // tree), and unifiedMergeNewEdgesPlan is the same branches fused
+    val dropPlan = ops.UnifiedClusters.unifiedMergeNewEdgesPlan(spark,
+        s"$dir/unified", batch, batchEmb, batchImg, batchAud)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(dropPlan.sliding("PartitionFilters: [kb".length)
@@ -209,6 +214,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(dropPlan.contains("ShuffledHashJoin"), dropPlan)
     assert(!dropPlan.contains("CartesianProduct"), dropPlan)
     assert(!dropPlan.contains("BroadcastNestedLoopJoin"), dropPlan)
+    // and the declared drop wrapper itself plans no nested loop over
+    // its materialized family leaves
+    val dropTree = ops.UnifiedClusters.unifiedWeldDropIds(spark,
+        s"$dir/unified", batch, batchEmb, batchImg, batchAud)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!dropTree.contains("CartesianProduct"), dropTree)
+    assert(!dropTree.contains("BroadcastNestedLoopJoin"), dropTree)
   }
 
   test("q84: the panel ADC side prunes cells and broadcast-joins the LUT") {
